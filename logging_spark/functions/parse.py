@@ -1,0 +1,99 @@
+"""Vectorized grok/regex parser over the `text` column.
+
+The reference's data path applies `{expr, max_length}` per line in the
+harvest agent (contract: /root/reference/pkg/command/cmd.go:17-29,
+filter defaults cmd.go:36-40). Our generalization extracts structured
+fields `[LEVEL] component: message key=val ...` into a struct.
+
+Two implementations, same output schema (schema.PARSED):
+
+- ``parse_turns_builtin``: pure Catalyst expressions
+  (regexp_extract + str_to_map + to_json) — whole-stage codegen,
+  zero Python. Default for the hot path.
+- ``parsed_udf``: Arrow-batched pandas UDF using pre-compiled regex +
+  pandas .str vectorized ops (no per-row Python). Kept as the
+  extension point for grok patterns Catalyst regex can't express,
+  and as a cross-check of the builtin path in tests.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from logging_spark import schema as S
+
+# [LEVEL] component: message-head key=val key=val ...
+_LINE_RE = re.compile(r"^\[(?P<level>[A-Z]+)\]\s+(?P<component>[\w.-]+):\s+(?P<message>\S+)")
+_KV_RE = re.compile(r"(\w+)=(\S+)")
+
+_LEVEL_X = r"^\[([A-Z]+)\]"
+_COMP_X = r"^\[[A-Z]+\]\s+([\w.-]+):"
+_MSG_X = r"^\[[A-Z]+\]\s+[\w.-]+:\s+(\S+)"
+
+
+def parse_turns(df: DataFrame, text_col: str = "text", use_udf: bool = False) -> DataFrame:
+    """Append a `parsed` struct column (level, component, message, attrs)."""
+    if use_udf:
+        return df.withColumn("parsed", parsed_udf(F.col(text_col)))
+    return df.withColumn("parsed", parse_expr(F.col(text_col)))
+
+
+def parse_expr(text: Column) -> Column:
+    """Builtin-expression parse: stays in whole-stage codegen."""
+    nonempty = lambda c: F.when(c != "", c)  # noqa: E731
+    level = nonempty(F.regexp_extract(text, _LEVEL_X, 1))
+    comp = nonempty(F.regexp_extract(text, _COMP_X, 1))
+    msg = nonempty(F.regexp_extract(text, _MSG_X, 1))
+    # "key=val key=val" tail -> map -> canonical JSON
+    tail = F.regexp_replace(text, r"^\[[A-Z]+\]\s+[\w.-]+:\s+\S+\s*", "")
+    kv_pairs = F.filter(
+        F.split(F.trim(tail), r"\s+"),
+        lambda s: s.rlike(r"^\w+=\S+$"),
+    )
+    attrs = F.when(
+        F.size(kv_pairs) > 0,
+        F.to_json(F.map_from_entries(F.transform(
+            kv_pairs,
+            lambda s: F.struct(
+                F.split(s, "=").getItem(0).alias("key"),
+                F.split(s, "=").getItem(1).alias("value"),
+            ),
+        ))),
+    )
+    return F.struct(
+        level.alias("level"), comp.alias("component"),
+        msg.alias("message"), attrs.alias("attrs"),
+    )
+
+
+@pandas_udf(S.PARSED)
+def parsed_udf(text: pd.Series) -> pd.DataFrame:
+    """Arrow-batched parser: compiled regex + pandas vectorized string
+    ops; the only Python loop is over k/v *matches per batch* inside
+    `str.extractall`, which pandas executes in C."""
+    head = text.str.extract(_LINE_RE, expand=True)
+    kv = text.str.extractall(_KV_RE)
+    if len(kv):
+        attrs = (
+            kv.rename(columns={0: "k", 1: "v"})
+            .groupby(level=0)
+            .apply(lambda g: "{%s}" % ",".join(
+                f'"{k}":"{v}"' for k, v in zip(g["k"], g["v"])
+            ))
+        )
+    else:
+        attrs = pd.Series(dtype="object")
+    out = pd.DataFrame(
+        {
+            "level": head["level"],
+            "component": head["component"],
+            "message": head["message"],
+            "attrs": attrs.reindex(text.index),
+        }
+    )
+    return out

@@ -1,0 +1,38 @@
+"""Window-ranked dedup (SURVEY W1/W2).
+
+Reference invariant: offsets strictly increase per stream and replay
+from an offset must not duplicate (pkg/command/cmd.go:26,
+slack_type.go:28-31, offset-recovery join server.go:68-76); watch
+events resolve last-writer-wins (pkg/api/slack_task.go:117-133).
+
+Batch formalization: keep exactly one row per (conv_id, turn_idx),
+the latest by ts (tie-broken deterministically by text) — "per-turn
+text equality under stable turn ordering".
+
+Scale: a single shuffle. The window partitions by the FULL composite
+key (conv_id, turn_idx), which is deliberately skew-proof: a hot
+conversation with 10^8 turns hashes across the whole cluster instead
+of landing on one reducer, so no salting is needed for THIS operator.
+(Per-conversation aggregates downstream are where skew handling
+lives — see skew.py.) Each window group is tiny (duplicate count per
+turn, ~1-2 rows), so the sort inside groups is trivially cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_latest_wins(
+    df: DataFrame,
+    keys: list[str] = ("conv_id", "turn_idx"),
+    order_ts: str = "ts",
+    tiebreak: str = "text",
+) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(F.col(order_ts).desc(), F.col(tiebreak).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

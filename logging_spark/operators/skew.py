@@ -1,0 +1,59 @@
+"""Skew handling: hot-key detection + salted repartition.
+
+The reference has no skew story — hot services simply get a busy
+Kafka topic. At 10^12 turns a hot conv_id would bottleneck any
+shuffle keyed on conv_id alone, so (north_rule) we handle it
+explicitly:
+
+1. AQE skew-join/partition splitting is always on (session.py) —
+   catches moderate skew for free.
+2. For shuffles we author ourselves (repartition before sink write,
+   per-conversation state ops), `salted_repartition` spreads each
+   conv across `salt_buckets` partitions using a salt DERIVED FROM
+   turn_idx — deterministic, so a re-run lands rows in the same
+   partition (required for idempotent per-partition overwrite).
+3. `hot_keys` finds heavy hitters with a cheap two-phase count so
+   callers can salt only the hot keys (keeping cold conversations
+   co-located, which preserves single-partition per-conv locality
+   for downstream per-conv work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_col(salt_buckets: int, from_col: str = "turn_idx") -> Column:
+    return F.pmod(F.hash(F.col(from_col)), F.lit(salt_buckets)).cast("int")
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    key: str = "conv_id",
+    salt_buckets: int = 16,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Repartition by (key, salt) where salt is nonzero only for hot
+    keys (all keys if `hot` is None). Deterministic across re-runs."""
+    if hot is None:
+        salted = df.withColumn("_salt", salt_col(salt_buckets))
+    else:
+        hot_marked = F.broadcast(hot.select(F.col(key).alias("_hk"),
+                                            F.lit(True).alias("_is_hot")))
+        salted = (
+            df.join(hot_marked, df[key] == hot_marked["_hk"], "left")
+            .withColumn(
+                "_salt",
+                F.when(F.col("_is_hot"), salt_col(salt_buckets)).otherwise(F.lit(0)),
+            )
+            .drop("_hk", "_is_hot")
+        )
+    return salted.repartition(num_partitions, key, "_salt").drop("_salt")
+
+
+def hot_keys(df: DataFrame, key: str = "conv_id", threshold: int = 100_000) -> DataFrame:
+    """Heavy hitters: keys with > threshold rows. One aggregation with
+    map-side partial combine; output is heavy-hitter-sized (tiny)."""
+    return df.groupBy(key).count().where(F.col("count") > threshold).select(key)

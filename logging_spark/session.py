@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the pipeline.
+
+Scale notes (100 TB / 1000 executors): every knob here is either
+cluster-size-relative (shuffle partitions ~ 2-3x total cores) or a
+pure enable flag (AQE, skew join, Arrow) that is correct at any
+scale. Nothing below hardcodes a data size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def build_session(
+    app_name: str = "logging-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
+) -> SparkSession:
+    """Build a session with the pipeline's standard configuration.
+
+    - AQE + skew-join handling on: the router's repartition by
+      hash(conv_id) can still skew on hot conversations; AQE splits
+      oversized post-shuffle partitions at runtime.
+    - Arrow on: the grok parser and embedding kernels are pandas UDFs.
+    - UTC session timezone: required for oracle (DuckDB) comparison.
+    - shuffle partitions default to 2x cores locally; on a real
+      cluster set ~2-3x total executor cores via spark-submit --conf.
+    """
+    cores = cores or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,28 @@
+"""Package logging_spark into dist/logging_spark.zip for
+``spark-submit --py-files`` (north_star launch mode)."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def build(out: str = "dist/logging_spark.zip") -> str:
+    out_path = os.path.join(ROOT, out)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pkg = os.path.join(ROOT, "logging_spark")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirnames, filenames in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for f in filenames:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, ROOT))
+    return out_path
+
+
+if __name__ == "__main__":
+    print(build())

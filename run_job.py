@@ -1,0 +1,88 @@
+"""spark-submit entry point for the parse->enrich->route->aggregate job.
+
+Usage (sandbox; on a cluster swap master/conf via spark-submit flags):
+
+    python make_pyfiles.py   # builds dist/logging_spark.zip
+    spark-submit --master 'local[32]' --py-files dist/logging_spark.zip \
+        run_job.py --warehouse /tmp/wh --n-conversations 2000 \
+        --turns-per-conv 100 --num-buckets 32 --snapshot snap-1
+
+Input defaults to the deterministic synthetic transcript generator
+(seeded, distributed); pass --input-parquet to run on a real table
+with the input_hint schema (conv_id, turn_idx, role, text, tool, ts).
+Prints one JSON line with run stats + per-sink counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--input-parquet", default=None)
+    p.add_argument("--n-conversations", type=int, default=1000)
+    p.add_argument("--turns-per-conv", type=int, default=50)
+    p.add_argument("--hot-conversations", type=int, default=3)
+    p.add_argument("--hot-factor", type=int, default=100)
+    p.add_argument("--num-buckets", type=int, default=32)
+    p.add_argument("--snapshot", default="snap-0")
+    p.add_argument("--write-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    # spark-submit provides the session config (master, shuffle
+    # partitions...); getOrCreate attaches to it. Session defaults in
+    # logging_spark.session apply when launched as a bare script.
+    from logging_spark.session import build_session
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    spark = active or build_session("logging-spark-job")
+    if active is not None:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    from logging_spark import synth
+    from logging_spark.plans.job import run_pipeline
+    from logging_spark.sources.catalog import Catalog
+
+    if args.input_parquet:
+        turns = spark.read.parquet(args.input_parquet)
+    else:
+        turns = synth.transcripts(
+            spark,
+            n_conversations=args.n_conversations,
+            turns_per_conv=args.turns_per_conv,
+            hot_conversations=args.hot_conversations,
+            hot_factor=args.hot_factor,
+        )
+    lookup = synth.lookup(spark, n_conversations=args.n_conversations)
+    rules = synth.rules(spark)
+
+    cat = Catalog(spark, args.warehouse)
+    t0 = time.time()
+    res = run_pipeline(
+        spark, turns, lookup, rules, cat,
+        num_buckets=args.num_buckets,
+        input_snapshot=args.snapshot,
+        write_partitions=args.write_partitions,
+    )
+    wall = time.time() - t0
+    counts = {r["sink_name"]: {"n_rows": r["n_rows"], "n_distinct_conv": r["n_distinct_conv"]}
+              for r in res.per_sink_counts.collect()}
+    print(json.dumps({
+        "run_id": res.run_id,
+        "seconds": round(wall, 3),
+        "buckets_processed": res.buckets_processed,
+        "buckets_skipped": res.buckets_skipped,
+        "per_sink_counts": counts,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""End-to-end: synth fixtures -> pipeline -> compare against the
+pure-pandas oracle (per-sink exact counts, role rollups, and routed-row
+text equality under stable (conv_id, turn_idx) ordering)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logging_spark import synth
+from logging_spark.operators.rules import load_rules
+from logging_spark.plans.job import ROUTED_TABLE, run_pipeline
+from logging_spark.sources.catalog import Catalog
+
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    turns = synth.transcripts(spark, n_conversations=60, turns_per_conv=20,
+                              hot_conversations=2, hot_factor=10)
+    lookup = synth.lookup(spark, n_conversations=60)
+    rules = synth.rules(spark)
+    return turns, lookup, rules
+
+
+@pytest.fixture(scope="module")
+def run(spark, fixtures, tmp_path_factory):
+    turns, lookup, rules = fixtures
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    res = run_pipeline(spark, turns, lookup, rules, cat, num_buckets=8)
+    return cat, res, turns, rules
+
+
+def _oracle_routed(turns_df, rules_df):
+    pdf = turns_df.toPandas()
+    rules = [(r["sink_name"], r["expr"], r["max_length"], r["role_filter"], r["enabled"])
+             for r in rules_df.collect()]
+    return oracle.route(oracle.dedup(pdf), rules)
+
+
+def test_per_sink_counts_exact(run):
+    cat, res, turns, rules = run
+    got = res.per_sink_counts.orderBy("sink_name").toPandas()
+    want = oracle.per_sink_counts(_oracle_routed(turns, rules))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[["sink_name", "n_rows", "n_distinct_conv"]],
+        want[["sink_name", "n_rows", "n_distinct_conv"]],
+        check_dtype=False,
+    )
+
+
+def test_role_rollup_exact(run):
+    cat, res, turns, rules = run
+    got = (res.role_rollup.orderBy("sink_name", "role").toPandas()
+           .reset_index(drop=True))
+    want = oracle.role_rollup(_oracle_routed(turns, rules))
+    pd.testing.assert_frame_equal(
+        got[["sink_name", "role", "n_turns"]], want, check_dtype=False
+    )
+
+
+def test_routed_text_equality_under_ordering(run):
+    cat, res, turns, rules = run
+    got = (
+        cat.read(ROUTED_TABLE)
+        .select("sink_name", "conv_id", "turn_idx", "text")
+        .orderBy("sink_name", "conv_id", "turn_idx")
+        .toPandas()
+    )
+    want = (
+        _oracle_routed(turns, rules)[["sink_name", "conv_id", "turn_idx", "text"]]
+        .sort_values(["sink_name", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_enrich_defaults_on_miss(spark, fixtures):
+    from logging_spark.operators.enrich import enrich
+
+    turns, lookup, _ = fixtures
+    e = enrich(turns, lookup)
+    # null-tool rows can never match the dimension -> defaults
+    nulls = e.where(F.col("tool").isNull())
+    assert nulls.where(F.col("namespace") != "default").count() == 0
+    assert e.where(F.col("namespace").isNull()).count() == 0
+    # at least one real match got real metadata
+    assert e.where(F.col("namespace") != "default").count() > 0
+
+
+def test_input_order_invariance(spark, fixtures, tmp_path_factory):
+    turns, lookup, rules = fixtures
+    shuffled = turns.orderBy(F.rand(seed=7))
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh2")))
+    res = run_pipeline(spark, shuffled, lookup, rules, cat, num_buckets=8)
+    a = {tuple(r) for r in res.per_sink_counts.collect()}
+    want = oracle.per_sink_counts(_oracle_routed(turns, rules))
+    b = {tuple(r) for r in want.itertuples(index=False)}
+    assert a == b

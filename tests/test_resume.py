@@ -1,0 +1,71 @@
+"""Resume/idempotence (SURVEY §5.4): run, damage the checkpoint, re-run
+-> identical final outputs; completed buckets are skipped."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logging_spark import synth
+from logging_spark.plans.job import ROUTED_TABLE, run_pipeline
+from logging_spark.sources.catalog import Catalog
+from logging_spark.sources.checkpoint import CHECKPOINT_TABLE
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    turns = synth.transcripts(spark, n_conversations=40, turns_per_conv=15,
+                              hot_conversations=1, hot_factor=10)
+    lookup = synth.lookup(spark, n_conversations=40)
+    rules = synth.rules(spark)
+    return turns, lookup, rules
+
+
+def _snapshot(cat):
+    counts = {tuple(r) for r in cat.read("agg.per_sink_counts").collect()}
+    routed = cat.read(ROUTED_TABLE).agg(
+        F.count(F.lit(1)),
+        F.expr("bit_xor(xxhash64(sink_name, conv_id, turn_idx, text))"),
+    ).collect()[0]
+    return counts, tuple(routed)
+
+
+def test_rerun_after_partial_checkpoint_loss(spark, fixtures, tmp_path_factory):
+    turns, lookup, rules = fixtures
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    r1 = run_pipeline(spark, turns, lookup, rules, cat, num_buckets=8,
+                      input_snapshot="snap-A")
+    want = _snapshot(cat)
+    assert r1.buckets_skipped == 0
+
+    # lose half the checkpoint rows (simulated partial failure):
+    # rewrite the checkpoint table keeping buckets < 4
+    cp = cat.read(CHECKPOINT_TABLE).where(F.col("bucket") < 4).collect()
+    cat.drop(CHECKPOINT_TABLE)
+    if cp:
+        cat.append(spark.createDataFrame(cp), CHECKPOINT_TABLE)
+
+    r2 = run_pipeline(spark, turns, lookup, rules, cat, num_buckets=8,
+                      input_snapshot="snap-A")
+    assert r2.buckets_skipped > 0  # surviving buckets were not redone
+    assert _snapshot(cat) == want  # outputs identical, no double-writes
+
+
+def test_fully_checkpointed_run_is_noop_on_sinks(spark, fixtures, tmp_path_factory):
+    turns, lookup, rules = fixtures
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    run_pipeline(spark, turns, lookup, rules, cat, num_buckets=4,
+                 input_snapshot="snap-B")
+    want = _snapshot(cat)
+    r2 = run_pipeline(spark, turns, lookup, rules, cat, num_buckets=4,
+                      input_snapshot="snap-B")
+    assert r2.buckets_skipped == 4
+    assert _snapshot(cat) == want
+
+
+def test_new_snapshot_reprocesses(spark, fixtures, tmp_path_factory):
+    turns, lookup, rules = fixtures
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    run_pipeline(spark, turns, lookup, rules, cat, num_buckets=4,
+                 input_snapshot="snap-C")
+    r2 = run_pipeline(spark, turns, lookup, rules, cat, num_buckets=4,
+                      input_snapshot="snap-D")
+    assert r2.buckets_skipped == 0
