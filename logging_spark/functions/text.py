@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data curation at corpus scale.
+
+All pure Catalyst expressions (whole-stage codegen, no Python):
+tokenization, token/char counts, quality heuristics, language-ID
+heuristic, document fingerprinting. Each returns a Column so callers
+compose them into a single projection over the scan — one pass over
+100 TB of text, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# language heuristic (public common-word lists)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "la", "que", "es"],
+}
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "is", "in", "it"]
+
+
+def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokens; empty/whitespace-only text -> empty array."""
+    text = F.col(text) if isinstance(text, str) else text
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, pattern)
+    )
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization: split into word / number / punctuation
+    runs (the GPT-2-style regex family, simplified to what Java regex
+    supports). Approximates subword token counts for budget estimates."""
+    text = F.col(text) if isinstance(text, str) else text
+    # space-delimit letter / digit / punctuation runs, then split
+    marked = F.regexp_replace(text, r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+)", " $1 ")
+    t = F.trim(marked)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def char_count(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.length(text).cast("long")
+
+
+def stopword_count(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, F.lower(t)))).cast("long")
+
+
+def quality_features(text: Column | str) -> Column:
+    """Struct of cheap quality signals: counts + ratios used by corpus
+    filters (Gopher/C4-style rules). Integer parts exact; ratios are
+    derived downstream to keep this oracle-friendly."""
+    n_tok = token_count(text)
+    return F.struct(
+        char_count(text).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        distinct_token_count(text).alias("n_distinct_tokens"),
+        stopword_count(text).alias("n_stopwords"),
+        F.size(F.filter(tokens(text), lambda t: F.length(t) > 20)).cast("long").alias("n_long_tokens"),
+    )
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Stopword-marker language heuristic: score each language by
+    marker hits over the token set; argmax with 'und' (undetermined)
+    when nothing matches. Pure expressions -> codegen."""
+    toks = F.array_distinct(F.transform(tokens(text), F.lower))
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))))
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # deterministic argmax: strictly-greater wins, first language wins ties
+    for lang, score in reversed(scores):
+        take = score >= best_score
+        # iterate reversed with >= so earlier languages win ties
+        best = F.when(take & (score > 0), F.lit(lang)).otherwise(best)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Exact-content fingerprint: md5 hex (engine-portable; matches
+    DuckDB md5 for oracle checks)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.md5(text)
+
+
+def rolling_fingerprint(text: Column | str, window: int = 16) -> Column:
+    """Winnowing-style document sketch: md5 of each `window`-char
+    slide, keep the lexicographic min — robust to small local edits at
+    the ends. Built from slice/transform, still no Python."""
+    text = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.length(text) - F.lit(window - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.md5(text.substr(i, F.lit(window))),
+    )
+    return F.array_min(hashes)

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, trading recall for scale:
+
+- cosine_expr / brute_force_topk_expr: exact, pure Catalyst
+  higher-order functions. Oracle-checkable; right for small corpora
+  or a re-rank stage.
+- brute_force_topk: exact, Arrow-batched pandas kernel — each input
+  batch does ONE numpy matmul against a broadcast candidate matrix
+  (BLAS), then a partial top-k; the global top-k is a groupBy over
+  k-sized partials. This is the baseline at 10^5-10^6 candidates.
+- lsh_topk: random-hyperplane LSH buckets (deterministic planes from
+  a seeded hash, so any executor regenerates them identically) ->
+  candidates share a bucket -> exact re-rank inside buckets. The
+  scale path: the self-join is an equi-join on the bucket key;
+  multiple hash tables (`tables`) recover recall. An IVF variant is
+  the same plan with k-means centroid ids as the bucket key.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Exact cosine in double precision via zip_with/aggregate —
+    engine-portable semantics for oracle checks."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def brute_force_topk_expr(
+    queries: DataFrame, candidates: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast cross join + window rank. Quadratic —
+    use only for small candidate sets or verification."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        q.crossJoin(F.broadcast(c))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k with a vectorized numpy kernel: the candidate set is
+    collected once to the driver, L2-normalized, and broadcast; each
+    Arrow batch of queries does one (B x D) @ (D x N) matmul + argpartition.
+    Scales in the QUERY dimension (distributed); the candidate side
+    must fit an executor (~10^6 x 64 floats = 256 MB). Beyond that,
+    shard candidates and take top-k of top-ks (same groupBy plan)."""
+    spark = queries.sparkSession
+    cand = candidates.select(id_col, vec_col).toPandas()
+    ids = cand[id_col].to_numpy()
+    mat = np.vstack(cand[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    out_schema = "query_id long, neighbor_id long, rank int, cosine double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_l, mat_l = b_ids.value, b_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ mat_l.T  # one BLAS call per Arrow batch
+            qids = pdf[id_col].to_numpy()
+            self_mask = qids[:, None] == ids_l[None, :]
+            sims[self_mask] = -np.inf
+            kk = min(k, sims.shape[1] - 1)
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(qids)), kk)
+            cols = idx.ravel()
+            out = pd.DataFrame({
+                "query_id": qids[rows],
+                "neighbor_id": ids_l[cols],
+                "cosine": sims[rows, cols],
+            })
+            out = out.sort_values(["query_id", "cosine", "neighbor_id"],
+                                  ascending=[True, False, True])
+            out["rank"] = out.groupby("query_id").cumcount() + 1
+            yield out[["query_id", "neighbor_id", "rank", "cosine"]]
+
+    return queries.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+def _plane(dim: int, table: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component via a splitmix-
+    style integer mix — identical on driver and every executor."""
+    out = []
+    for d in range(dim):
+        z = (table * 1_000_003 + plane * 10_007 + d * 97 + 0x9E3779B9) & 0xFFFFFFFF
+        z = (z ^ (z >> 16)) * 0x85EBCA6B & 0xFFFFFFFF
+        z = (z ^ (z >> 13)) * 0xC2B2AE35 & 0xFFFFFFFF
+        z ^= z >> 16
+        out.append((z / 0xFFFFFFFF) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket(vec: Column, dim: int, table: int, n_planes: int = 12) -> Column:
+    """Sign-bucket id for one hash table: bit k = sign(vec . plane_k)."""
+    acc = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = _plane(dim, table, p)
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(c) for c in plane]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        acc = acc + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return acc
+
+
+def lsh_topk(
+    df: DataFrame, k: int = 5, dim: int = 64, tables: int = 4,
+    n_planes: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: union of `tables` bucket self-joins, exact
+    cosine re-rank within candidates. All equi-joins on (table, bucket)."""
+    from pyspark.sql import Window
+
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     lsh_bucket(F.col(vec_col), dim, t, n_planes).alias("bucket"))
+            for t in range(tables)
+        ])).alias("tb"),
+    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cands = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            F.col(f"a.{vec_col}").alias("_qv"),
+            F.col(f"b.{vec_col}").alias("_cv"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs by cosine >= threshold (exact, broadcast cross
+    join; swap in lsh candidates for web scale)."""
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_av"))
+    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_bv"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cosine", cosine_expr(F.col("_av"), F.col("_bv")))
+        .where(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

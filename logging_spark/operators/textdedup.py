@@ -1,0 +1,202 @@
+"""Document deduplication operators for corpus curation.
+
+Five strategies, each a standard public technique, all expressed as
+DataFrame plans (no per-row Python):
+
+- exact_duplicates: hash-groupBy on content fingerprint. One shuffle
+  keyed by the md5 — uniform by construction, no skew.
+- minhash_signatures + lsh_candidate_pairs: shingle -> minhash ->
+  band -> bucket self-join (Broder MinHash + LSH banding). The
+  candidate join is keyed on (band_idx, band_hash) — high cardinality,
+  uniform; per-bucket pair expansion is bounded by bucket size, and a
+  `max_bucket` guard drops degenerate buckets (e.g. empty-text docs)
+  the way production pipelines do.
+- ngram_jaccard_pairs: exact Jaccard via inverted-index self-join on
+  shingles (only pairs sharing >=1 shingle are materialized — never
+  the full n^2 cross join).
+- simhash: 64-bit Charikar signature via expression-level aggregate;
+  near-dups = equal signatures (or banded Hamming buckets).
+- embedding near-dup lives in similarity.py (cosine machinery shared
+  with ANN search).
+
+Hash portability: `portable=True` uses md5 (matches DuckDB for the
+oracle contract); production default xxhash64 (JVM codegen, ~10x
+cheaper) — same algorithm shape, engine-local values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logging_spark.functions.text import tokens
+
+
+def shingles(text: Column | str, w: int = 3) -> Column:
+    """Distinct w-word shingles (space-joined). Documents shorter than
+    w tokens yield their whole token string as the single shingle."""
+    toks = tokens(text)
+    n = F.size(toks)
+    whole = F.array(F.array_join(toks, " "))
+    sliced = F.transform(
+        F.sequence(F.lit(1), n - F.lit(w - 1)),
+        lambda i: F.array_join(F.slice(toks, i, w), " "),
+    )
+    return F.array_distinct(F.when(n >= w, sliced).otherwise(whole))
+
+
+def _perm_hash(shingle: Column, i: int, portable: bool) -> Column:
+    if portable:
+        return F.md5(F.concat(F.lit(f"{i}:"), shingle))
+    return F.conv(F.hex(F.xxhash64(F.lit(i), shingle)), 16, 10)
+
+
+def minhash_signature(text: Column | str, num_perm: int = 8,
+                      w: int = 3, portable: bool = True) -> Column:
+    """Array of num_perm min-hashes over the shingle set. Empty shingle
+    sets get a sentinel so they never collide with real content."""
+    sh = shingles(text, w)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s, i=i: _perm_hash(s, i, portable)))
+        for i in range(num_perm)
+    ])
+    return F.transform(sig, lambda h: F.coalesce(h, F.lit("EMPTY")))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_perm: int = 8,
+                       w: int = 3, portable: bool = True) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        minhash_signature(text_col, num_perm, w, portable).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 8,
+    bands: int = 4,
+    w: int = 3,
+    portable: bool = True,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
+
+    Plan shape: project signature -> explode bands (x`bands` rows) ->
+    self equi-join on (band_idx, band_hash) -> distinct pairs. The
+    join is an equi shuffle join on a uniform hash key; `max_bucket`
+    caps pathological buckets before the pair expansion (quadratic in
+    bucket size), the standard guard at web scale.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, w, portable)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat_ws("|", *[
+                        F.col("signature").getItem(b * rows + r) for r in range(rows)
+                    ])).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+    counts = banded.groupBy("band_idx", "band_hash").count()
+    banded = (
+        banded.join(F.broadcast(counts.where(F.col("count") > max_bucket)),
+                    ["band_idx", "band_hash"], "left_anti")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    min_intersection: int = 1,
+) -> DataFrame:
+    """Exact shingle-Jaccard for every pair sharing >= min_intersection
+    shingles: inverted index (explode) -> self equi-join on shingle ->
+    count per pair -> sizes via broadcast -> (inter, union) as exact
+    integers. Never materializes non-overlapping pairs."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, w)).alias("shingle"))
+    sizes = df.select(F.col(id_col), F.size(shingles(text_col, w)).cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_intersection"))
+        .where(F.col("n_intersection") >= min_intersection)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_intersection",
+            (F.col("n_a") + F.col("n_b") - F.col("n_intersection")).alias("n_union"),
+        )
+    )
+
+
+def simhash(text: Column | str, bits: int = 64) -> Column:
+    """Charikar SimHash as a single expression tree: per-token 64-bit
+    hash votes +-1 per bit position; sign of the tally sets the bit.
+    aggregate+zip_with keeps it inside codegen, no explode/shuffle."""
+    toks = tokens(text)
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    # token hashes materialized once (transform), then folded into the
+    # per-bit tally; bit positions are Python constants so shift
+    # amounts are literals in the expression tree.
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    tally = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                (F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for k in range(bits)
+            ]),
+            lambda x, y: x + y,
+        ),
+    )
+    sig = F.lit(0).cast("long")
+    for k in range(bits):
+        sig = sig.bitwiseXOR(
+            F.when(F.element_at(tally, k + 1) > 0,
+                   F.lit(1 << k if k < 63 else -(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact-content duplicate groups: (keeper_id, n_copies) per
+    duplicated text. Hash-groupBy with map-side partial agg; grouping
+    key is the md5 fingerprint (uniform, bounded width) rather than
+    the raw text so the shuffle never carries document bodies."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .select("keeper_id", "n_copies")
+    )

@@ -1,0 +1,60 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from logging_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120)
+    return df.cache()
+
+
+def _topk_numpy(pdf, k):
+    ids = pdf["vec_id"].to_numpy()
+    m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    out = {}
+    for i, q in enumerate(ids):
+        order = sorted(range(len(ids)), key=lambda j: (-sims[i, j], ids[j]))[:k]
+        out[q] = [ids[j] for j in order]
+    return out
+
+
+def test_brute_force_kernel_matches_numpy(vecs):
+    want = _topk_numpy(vecs.toPandas(), 3)
+    got = {}
+    for r in S.brute_force_topk(vecs, vecs, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    got = {q: [n for _, n in sorted(v)] for q, v in got.items()}
+    assert got == want
+
+
+def test_expr_and_kernel_agree(vecs):
+    small = vecs.limit(40)
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in S.brute_force_topk_expr(small, small, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in S.brute_force_topk(small, small, k=3).collect()}
+    assert a == b
+
+
+def test_lsh_recall_against_exact(vecs):
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(vecs, vecs, k=1).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in S.lsh_topk(vecs, k=1, dim=64, tables=10, n_planes=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # approximate path finds most true top-1s
+
+
+def test_near_duplicates_threshold(spark, vecs):
+    # plant an exact duplicate pair and verify it is found with cosine ~1
+    dup = vecs.limit(1).select((F.col("vec_id") + 100000).alias("vec_id"),
+                               "embedding", "label")
+    df = vecs.unionByName(dup)
+    rows = S.embedding_near_duplicates(df, threshold=0.999).collect()
+    assert any(r["doc_b"] - r["doc_a"] == 100000 for r in rows)

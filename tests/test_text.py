@@ -1,0 +1,43 @@
+from pyspark.sql import functions as F
+
+from logging_spark.functions import text as T
+
+
+def _one(spark, s, col):
+    df = spark.createDataFrame([(s,)], "text string")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_token_counts(spark):
+    assert _one(spark, "a b  c", T.token_count("text")) == 3
+    assert _one(spark, "   ", T.token_count("text")) == 0
+    assert _one(spark, "", T.token_count("text")) == 0
+    assert _one(spark, "a a b", T.distinct_token_count("text")) == 2
+
+
+def test_bpe_ish_tokens(spark):
+    got = _one(spark, "abc123, def!", T.bpe_ish_tokens("text"))
+    assert got == ["abc", "123", ",", "def", "!"]
+
+
+def test_quality_features(spark):
+    v = _one(spark, "the cat sat on the mat", T.quality_features("text"))
+    assert v["n_tokens"] == 6 and v["n_distinct_tokens"] == 5
+    assert v["n_stopwords"] == 2 and v["n_chars"] == 22
+
+
+def test_lang_guess(spark):
+    assert _one(spark, "the cat is on and of the mat", T.lang_guess("text")) == "en"
+    assert _one(spark, "der hund ist und bleibt", T.lang_guess("text")) == "de"
+    assert _one(spark, "zzz qqq", T.lang_guess("text")) == "und"
+
+
+def test_fingerprints(spark):
+    import hashlib
+
+    assert _one(spark, "hello", T.fingerprint("text")) == hashlib.md5(b"hello").hexdigest()
+    # rolling fingerprint is edit-local: appending far from the minimal
+    # window usually preserves it; identical strings always match
+    a = _one(spark, "x" * 50, T.rolling_fingerprint("text"))
+    b = _one(spark, "x" * 50, T.rolling_fingerprint("text"))
+    assert a == b

@@ -1,0 +1,89 @@
+import itertools
+import re
+
+from pyspark.sql import functions as F
+
+from logging_spark.operators import textdedup as D
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "completely different content about spark engines"),
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (4, "another unrelated sentence with words"),
+    (5, ""),
+    (6, ""),
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _jaccard(a: str, b: str, w=3):
+    def sh(t):
+        toks = t.split()
+        if not toks:
+            return {""} if False else {" ".join(toks)} if toks else set()
+        if len(toks) < w:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)}
+    A, B = sh(a), sh(b)
+    if not A and not B:
+        return 0.0
+    return len(A & B) / len(A | B)
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = {(r["keeper_id"], r["n_copies"]) for r in D.exact_duplicates(df).collect()}
+    assert got == {(0, 2), (5, 2)}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(0, "a b c d")], SCHEMA)
+    got = df.select(D.shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert sorted(got) == ["a b c", "b c d"]
+    short = spark.createDataFrame([(0, "a b")], SCHEMA)
+    got = short.select(D.shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert got == ["a b"]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in D.lsh_candidate_pairs(df, num_perm=16, bands=8, w=2).collect()}
+    # exact dups must always collide; the near-dup pair should at this
+    # band setting; unrelated docs must not
+    assert (0, 3) in pairs
+    assert (0, 1) in pairs and (1, 3) in pairs
+    assert (0, 2) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_candidates_superset_check_vs_jaccard(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in D.lsh_candidate_pairs(df, num_perm=16, bands=8, w=2).collect()}
+    texts = dict([(d, t) for d, t in DOCS])
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = _jaccard(texts[a], texts[b], w=2)
+        if j >= 0.9 and texts[a]:  # high-sim non-empty pairs must be found
+            assert (a, b) in pairs, (a, b, j)
+
+
+def test_ngram_jaccard_pairs_exact(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    rows = D.ngram_jaccard_pairs(df, w=3).collect()
+    got = {(r["doc_a"], r["doc_b"]): (r["n_intersection"], r["n_union"]) for r in rows}
+    # docs 0 and 3 identical: intersection == union == 7 shingles
+    assert got[(0, 3)] == (7, 7)
+    inter, union = got[(0, 1)]
+    assert inter == 6 and union == 8  # differ in last word: 6 shared of 7+7
+    assert (0, 2) not in got
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    rows = df.select("doc_id", D.simhash("text").alias("sh")).collect()
+    sh = {r["doc_id"]: r["sh"] for r in rows}
+    assert sh[0] == sh[3]  # identical docs -> identical signature
+    ham01 = bin((sh[0] ^ sh[1]) & (2**64 - 1)).count("1")
+    ham02 = bin((sh[0] ^ sh[2]) & (2**64 - 1)).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
