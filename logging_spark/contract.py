@@ -1,0 +1,671 @@
+"""Driver-contract queries: every SURVEY §2 operator as a
+(spark_query, duckdb_oracle_sql) pair over the driver's parquet tables.
+
+The reference pipeline operates on transcript turns
+(conv_id, turn_idx, role, text, tool, ts) — BASELINE.json input_hint.
+The driver's tables have no such table, so both engines derive an
+IDENTICAL turns view from `events` (and the enrichment dimension from
+`customer`): same string building, same casts, same null behavior.
+Every derivation below is written twice — once in DataFrame API (the
+implementation under test, calling into logging_spark operators) and
+once in ANSI-ish SQL DuckDB runs — and the driver hash-compares them.
+
+Engine-portability rules used throughout (learned the hard way):
+- doubles are never summed as doubles: money math is cast to
+  decimal(18,2), aggregated exactly, and the RESULT cast to double;
+- DuckDB `CAST(double AS BIGINT)` rounds while Spark truncates →
+  always floor() first on both sides;
+- DuckDB epoch() returns fractional seconds; Spark unix_timestamp()
+  floors → oracle uses CAST(floor(epoch(ts)) AS BIGINT);
+- Spark concat() is null-propagating, DuckDB's is not → every
+  nullable concat operand is wrapped in coalesce(x, '');
+- md5 (lowercase hex) is the only hash both engines share → the
+  `portable=True` paths of dedup/minhash use it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logging_spark.functions import text as T
+from logging_spark.functions.parse import parse_turns
+from logging_spark.operators.aggregate import (per_sink_counts,
+                                               per_sink_role_rollup,
+                                               resume_points)
+from logging_spark.operators.dedup import dedup_latest_wins
+from logging_spark.operators.enrich import enrich
+from logging_spark.operators.route import route
+from logging_spark.operators.rules import Rule
+from logging_spark.operators.sessionize import sessionize
+from logging_spark.operators.similarity import (brute_force_topk_expr,
+                                                embedding_near_duplicates,
+                                                lsh_topk)
+from logging_spark.operators.textdedup import (exact_duplicates,
+                                               lsh_candidate_pairs,
+                                               ngram_jaccard_pairs, simhash)
+
+# ----------------------------------------------------------------------------
+# shared fixtures: rule table (reference Filter/Sink contract) and the
+# events -> transcript-turns derivation
+# ----------------------------------------------------------------------------
+
+RULES = [
+    Rule("errors", expr=r"\[ERROR\]"),
+    Rule("warnings", expr=r"\[WARN\]"),
+    Rule("tool_calls", expr="*", role_filter="tool"),
+    Rule("assistant_trunc", expr="*", role_filter="assistant", max_length=25),
+    Rule("disabled_catchall", expr="*", enabled=False),
+]
+
+_LEVEL_CASE = {"error": "ERROR", "view": "WARN", "click": "DEBUG",
+               "purchase": "INFO", "signup": "INFO"}
+_ROLE_CASE = {"click": "user", "view": "user", "signup": "system",
+              "purchase": "tool", "error": "assistant"}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _case(col: Column, mapping: dict[str, str]) -> Column:
+    it = iter(mapping.items())
+    k, v = next(it)
+    out = F.when(col == k, F.lit(v))
+    for k, v in it:
+        out = out.when(col == k, F.lit(v))
+    return out
+
+
+def turns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> transcript turns with the input_hint schema."""
+    # single-file input -> spread across cores before the regex-heavy
+    # parse stages (no-op at real scale where the scan has many splits)
+    ev = _read(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism)
+    level = _case(F.col("event_type"), _LEVEL_CASE)
+    k = F.coalesce(F.get_json_object("props", "$.k"), F.lit(""))
+    text = F.concat(
+        F.lit("["), level, F.lit("] comp-"),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit(": "), F.col("event_type"),
+        F.lit(" code="), F.floor("value").cast("string"),
+        F.lit(" k="), k,
+    )
+    tool = F.when(F.col("user_id") % 10 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("tool_"), F.lpad((F.col("user_id") % 20).cast("string"), 2, "0"))
+    )
+    return ev.select(
+        F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 6, "0")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        _case(F.col("event_type"), _ROLE_CASE).alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        F.col("ts"),
+    )
+
+
+TURNS_CTE = """
+turns AS (
+  SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'user'
+              WHEN 'signup' THEN 'system' WHEN 'purchase' THEN 'tool'
+              ELSE 'assistant' END AS role,
+         concat('[', CASE event_type WHEN 'error' THEN 'ERROR' WHEN 'view' THEN 'WARN'
+                      WHEN 'click' THEN 'DEBUG' ELSE 'INFO' END,
+                '] comp-', CAST(user_id % 10 AS VARCHAR),
+                ': ', event_type,
+                ' code=', CAST(CAST(floor(value) AS BIGINT) AS VARCHAR),
+                ' k=', coalesce(json_extract_string(props, '$.k'), '')) AS text,
+         CASE WHEN user_id % 10 = 0 THEN NULL
+              ELSE concat('tool_', lpad(CAST(user_id % 20 AS VARCHAR), 2, '0')) END AS tool,
+         ts
+  FROM events)
+"""
+
+
+def lookup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrichment dimension from customer; 1/3 of keys absent so the
+    left join exercises default-on-miss (reference service.go:130-144)."""
+    cu = _read(spark, sf_dir, "customer").where(F.col("c_custkey") % 3 != 0)
+    return cu.select(
+        F.concat(F.lit("conv-"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")).alias("conv_id"),
+        F.concat(F.lit("tool_"), F.lpad((F.col("c_custkey") % 20).cast("string"), 2, "0")).alias("tool"),
+        F.concat(F.lit("ns-"), (F.col("c_nationkey") % 5).cast("string")).alias("namespace"),
+        F.concat(F.lit("pod-"), (F.col("c_custkey") % 50).cast("string")).alias("pod_name"),
+        F.concat(F.lit("node-"), (F.col("c_nationkey") % 8).cast("string")).alias("node_name"),
+        F.concat(F.lit("svc-"), F.lower("c_mktsegment")).alias("service_name"),
+    )
+
+
+LOOKUP_CTE = """
+lookup AS (
+  SELECT concat('conv-', lpad(CAST(c_custkey AS VARCHAR), 6, '0')) AS conv_id,
+         concat('tool_', lpad(CAST(c_custkey % 20 AS VARCHAR), 2, '0')) AS tool,
+         concat('ns-', CAST(c_nationkey % 5 AS VARCHAR)) AS namespace,
+         concat('pod-', CAST(c_custkey % 50 AS VARCHAR)) AS pod_name,
+         concat('node-', CAST(c_nationkey % 8 AS VARCHAR)) AS node_name,
+         concat('svc-', lower(c_mktsegment)) AS service_name
+  FROM customer WHERE c_custkey % 3 != 0)
+"""
+
+
+def turns_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inject ~2% duplicate (conv_id, turn_idx) rows with a later ts and
+    revised text — the at-least-once replay fixture the W1 dedup must
+    resolve latest-wins (reference server.go:68-76)."""
+    t = turns_df(spark, sf_dir)
+    dups = (
+        t.where(F.col("turn_idx") % 50 == 0)
+        .withColumn("ts", F.expr("ts + INTERVAL 1 SECOND"))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" rev=2")))
+    )
+    return t.unionByName(dups)
+
+
+DUPS_CTE = TURNS_CTE + """,
+with_dups AS (
+  SELECT * FROM turns
+  UNION ALL
+  SELECT conv_id, turn_idx, role, concat(text, ' rev=2') AS text, tool,
+         ts + INTERVAL 1 SECOND AS ts
+  FROM turns WHERE turn_idx % 50 = 0),
+dedup AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY ts DESC, text DESC) AS rn
+    FROM with_dups) WHERE rn = 1)
+"""
+
+ENRICHED_CTE = DUPS_CTE + "," + LOOKUP_CTE + """,
+enriched AS (
+  SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool,
+         coalesce(l.namespace, 'default') AS namespace,
+         coalesce(l.pod_name, 'unknown') AS pod_name,
+         coalesce(l.node_name, 'unknown') AS node_name,
+         coalesce(l.service_name, 'unknown') AS service_name
+  FROM dedup t LEFT JOIN lookup l ON t.conv_id = l.conv_id AND t.tool = l.tool)
+"""
+
+ROUTED_CTE = ENRICHED_CTE + r""",
+routed AS (
+  SELECT 'errors' AS sink_name, conv_id, turn_idx, role, text
+    FROM enriched WHERE regexp_matches(text, '\[ERROR\]')
+  UNION ALL
+  SELECT 'warnings', conv_id, turn_idx, role, text
+    FROM enriched WHERE regexp_matches(text, '\[WARN\]')
+  UNION ALL
+  SELECT 'tool_calls', conv_id, turn_idx, role, text
+    FROM enriched WHERE role = 'tool'
+  UNION ALL
+  SELECT 'assistant_trunc', conv_id, turn_idx, role, substr(text, 1, 25)
+    FROM enriched WHERE role = 'assistant'
+  UNION ALL
+  SELECT '_unrouted', conv_id, turn_idx, role, text
+    FROM enriched
+   WHERE NOT regexp_matches(text, '\[ERROR\]')
+     AND NOT regexp_matches(text, '\[WARN\]')
+     AND role NOT IN ('tool', 'assistant'))
+"""
+
+
+def routed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup -> parse -> enrich -> route chain (package ops)."""
+    t = dedup_latest_wins(turns_with_dups(spark, sf_dir))
+    t = enrich(t, lookup_df(spark, sf_dir))
+    return route(t, RULES)
+
+
+# ----------------------------------------------------------------------------
+# dedup corpus fixture (documents has no exact dups; inject some)
+# ----------------------------------------------------------------------------
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents.parquet is one small file -> 1 input split; the dedup
+    # operators are CPU-bound per row (shingling + hashing), so fan the
+    # rows across all cores first. At real scale the input arrives in
+    # thousands of splits and this repartition disappears.
+    d = (_read(spark, sf_dir, "documents").select("doc_id", "text")
+         .repartition(spark.sparkContext.defaultParallelism))
+    dups = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text")
+    return d.unionByName(dups)
+
+
+CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+"""
+
+TOKS = r"CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END"
+
+# shingle expression over `toks` (3-word shingles, matching textdedup.shingles)
+SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')))"
+    " ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+# ----------------------------------------------------------------------------
+# the contract
+# ----------------------------------------------------------------------------
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # -- P1/P7 + §2.7 vectorized parser ------------------------------------
+    def pipe_parse_grok(spark, sf):
+        t = parse_turns(turns_df(spark, sf))
+        return t.select(
+            "conv_id", "turn_idx",
+            F.col("parsed.level").alias("level"),
+            F.col("parsed.component").alias("component"),
+            F.col("parsed.message").alias("message"),
+            F.get_json_object("parsed.attrs", "$.code").alias("attr_code"),
+            F.get_json_object("parsed.attrs", "$.k").alias("attr_k"),
+        )
+    q["pipe_parse_grok"] = pipe_parse_grok
+
+    # -- W1 window-ranked dedup --------------------------------------------
+    q["pipe_dedup_w1"] = lambda spark, sf: dedup_latest_wins(
+        turns_with_dups(spark, sf)).select("conv_id", "turn_idx", "role", "text")
+
+    # -- J4 broadcast enrich with defaults ---------------------------------
+    def pipe_enrich_j4(spark, sf):
+        t = enrich(turns_df(spark, sf), lookup_df(spark, sf))
+        return t.select("conv_id", "turn_idx", "tool", "namespace",
+                        "pod_name", "node_name", "service_name")
+    q["pipe_enrich_j4"] = pipe_enrich_j4
+
+    # -- S8/J5/T4/T5 router -------------------------------------------------
+    q["pipe_route_fanout"] = lambda spark, sf: routed_df(spark, sf).select(
+        "sink_name", "conv_id", "turn_idx", "role", "text")
+
+    # -- A2 per-sink aggregates --------------------------------------------
+    q["pipe_sink_counts"] = lambda spark, sf: per_sink_counts(routed_df(spark, sf))
+    q["pipe_role_rollup"] = lambda spark, sf: per_sink_role_rollup(routed_df(spark, sf))
+
+    # -- T5 unrouted accounting --------------------------------------------
+    q["pipe_unrouted"] = lambda spark, sf: (
+        routed_df(spark, sf).where(F.col("sink_name") == "_unrouted")
+        .groupBy("role").agg(F.count(F.lit(1)).alias("n_rows")))
+
+    # -- flagship end-to-end ------------------------------------------------
+    q["pipe_e2e"] = lambda spark, sf: per_sink_counts(routed_df(spark, sf))
+
+    # -- A3 max-offset resume points ---------------------------------------
+    q["pipe_max_offset"] = lambda spark, sf: resume_points(
+        turns_df(spark, sf)).withColumnRenamed("max_offset", "max_turn")
+
+    # -- A4 distinct membership --------------------------------------------
+    q["pipe_distinct_sinks"] = lambda spark, sf: (
+        routed_df(spark, sf).select("sink_name").distinct())
+
+    # -- P2 max-length guard ------------------------------------------------
+    def pipe_truncate_p2(spark, sf):
+        r = Rule("t", expr="*", max_length=20)
+        t = turns_df(spark, sf)
+        return t.select(
+            "conv_id", "turn_idx",
+            r.truncate("text").alias("text_trunc"),
+            F.length("text").cast("int").alias("n_chars"),
+        )
+    q["pipe_truncate_p2"] = pipe_truncate_p2
+
+    # -- P9 dotted-path JSON access ----------------------------------------
+    q["pipe_json_path_p9"] = lambda spark, sf: _read(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.get_json_object("props", "$.k").alias("attr_k"))
+
+    # -- S5/W2 latest-wins upsert ------------------------------------------
+    def pipe_latest_wins(spark, sf):
+        ev = _read(spark, sf, "events")
+        d = dedup_latest_wins(ev, keys=["user_id"], order_ts="ts", tiebreak="event_id")
+        return d.select("user_id", F.col("event_type").alias("last_event_type"),
+                        F.col("value").alias("last_value"))
+    q["pipe_latest_wins"] = pipe_latest_wins
+
+    # -- sessionization (gap 30 min) ---------------------------------------
+    def pipe_sessionize(spark, sf):
+        ev = _read(spark, sf, "events")
+        s = sessionize(ev, key="user_id", ts_col="ts", order_tiebreak="event_id",
+                       gap_seconds=1800)
+        return s.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n_events"))
+    q["pipe_sessionize"] = pipe_sessionize
+
+    # -- relational: TPC-H-ish ---------------------------------------------
+    def tpch_q1_pricing(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        one = F.lit(1).cast("decimal(18,2)")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+                 .cast("double").alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+    q["tpch_q1_pricing"] = tpch_q1_pricing
+
+    def tpch_q3_top_revenue(spark, sf):
+        cu = _read(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+        o = _read(spark, sf, "orders")
+        li = _read(spark, sf, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        one = F.lit(1).cast("decimal(18,2)")
+        joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+                  .join(F.broadcast(cu), o.o_custkey == cu.c_custkey))
+        rev = (joined.groupBy("o_orderkey")
+               .agg(F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+                    .cast("double").alias("revenue"),
+                    F.count(F.lit(1)).alias("n_items")))
+        return rev.orderBy(F.col("revenue").desc(), "o_orderkey").limit(10)
+    q["tpch_q3_top_revenue"] = tpch_q3_top_revenue
+
+    def dim_join_rollup(spark, sf):
+        r = _read(spark, sf, "region")
+        n = _read(spark, sf, "nation")
+        cu = _read(spark, sf, "customer")
+        return (
+            cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                  .cast("double").alias("total_acctbal"))
+        )
+    q["dim_join_rollup"] = dim_join_rollup
+
+    def window_top3_orders(spark, sf):
+        o = _read(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), "o_orderkey")
+        return (o.withColumn("rnk", F.row_number().over(w).cast("int"))
+                .where(F.col("rnk") <= 3)
+                .select("o_custkey", "o_orderkey", "rnk"))
+    q["window_top3_orders"] = window_top3_orders
+
+    # -- text analysis ------------------------------------------------------
+    def text_quality(spark, sf):
+        d = _read(spark, sf, "documents")
+        qf = T.quality_features("text")
+        return d.select(
+            "doc_id",
+            qf.getField("n_chars").alias("n_chars"),
+            qf.getField("n_tokens").alias("n_tokens"),
+            qf.getField("n_distinct_tokens").alias("n_distinct_tokens"),
+            qf.getField("n_stopwords").alias("n_stopwords"),
+            qf.getField("n_long_tokens").alias("n_long_tokens"),
+        )
+    q["text_quality"] = text_quality
+
+    q["text_langid"] = lambda spark, sf: _read(spark, sf, "documents").select(
+        "doc_id", T.lang_guess("text").alias("lang_guess"))
+
+    q["text_fingerprint"] = lambda spark, sf: _read(spark, sf, "documents").select(
+        "doc_id", T.fingerprint("text").alias("fp"))
+
+    q["text_winnow"] = lambda spark, sf: _read(spark, sf, "documents").select(
+        "doc_id", T.rolling_fingerprint("text", 16).alias("winnow_fp"))
+
+    # -- dedup family -------------------------------------------------------
+    q["dedup_exact"] = lambda spark, sf: exact_duplicates(corpus_df(spark, sf))
+
+    q["dedup_minhash_lsh"] = lambda spark, sf: lsh_candidate_pairs(
+        corpus_df(spark, sf), num_perm=8, bands=4, w=3, portable=True)
+
+    # production-path variant: numeric xxhash64 permutations (rows-only
+    # check — DuckDB has no xxhash64; the portable md5 twin above is
+    # the value-checked one)
+    q["dedup_minhash_lsh_fast"] = lambda spark, sf: lsh_candidate_pairs(
+        corpus_df(spark, sf), num_perm=8, bands=4, w=3, portable=False)
+
+    q["dedup_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
+        corpus_df(spark, sf), w=3, min_intersection=30)
+
+    q["dedup_simhash"] = lambda spark, sf: corpus_df(spark, sf).select(
+        "doc_id", simhash("text").alias("sig"))  # rows-only (xxhash64 not in DuckDB)
+
+    # -- similarity search --------------------------------------------------
+    def sim_topk_cosine(spark, sf):
+        e = _read(spark, sf, "embeddings")
+        topk = brute_force_topk_expr(e.where(F.col("vec_id") < 30), e, k=5)
+        return topk.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+                           F.round("cosine", 4).alias("cosine"))
+    q["sim_topk_cosine"] = sim_topk_cosine
+
+    def sim_near_dup(spark, sf):
+        e = _read(spark, sf, "embeddings")
+        nd = embedding_near_duplicates(e, threshold=0.40, id_col="vec_id")
+        return nd.select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine"))
+    q["sim_near_dup"] = sim_near_dup
+
+    def sim_lsh_topk(spark, sf):  # rows-only: hyperplanes not expressible in SQL
+        e = _read(spark, sf, "embeddings")
+        return lsh_topk(e, k=5, dim=64, tables=4, n_planes=10)
+    q["sim_lsh_topk"] = sim_lsh_topk
+
+    return q
+
+
+def build_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["pipe_parse_grok"] = "WITH " + TURNS_CTE + r"""
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '^\[([A-Z]+)\]', 1) AS level,
+       regexp_extract(text, '^\[[A-Z]+\]\s+([\w.-]+):', 1) AS component,
+       regexp_extract(text, '^\[[A-Z]+\]\s+[\w.-]+:\s+(\S+)', 1) AS message,
+       regexp_extract(text, 'code=(\S+)', 1) AS attr_code,
+       nullif(regexp_extract(text, 'k=(\S*)', 1), '') AS attr_k
+FROM turns"""
+
+    o["pipe_dedup_w1"] = "WITH " + DUPS_CTE + """
+SELECT conv_id, turn_idx, role, text FROM dedup"""
+
+    o["pipe_enrich_j4"] = "WITH " + TURNS_CTE + "," + LOOKUP_CTE + """
+SELECT t.conv_id, t.turn_idx, t.tool,
+       coalesce(l.namespace, 'default') AS namespace,
+       coalesce(l.pod_name, 'unknown') AS pod_name,
+       coalesce(l.node_name, 'unknown') AS node_name,
+       coalesce(l.service_name, 'unknown') AS service_name
+FROM turns t LEFT JOIN lookup l ON t.conv_id = l.conv_id AND t.tool = l.tool"""
+
+    o["pipe_route_fanout"] = "WITH " + ROUTED_CTE + """
+SELECT sink_name, conv_id, turn_idx, role, text FROM routed"""
+
+    o["pipe_sink_counts"] = "WITH " + ROUTED_CTE + """
+SELECT sink_name, count(*) AS n_rows,
+       count(DISTINCT conv_id) AS n_distinct_conv
+FROM routed GROUP BY sink_name"""
+
+    o["pipe_role_rollup"] = "WITH " + ROUTED_CTE + """
+SELECT sink_name, role, count(*) AS n_turns FROM routed GROUP BY sink_name, role"""
+
+    o["pipe_unrouted"] = "WITH " + ROUTED_CTE + """
+SELECT role, count(*) AS n_rows FROM routed WHERE sink_name = '_unrouted' GROUP BY role"""
+
+    o["pipe_e2e"] = o["pipe_sink_counts"]
+
+    o["pipe_max_offset"] = "WITH " + TURNS_CTE + """
+SELECT conv_id, max(turn_idx) AS max_turn FROM turns GROUP BY conv_id"""
+
+    o["pipe_distinct_sinks"] = "WITH " + ROUTED_CTE + """
+SELECT DISTINCT sink_name FROM routed"""
+
+    o["pipe_truncate_p2"] = "WITH " + TURNS_CTE + """
+SELECT conv_id, turn_idx, substr(text, 1, 20) AS text_trunc,
+       CAST(length(text) AS INT) AS n_chars
+FROM turns"""
+
+    o["pipe_json_path_p9"] = """
+SELECT event_id, event_type, json_extract_string(props, '$.k') AS attr_k FROM events"""
+
+    o["pipe_latest_wins"] = """
+SELECT user_id, event_type AS last_event_type, value AS last_value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1"""
+
+    o["pipe_sessionize"] = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, session_id, count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id"""
+
+    o["tpch_q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+    o["tpch_q3_top_revenue"] = """
+SELECT o_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+
+    o["dim_join_rollup"] = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name"""
+
+    o["window_top3_orders"] = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+  FROM orders) WHERE rnk <= 3"""
+
+    _stop = "['the','a','and','of','to','is','in','it']"
+    o["text_quality"] = f"""
+WITH toks AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(list_filter(toks, t -> list_contains({_stop}, lower(t)))) AS BIGINT) AS n_stopwords,
+       CAST(len(list_filter(toks, t -> length(t) > 20)) AS BIGINT) AS n_long_tokens
+FROM toks"""
+
+    # argmax with first-language-wins ties, matching functions.text.lang_guess
+    _m = {"en": "['the','and','of','is']", "de": "['der','die','und','ist']",
+          "fr": "['le','la','et','est']", "es": "['el','la','que','es']"}
+    o["text_langid"] = f"""
+WITH toks AS (SELECT doc_id, list_distinct(list_transform({TOKS}, t -> lower(t))) AS toks
+              FROM documents),
+s AS (SELECT doc_id,
+             len(list_intersect(toks, {_m['en']})) AS s_en,
+             len(list_intersect(toks, {_m['de']})) AS s_de,
+             len(list_intersect(toks, {_m['fr']})) AS s_fr,
+             len(list_intersect(toks, {_m['es']})) AS s_es
+      FROM toks)
+SELECT doc_id,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+            WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'und' END AS lang_guess
+FROM s"""
+
+    o["text_fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+    o["text_winnow"] = """
+SELECT doc_id,
+       list_min(list_transform(range(1, CAST(greatest(length(text) - 15, 1) AS INT) + 1),
+                               i -> md5(substr(text, CAST(i AS INT), 16)))) AS winnow_fp
+FROM documents"""
+
+    o["dedup_exact"] = "WITH " + CORPUS_CTE + """
+SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1"""
+
+    sig_entries = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))" for i in range(8))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, md5(sig[{2*b+1}] || '|' || sig[{2*b+2}]) AS band_hash FROM sigs"
+        for b in range(4))
+    o["dedup_minhash_lsh"] = f"""
+WITH {CORPUS_CTE},
+sh AS (SELECT doc_id, {SHINGLES} AS sh
+       FROM (SELECT doc_id, {TOKS} AS toks FROM corpus)),
+sigs AS (SELECT doc_id, [
+    {sig_entries}] AS sig FROM sh),
+banded AS (
+{band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
+
+    o["dedup_ngram_jaccard"] = f"""
+WITH {CORPUS_CTE},
+sh AS (SELECT doc_id, {SHINGLES} AS sh
+       FROM (SELECT doc_id, {TOKS} AS toks FROM corpus)),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_intersection
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 30)
+SELECT doc_a, doc_b, n_intersection,
+       sa.n_sh + sb.n_sh - n_intersection AS n_union
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b"""
+
+    _vcos = ("list_dot_product(a.v, b.v) / "
+             "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")
+    o["sim_topk_cosine"] = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_vcos} AS cos
+  FROM v a JOIN v b ON a.vec_id != b.vec_id WHERE a.vec_id < 30)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, round(cos, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) WHERE rnk <= 5"""
+
+    o["sim_near_dup"] = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round({_vcos}, 4) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_vcos} >= 0.40"""
+
+    return o

