@@ -42,10 +42,11 @@ from logging_spark.operators.rules import Rule
 from logging_spark.operators.sessionize import sessionize
 from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 embedding_near_duplicates,
-                                                lsh_topk)
+                                                ivf_topk, lsh_topk)
 from logging_spark.operators.textdedup import (exact_duplicates,
                                                lsh_candidate_pairs,
                                                ngram_jaccard_pairs, simhash)
+from logging_spark import multimodal as mm
 
 # ----------------------------------------------------------------------------
 # shared fixtures: rule table (reference Filter/Sink contract) and the
@@ -79,12 +80,20 @@ def _case(col: Column, mapping: dict[str, str]) -> Column:
     return out
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ONLY under-split inputs (the driver's tables are one
+    small parquet file -> 1 scan split -> serial CPU-bound stages). On
+    a real table with thousands of splits this is a no-op, so no extra
+    shuffle lands in the 100 TB plan."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def turns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> transcript turns with the input_hint schema."""
-    # single-file input -> spread across cores before the regex-heavy
-    # parse stages (no-op at real scale where the scan has many splits)
-    ev = _read(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism)
+    ev = _spread(_read(spark, sf_dir, "events"))
     level = _case(F.col("event_type"), _LEVEL_CASE)
     k = F.coalesce(F.get_json_object("props", "$.k"), F.lit(""))
     text = F.concat(
@@ -224,12 +233,9 @@ def routed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------------
 
 def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # documents.parquet is one small file -> 1 input split; the dedup
-    # operators are CPU-bound per row (shingling + hashing), so fan the
-    # rows across all cores first. At real scale the input arrives in
-    # thousands of splits and this repartition disappears.
-    d = (_read(spark, sf_dir, "documents").select("doc_id", "text")
-         .repartition(spark.sparkContext.defaultParallelism))
+    # dedup operators are CPU-bound per row (shingling + hashing) ->
+    # make sure the rows are spread across cores
+    d = _spread(_read(spark, sf_dir, "documents").select("doc_id", "text"))
     dups = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text")
     return d.unionByName(dups)
@@ -240,6 +246,40 @@ corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+# ----------------------------------------------------------------------------
+# multimodal fixture: opaque binary payloads derived from documents
+# ----------------------------------------------------------------------------
+
+def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table with the multimodal schema: payload is an opaque
+    binary column (utf-8 bytes of the doc text stand in for real
+    image/audio bytes — the decode step is stubbed per environment)."""
+    d = _read(spark, sf_dir, "documents")
+    kind = (F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio").otherwise("video"))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.when(kind == "image", ((F.col("n_chars") % 512) + 32).cast("int")).alias("width"),
+        F.when(kind == "image", ((F.col("n_chars") % 384) + 32).cast("int")).alias("height"),
+        F.when(kind != "image", (F.col("n_chars") * 100).cast("long")).alias("duration_ms"),
+    )
+
+
+MEDIA_CTE = """
+media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         encode(text) AS payload,
+         CASE WHEN doc_id % 3 = 0 THEN CAST((n_chars % 512) + 32 AS INT) END AS width,
+         CASE WHEN doc_id % 3 = 0 THEN CAST((n_chars % 384) + 32 AS INT) END AS height,
+         CASE WHEN doc_id % 3 != 0 THEN CAST(n_chars * 100 AS BIGINT) END AS duration_ms
+  FROM documents)
 """
 
 TOKS = r"CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END"
@@ -456,6 +496,30 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_topk(e, k=5, dim=64, tables=4, n_planes=10)
     q["sim_lsh_topk"] = sim_lsh_topk
 
+    def sim_ivf_topk(spark, sf):  # rows-only: k-means cells, no SQL twin
+        e = _read(spark, sf, "embeddings")
+        return ivf_topk(e, k=5, n_centroids=16, n_probe=4)
+    q["sim_ivf_topk"] = sim_ivf_topk
+
+    # -- multimodal plumbing ------------------------------------------------
+    q["mm_per_kind_stats"] = lambda spark, sf: mm.per_kind_stats(media_df(spark, sf))
+
+    q["mm_resize_dims"] = lambda spark, sf: mm.resize_images(
+        media_df(spark, sf), max_side=256)
+
+    def mm_frame_sample(spark, sf):
+        frames = mm.sample_frames(media_df(spark, sf), every_ms=1000)
+        return frames.groupBy("media_id").agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ts_ms").alias("last_frame_ts_ms"))
+    q["mm_frame_sample"] = mm_frame_sample
+
+    def mm_features(spark, sf):  # rows-only: numpy decode kernel, no SQL twin
+        feats = mm.extract_features(media_df(spark, sf), decode_stub=True)
+        return feats.select("media_id", "kind", "n_bytes",
+                            F.size("feature").alias("feature_dim"))
+    q["mm_features"] = mm_features
+
     return q
 
 
@@ -667,5 +731,26 @@ WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round({_vcos}, 4) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE {_vcos} >= 0.40"""
+
+    o["mm_per_kind_stats"] = "WITH " + MEDIA_CTE + """
+SELECT kind, count(*) AS n_items,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes
+FROM media GROUP BY kind"""
+
+    o["mm_resize_dims"] = "WITH " + MEDIA_CTE + """
+SELECT media_id, width, height,
+       CASE WHEN greatest(width, height) > 256
+            THEN CAST(floor(width * 256.0 / greatest(width, height)) AS INT)
+            ELSE width END AS out_width,
+       CASE WHEN greatest(width, height) > 256
+            THEN CAST(floor(height * 256.0 / greatest(width, height)) AS INT)
+            ELSE height END AS out_height
+FROM media WHERE kind = 'image'"""
+
+    o["mm_frame_sample"] = "WITH " + MEDIA_CTE + """
+SELECT media_id,
+       CAST(floor(duration_ms / 1000.0) + 1 AS BIGINT) AS n_frames,
+       CAST(floor(duration_ms / 1000.0) * 1000 AS BIGINT) AS last_frame_ts_ms
+FROM media WHERE kind = 'video'"""
 
     return o

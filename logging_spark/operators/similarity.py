@@ -181,6 +181,93 @@ def lsh_topk(
     )
 
 
+def _kmeans_centroids(mat: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means on the driver: init = first
+    n_centroids rows (input pre-sorted by id), Lloyd iterations with
+    cosine assignment. Centroid fit is O(sample x k x d) — driver-side
+    by design; production IVF fits on a sample, never the full corpus."""
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = mat[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    df: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_limit: int = 50_000,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means cells instead of
+    LSH buckets. Plan shape:
+
+      fit centroids on a driver sample (deterministic)     | tiny
+      -> assign every vector its nearest cell (mapInPandas,| narrow
+         one matmul per Arrow batch against broadcast
+         centroids)
+      -> queries additionally emit their n_probe nearest   | narrow + explode
+         cells
+      -> equi-join candidates on cell id                   | shuffle on cell
+      -> exact cosine re-rank, window top-k per query      | shuffle on query
+
+    Recall is tuned by (n_centroids, n_probe); candidates per query
+    ~ corpus * n_probe / n_centroids. All joins are equi-joins on a
+    small integer key — at web scale the cell id also works as the
+    physical partition key so each cell's candidates co-locate."""
+    spark = df.sparkSession
+    sample = (df.select(id_col, vec_col).orderBy(id_col)
+              .limit(sample_limit).toPandas())
+    mat = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
+    cent = _kmeans_centroids(mat, n_centroids)
+    b_cent = spark.sparkContext.broadcast(cent)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ c.T
+            order = np.argsort(-sims, axis=1)
+            out = pd.DataFrame({
+                id_col: pdf[id_col],
+                "vec": list(pdf[vec_col]),
+                "cell": order[:, 0].astype("int32"),
+                "probe_cells": list(order[:, :n_probe].astype("int32")),
+            })
+            yield out
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, vec array<float>, cell int, probe_cells array<int>")
+    assigned = assigned.persist()  # feeds both join sides
+
+    cand_side = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("_cv"), "cell")
+    query_side = assigned.select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("_qv"),
+        F.explode("probe_cells").alias("cell"))
+
+    from pyspark.sql import Window
+    cands = (
+        query_side.join(cand_side, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (cands.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:

@@ -42,7 +42,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logging_spark.functions.parse import parse_turns
-from logging_spark.operators.aggregate import per_sink_counts, per_sink_role_rollup
 from logging_spark.operators.dedup import dedup_latest_wins
 from logging_spark.operators.enrich import enrich
 from logging_spark.operators.route import route
@@ -131,26 +130,42 @@ def run_pipeline(
 
     # lineage + aggregates recomputed FROM THE WRITTEN TABLE: what was
     # committed is what is counted (exactness under resume/crash).
+    # ONE grouping-sets pass over the committed table produces all
+    # three aggregate shapes (per-bucket lineage, per-sink counts,
+    # per-(sink,role) rollup) instead of three separate scans — the
+    # expand is map-side-combined, so the shuffle carries pre-reduced
+    # rows, and the committed data is read exactly once.
     sink_table = catalog.read(ROUTED_TABLE)
-    stats = (
-        sink_table
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("row_count"),
-            F.sum(F.when(F.col("level").isNull(), 1).otherwise(0)).alias("parse_errors"),
+    g = (
+        sink_table.groupingSets(
+            [["bucket"], ["sink_name"], ["sink_name", "role"]],
+            "bucket", "sink_name", "role",
         )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("conv_id").alias("n_distinct_conv"),
+            F.sum(F.when(F.col("level").isNull(), 1).otherwise(0)).alias("parse_errors"),
+            F.grouping_id("bucket", "sink_name", "role").alias("_gid"),
+        )
+        .persist()  # three tiny slices read below; base scan runs once
     )
+    # grouping_id bit k set = that column aggregated away
+    stats = g.where(F.col("_gid") == 0b011).select(
+        "bucket", F.col("n_rows").alias("row_count"), "parse_errors")
     new_stats = stats
     if done is not None:
         new_stats = stats.join(F.broadcast(done), "bucket", "left_anti")
     ckpt.record_done(catalog, new_stats, input_snapshot)
 
-    counts = per_sink_counts(sink_table)
-    roles = per_sink_role_rollup(sink_table)
+    counts = g.where(F.col("_gid") == 0b101).select(
+        "sink_name", "n_rows", "n_distinct_conv")
+    roles = g.where(F.col("_gid") == 0b100).select(
+        "sink_name", "role", F.col("n_rows").alias("n_turns"))
     catalog.drop(AGG_COUNTS_TABLE)
     catalog.append(counts, AGG_COUNTS_TABLE)
     catalog.drop(AGG_ROLES_TABLE)
     catalog.append(roles, AGG_ROLES_TABLE)
+    g.unpersist()
 
     secs = time.time() - t0
     metrics = spark.createDataFrame(

@@ -64,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     rules = synth.rules(spark)
 
     cat = Catalog(spark, args.warehouse)
+    n_input_turns = turns.count()
     t0 = time.time()
     res = run_pipeline(
         spark, turns, lookup, rules, cat,
@@ -77,6 +78,8 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps({
         "run_id": res.run_id,
         "seconds": round(wall, 3),
+        "n_input_turns": n_input_turns,
+        "turns_per_sec": round(n_input_turns / wall, 1),
         "buckets_processed": res.buckets_processed,
         "buckets_skipped": res.buckets_skipped,
         "per_sink_counts": counts,

@@ -58,3 +58,22 @@ def test_near_duplicates_threshold(spark, vecs):
     df = vecs.unionByName(dup)
     rows = S.embedding_near_duplicates(df, threshold=0.999).collect()
     assert any(r["doc_b"] - r["doc_a"] == 100000 for r in rows)
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from logging_spark.operators.similarity import brute_force_topk_expr, ivf_topk
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = brute_force_topk_expr(e, e, k=5)
+    approx = ivf_topk(e, k=5, n_centroids=8, n_probe=4)
+
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # probing half the cells of a random corpus must recover most of
+    # the true top-5; exact threshold is generous to stay stable
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+    # every query must still get k results (cells are non-empty)
+    n_q = approx.select("query_id").distinct().count()
+    assert n_q == e.count()
