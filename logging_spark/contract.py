@@ -312,6 +312,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["pipe_parse_grok"] = pipe_parse_grok
 
+    # Arrow-batched pandas-UDF twin of the parser (north_star's
+    # mandated path), value-checked against the same oracle
+    def pipe_parse_grok_udf(spark, sf):
+        t = parse_turns(turns_df(spark, sf), use_udf=True)
+        return t.select(
+            "conv_id", "turn_idx",
+            F.col("parsed.level").alias("level"),
+            F.col("parsed.component").alias("component"),
+            F.col("parsed.message").alias("message"),
+            F.get_json_object("parsed.attrs", "$.code").alias("attr_code"),
+            F.get_json_object("parsed.attrs", "$.k").alias("attr_k"),
+        )
+    q["pipe_parse_grok_udf"] = pipe_parse_grok_udf
+
     # -- W1 window-ranked dedup --------------------------------------------
     q["pipe_dedup_w1"] = lambda spark, sf: dedup_latest_wins(
         turns_with_dups(spark, sf)).select("conv_id", "turn_idx", "role", "text")
@@ -453,6 +467,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_langid"] = lambda spark, sf: _read(spark, sf, "documents").select(
         "doc_id", T.lang_guess("text").alias("lang_guess"))
 
+    q["text_token_counts"] = lambda spark, sf: _read(spark, sf, "documents").select(
+        "doc_id",
+        T.token_count("text").alias("n_ws_tokens"),
+        F.size(T.bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"))
+
     q["text_fingerprint"] = lambda spark, sf: _read(spark, sf, "documents").select(
         "doc_id", T.fingerprint("text").alias("fp"))
 
@@ -534,6 +553,8 @@ SELECT conv_id, turn_idx,
        regexp_extract(text, 'code=(\S+)', 1) AS attr_code,
        nullif(regexp_extract(text, 'k=(\S*)', 1), '') AS attr_k
 FROM turns"""
+
+    o["pipe_parse_grok_udf"] = o["pipe_parse_grok"]
 
     o["pipe_dedup_w1"] = "WITH " + DUPS_CTE + """
 SELECT conv_id, turn_idx, role, text FROM dedup"""
@@ -666,6 +687,15 @@ SELECT doc_id,
             WHEN s_es > 0 THEN 'es'
             ELSE 'und' END AS lang_guess
 FROM s"""
+
+    o["text_token_counts"] = f"""
+SELECT doc_id,
+       CAST(len({TOKS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(CASE WHEN trim(marked) = '' THEN []
+                ELSE string_split_regex(trim(marked), '\\s+') END) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, text,
+             regexp_replace(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+)', ' \\1 ', 'g') AS marked
+      FROM documents)"""
 
     o["text_fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents"
 
