@@ -341,6 +341,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_route_fanout"] = lambda spark, sf: routed_df(spark, sf).select(
         "sink_name", "conv_id", "turn_idx", "role", "text")
 
+    # broadcast-join router twin (scale path for huge rule tables);
+    # must produce byte-identical routed rows -> same oracle
+    def pipe_route_join(spark, sf):
+        from logging_spark.operators.route import route_join
+        from logging_spark.schema import RULES as RULES_SCHEMA
+        t = dedup_latest_wins(turns_with_dups(spark, sf))
+        t = enrich(t, lookup_df(spark, sf))
+        rules_rows = [(r.sink_name, r.expr, r.max_length, r.role_filter, r.enabled)
+                      for r in RULES]
+        rules_table = spark.createDataFrame(rules_rows, schema=RULES_SCHEMA)
+        return route_join(t, rules_table).select(
+            "sink_name", "conv_id", "turn_idx", "role", "text")
+    q["pipe_route_join"] = pipe_route_join
+
     # -- A2 per-sink aggregates --------------------------------------------
     q["pipe_sink_counts"] = lambda spark, sf: per_sink_counts(routed_df(spark, sf))
     q["pipe_role_rollup"] = lambda spark, sf: per_sink_role_rollup(routed_df(spark, sf))
@@ -569,6 +583,8 @@ FROM turns t LEFT JOIN lookup l ON t.conv_id = l.conv_id AND t.tool = l.tool"""
 
     o["pipe_route_fanout"] = "WITH " + ROUTED_CTE + """
 SELECT sink_name, conv_id, turn_idx, role, text FROM routed"""
+
+    o["pipe_route_join"] = o["pipe_route_fanout"]
 
     o["pipe_sink_counts"] = "WITH " + ROUTED_CTE + """
 SELECT sink_name, count(*) AS n_rows,

@@ -31,6 +31,50 @@ from logging_spark.operators.rules import Rule
 UNROUTED = "_unrouted"
 
 
+def route_join(
+    df: DataFrame,
+    rules_df: DataFrame,
+    text_col: str = "text",
+    role_col: str = "role",
+    include_unrouted: bool = True,
+) -> DataFrame:
+    """Router for rule tables too large to compile into one expression
+    tree (thousands+ of rules): broadcast the rule table and join on
+    the match condition. Same output contract as `route`.
+
+    Tradeoff vs `route`: the rlike pattern is a join-side column, so
+    the regex compiles per (row, rule) probe instead of once per rule
+    at plan time — use `route` for topic-scale rule counts (10s-100s)
+    and this only when the rule table genuinely outgrows codegen. The
+    join is a broadcast nested-loop join (non-equi condition); rows
+    matching nothing fall out of a broadcast anti-join to `_unrouted`,
+    exactly mirroring route()'s include_unrouted semantics."""
+    r = rules_df.select(
+        F.col("sink_name").alias("_sink"),
+        F.coalesce(F.col("expr"), F.lit("*")).alias("_expr"),
+        F.coalesce(F.col("max_length"), F.lit(10**9)).alias("_maxlen"),
+        F.col("role_filter").alias("_role_filter"),
+        F.col("enabled").alias("_enabled"),
+    ).where(F.col("_enabled"))
+    cond = (
+        ((F.col("_expr") == "*") | F.regexp_like(F.col(text_col), F.col("_expr")))
+        & (F.col("_role_filter").isNull() | (F.col(role_col) == F.col("_role_filter")))
+    )
+    matched = (
+        df.join(F.broadcast(r), cond, "inner")
+        .withColumn("sink_name", F.col("_sink"))
+        .withColumn(text_col, F.expr(f"substring({text_col}, 1, _maxlen)"))
+        .drop("_sink", "_expr", "_maxlen", "_role_filter", "_enabled")
+    )
+    if not include_unrouted:
+        return matched
+    unmatched = (
+        df.join(F.broadcast(r), cond, "left_anti")
+        .withColumn("sink_name", F.lit(UNROUTED))
+    )
+    return matched.unionByName(unmatched)
+
+
 def route(
     df: DataFrame,
     rules: list[Rule],

@@ -1,0 +1,64 @@
+"""Physical-plan shape guards: catch performance regressions (lost
+broadcast, lost pushdown, surprise sort-merge joins) before they cost
+hours at real scale. These assert on explain output, not timings, so
+they are stable on noisy machines."""
+
+from __future__ import annotations
+
+import re
+
+from logging_spark import contract
+
+SF = "/root/testdata/sf0.001"
+
+
+def _n_exchanges(plan: str) -> int:
+    # tree form: "+- Exchange (3)"; excludes BroadcastExchange
+    return len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
+
+
+def _plan(spark, name: str) -> str:
+    df = contract.build_queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_enrich_is_broadcast_join(spark):
+    plan = _plan(spark, "pipe_enrich_j4")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_pushes_shipdate_filter(spark):
+    plan = _plan(spark, "tpch_q1_pricing")
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_tpch_q3_broadcasts_dims(spark):
+    plan = _plan(spark, "tpch_q3_top_revenue")
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to scan
+
+
+def test_scan_prunes_columns(spark):
+    # 2-column projection must not read the whole documents schema
+    plan = _plan(spark, "text_fingerprint")
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_sessionize_single_shuffle(spark):
+    plan = _plan(spark, "pipe_sessionize")
+    # both window functions share one (key, ts) sort: exactly one
+    # shuffle exchange, and no second Sort between the Window nodes
+    assert _n_exchanges(plan) == 1, plan[:2000]
+
+
+def test_route_adds_no_shuffle(spark):
+    # route = dedup + enrich(broadcast) + explode: must add zero
+    # shuffle exchanges beyond dedup's window shuffle
+    base = _plan(spark, "pipe_dedup_w1")
+    routed = _plan(spark, "pipe_route_fanout")
+    assert _n_exchanges(routed) == _n_exchanges(base)

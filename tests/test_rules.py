@@ -46,3 +46,21 @@ def test_load_rules_defaults_on_null(spark):
     df = spark.createDataFrame([("s1", None, None, None, True)], RULES)
     [r] = load_rules(df)
     assert r.expr == MATCH_ALL_EXPR and r.max_length == DEFAULT_MAX_LENGTH
+
+
+def test_route_join_equivalent_to_route(spark):
+    """The broadcast-join router (scale path for huge rule tables) must
+    produce exactly the rows of the expression-compiled router."""
+    from pyspark.sql import functions as F
+    from logging_spark import synth
+    from logging_spark.operators.route import route, route_join
+    from logging_spark.operators.rules import load_rules
+
+    turns = synth.transcripts(spark, n_conversations=30, turns_per_conv=10)
+    rules_df = synth.rules(spark)
+    a = route(turns, load_rules(rules_df))
+    b = route_join(turns, rules_df)
+    cols = ["sink_name", "conv_id", "turn_idx", "role", "text"]
+    ra = sorted(map(tuple, a.select(*cols).collect()))
+    rb = sorted(map(tuple, b.select(*cols).collect()))
+    assert ra == rb
