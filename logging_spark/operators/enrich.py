@@ -27,12 +27,27 @@ DEFAULTS = {
 }
 
 
-def enrich(turns: DataFrame, lookup: DataFrame, broadcast: bool = True) -> DataFrame:
+AUTO_BROADCAST_MAX_ROWS = 5_000_000  # ~500 MB of dim rows; beyond this
+# a forced broadcast evicts executor memory and the shuffle join wins
+
+
+def enrich(turns: DataFrame, lookup: DataFrame,
+           broadcast: bool | str = "auto") -> DataFrame:
     """Left-join metadata on (conv_id, tool); null-tool rows (the
     missing-`app`-label analog, pod.go:32-35) never match and keep
-    defaults. Dimension-side columns are pruned to what we attach."""
+    defaults. Dimension-side columns are pruned to what we attach.
+
+    broadcast: True forces a broadcast join, False leaves the strategy
+    to Catalyst/AQE (shuffle join for big dims), "auto" (default)
+    counts the dim once — O(dim) and the count is a cheap partial
+    aggregate — and broadcasts only when it fits. At pod-inventory
+    scale the dim always broadcasts; at 10^12-turn scale with ~10^9
+    conversations the dim side outgrows any executor and MUST shuffle,
+    which "auto" gets right without the caller knowing the size."""
     dim = lookup.select("conv_id", "tool", "namespace", "pod_name",
                         "node_name", "service_name")
+    if broadcast == "auto":
+        broadcast = dim.count() <= AUTO_BROADCAST_MAX_ROWS
     if broadcast:
         dim = F.broadcast(dim)
     joined = turns.join(dim, on=["conv_id", "tool"], how="left")
