@@ -486,6 +486,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         T.token_count("text").alias("n_ws_tokens"),
         F.size(T.bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"))
 
+    q["text_quality_filter"] = lambda spark, sf: _read(spark, sf, "documents").select(
+        "doc_id", T.quality_keep("text", min_tokens=20,
+                                 min_distinct_ratio_pct=30).alias("keep"))
+
+    def text_chunks(spark, sf):
+        d = _read(spark, sf, "documents")
+        ch = d.select("doc_id", F.explode(
+            T.chunk_tokens("text", chunk=32, overlap=8)).alias("c"))
+        return ch.select("doc_id", "c.chunk_idx",
+                         F.length("c.chunk_text").cast("int").alias("chunk_len"))
+    q["text_chunks"] = text_chunks
+
     q["text_fingerprint"] = lambda spark, sf: _read(spark, sf, "documents").select(
         "doc_id", T.fingerprint("text").alias("fp"))
 
@@ -712,6 +724,24 @@ SELECT doc_id,
 FROM (SELECT doc_id, text,
              regexp_replace(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+)', ' \\1 ', 'g') AS marked
       FROM documents)"""
+
+    o["text_quality_filter"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       (len(toks) >= 20 AND len(toks) <= 100000
+        AND len(list_filter(toks, x -> length(x) > 20)) * 100 <= len(toks) * 10
+        AND len(list_distinct(toks)) * 100 >= len(toks) * 30) AS keep
+FROM t"""
+
+    o["text_chunks"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1 END AS n_chunks
+      FROM t)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(length(array_to_string(toks[i*24+1 : i*24+32], ' ')) AS INT) AS chunk_len
+FROM c, unnest(range(0, n_chunks)) AS u(i)"""
 
     o["text_fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents"
 

@@ -105,6 +105,46 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(text)
 
 
+def quality_keep(text: Column | str,
+                 min_tokens: int = 5, max_tokens: int = 100_000,
+                 max_long_token_ratio_pct: int = 10,
+                 min_distinct_ratio_pct: int = 20) -> Column:
+    """C4/Gopher-style corpus filter as ONE boolean expression: length
+    bounds, long-token (gibberish) ratio, distinct-token (boilerplate
+    repetition) ratio. Ratios are integer-percent comparisons
+    (a*100 >= b*pct) so the predicate is exact and oracle-portable —
+    no float division."""
+    n_tok = token_count(text)
+    n_distinct = distinct_token_count(text)
+    t = F.col(text) if isinstance(text, str) else text
+    n_long = F.size(F.filter(tokens(t), lambda x: F.length(x) > 20)).cast("long")
+    return (
+        (n_tok >= min_tokens) & (n_tok <= max_tokens)
+        & (n_long * 100 <= n_tok * max_long_token_ratio_pct)
+        & (n_distinct * 100 >= n_tok * min_distinct_ratio_pct)
+    )
+
+
+def chunk_tokens(text: Column | str, chunk: int = 32, overlap: int = 8) -> Column:
+    """Split into token windows of `chunk` tokens with `overlap` token
+    overlap (training-example prep). Returns array<struct<chunk_idx,
+    chunk_text>>; explode it for one row per chunk. Pure expressions:
+    sequence over window starts -> slice -> array_join — no UDF, no
+    shuffle; at corpus scale this is a narrow flatMap."""
+    toks = tokens(text)
+    n = F.size(toks)
+    step = chunk - overlap
+    n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk)).cast("double") / step).cast("int") + 1)
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * step + 1, chunk), " ").alias("chunk_text"),
+        ),
+    )
+
+
 def rolling_fingerprint(text: Column | str, window: int = 16) -> Column:
     """Winnowing-style document sketch: md5 of each `window`-char
     slide, keep the lexicographic min — robust to small local edits at

@@ -41,3 +41,32 @@ def test_fingerprints(spark):
     a = _one(spark, "x" * 50, T.rolling_fingerprint("text"))
     b = _one(spark, "x" * 50, T.rolling_fingerprint("text"))
     assert a == b
+
+
+def test_chunk_tokens_reconstructs_text(spark):
+    """Chunks with overlap stripped must reconstruct the original
+    token stream; every chunk except the last has exactly `chunk`
+    tokens."""
+    from pyspark.sql import functions as F
+    from logging_spark.functions.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))),
+         (2, "only three tokens"),
+         (3, " ".join(f"x{i}" for i in range(32)))],
+        "doc_id int, text string")
+    ch = df.select("doc_id", F.explode(chunk_tokens("text", 32, 8)).alias("c")) \
+           .select("doc_id", "c.chunk_idx", "c.chunk_text").collect()
+    by_doc = {}
+    for r in sorted(ch, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"].split())
+    orig = {1: [f"w{i}" for i in range(100)], 2: ["only", "three", "tokens"],
+            3: [f"x{i}" for i in range(32)]}
+    for doc, chunks in by_doc.items():
+        recon = list(chunks[0])
+        for c in chunks[1:]:
+            assert recon[-8:] == c[:8], f"doc {doc}: overlap mismatch"
+            recon.extend(c[8:])
+        assert recon == orig[doc], f"doc {doc}: reconstruction failed"
+        for c in chunks[:-1]:
+            assert len(c) == 32
