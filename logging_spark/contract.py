@@ -408,6 +408,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_events"))
     q["pipe_sessionize"] = pipe_sessionize
 
+    # -- event-time tumbling window (stretch goal, SURVEY §2.5) ------------
+    def pipe_tumbling_window(spark, sf):
+        ev = _read(spark, sf, "events")
+        return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.countDistinct("user_id").alias("n_users"))
+                .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00")
+                        .alias("window_start"),  # wall-time label: immune to session tz
+                        "event_type", "n_events", "n_users"))
+    q["pipe_tumbling_window"] = pipe_tumbling_window
+
     # -- relational: TPC-H-ish ---------------------------------------------
     def tpch_q1_pricing(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -646,6 +657,12 @@ sessions AS (
   FROM marked)
 SELECT user_id, session_id, count(*) AS n_events
 FROM sessions GROUP BY user_id, session_id"""
+
+    o["pipe_tumbling_window"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+       event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2"""
 
     o["tpch_q1_pricing"] = """
 SELECT l_returnflag, l_linestatus,
