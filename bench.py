@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_fast",
     "sim_topk_cosine",
+    "sim_ivf_topk",
+    "text_chunks",
+    "pipe_tumbling_window",
 ]
 
 
@@ -58,7 +61,7 @@ def run_suite(cpus: int) -> dict:
         spark.catalog.clearCache()  # operators persist intermediates; isolate queries
     total = round(sum(results.values()), 3)
     out = {
-        "metric": "headline suite wall time (12 queries, parse/enrich/route/agg + dedup/ANN/TPCH)",
+        "metric": f"headline suite wall time ({len(HEADLINE)} queries, parse/enrich/route/agg + dedup/ANN/TPCH)",
         "value": total,
         "unit": "sec",
         "queries": results,
