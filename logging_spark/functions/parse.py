@@ -59,9 +59,11 @@ def parse_expr(text: Column) -> Column:
         F.size(kv_pairs) > 0,
         F.to_json(F.map_from_entries(F.transform(
             kv_pairs,
+            # limit=2: the value may itself contain '=' (k=v=w) — split
+            # only on the first, matching the UDF's (\w+)=(\S+) capture
             lambda s: F.struct(
-                F.split(s, "=").getItem(0).alias("key"),
-                F.split(s, "=").getItem(1).alias("value"),
+                F.split(s, "=", 2).getItem(0).alias("key"),
+                F.split(s, "=", 2).getItem(1).alias("value"),
             ),
         ))),
     )
@@ -71,13 +73,29 @@ def parse_expr(text: Column) -> Column:
     )
 
 
+# tail = text minus the "[LEVEL] component: message " head (mirror of
+# the builtin's regexp_replace); kv tokens must start at a whitespace/
+# string boundary and run to the token end, the pandas equivalent of
+# the builtin's per-token fullmatch filter
+_HEAD_STRIP_RE = re.compile(r"^\[[A-Z]+\]\s+[\w.-]+:\s+\S+\s*")
+_KV_TOKEN_RE = re.compile(r"(?:^|\s)(\w+)=(\S+)(?=\s|$)")
+
+
 @pandas_udf(S.PARSED)
 def parsed_udf(text: pd.Series) -> pd.DataFrame:
     """Arrow-batched parser: compiled regex + pandas vectorized string
     ops; the only Python loop is over k/v *matches per batch* inside
-    `str.extractall`, which pandas executes in C."""
-    head = text.str.extract(_LINE_RE, expand=True)
-    kv = text.str.extractall(_KV_RE)
+    `str.extractall`, which pandas executes in C.
+
+    Field extraction is per-field (a line with a level but no
+    component still yields the level) — byte-identical to the builtin
+    expression twin; tests/test_parse.py asserts the equivalence on an
+    adversarial corpus."""
+    level = text.str.extract(_LEVEL_X, expand=False)
+    comp = text.str.extract(_COMP_X, expand=False)
+    msg = text.str.extract(_MSG_X, expand=False)
+    tail = text.str.replace(_HEAD_STRIP_RE, "", regex=True)
+    kv = tail.str.extractall(_KV_TOKEN_RE)
     if len(kv):
         attrs = (
             kv.rename(columns={0: "k", 1: "v"})
@@ -90,9 +108,9 @@ def parsed_udf(text: pd.Series) -> pd.DataFrame:
         attrs = pd.Series(dtype="object")
     out = pd.DataFrame(
         {
-            "level": head["level"],
-            "component": head["component"],
-            "message": head["message"],
+            "level": level,
+            "component": comp,
+            "message": msg,
             "attrs": attrs.reindex(text.index),
         }
     )

@@ -59,3 +59,42 @@ def test_builtin_and_udf_agree_on_synth(spark):
     b = parse_turns(df, use_udf=True).select("conv_id", "turn_idx", "ts", "parsed")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+EDGE_LINES = [
+    "[INFO] a.b-c: msg k=v",              # dotted/dashed component
+    "[INFO]    spaced:   msg",             # extra whitespace
+    "[info] lower: msg",                   # lowercase level -> no match
+    "[INFO] comp: msg k=v=w x=1",          # '=' inside value
+    "[INFO] comp: msg trailing words no kv",
+    "[[INFO]] comp: msg",                  # doubled brackets
+    "[ERROR] c: " + "x" * 5000,            # very long message
+    "[WARN] gc: 收集 code=α",              # unicode message + value
+    "k=v orphan pairs without header",
+    "   ",                                 # whitespace only
+    "[INFO] missing-colon msg",
+    "[INFO] c: m " + " ".join(f"k{i}={i}" for i in range(50)),  # many kvs
+]
+
+
+def test_parse_builtin_matches_udf_on_edge_cases(spark):
+    """The codegen-expression parser and the Arrow pandas-UDF parser
+    are twins: byte-identical output on adversarial input."""
+    import json as _json
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,) for s in EDGE_LINES], "text string")
+    a = parse_turns(df, use_udf=False).select("text", "parsed").collect()
+    b = parse_turns(df, use_udf=True).select("text", "parsed").collect()
+
+    def norm(rows):
+        out = {}
+        for r in rows:
+            p = r["parsed"]
+            attrs = _json.loads(p["attrs"]) if p["attrs"] else None
+            out[r["text"]] = (p["level"], p["component"], p["message"], attrs)
+        return out
+
+    na, nb = norm(a), norm(b)
+    for text in na:
+        assert na[text] == nb[text], f"divergence on {text!r}: {na[text]} vs {nb[text]}"
