@@ -266,23 +266,49 @@ def ivf_topk(
 
     assigned = df.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, vec array<float>, cell int, probe_cells array<int>")
-    assigned = assigned.persist()  # feeds both join sides
+    assigned = assigned.persist()  # feeds member + probe branches
 
-    cand_side = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("_cv"), "cell")
-    query_side = assigned.select(
-        F.col(id_col).alias("query_id"), F.col("vec").alias("_qv"),
-        F.explode("probe_cells").alias("cell"))
+    # Per-cell rerank: ONE matmul per cell (queries probing the cell x
+    # cell members) via applyInPandas. Shipping vectors once per
+    # (row, probe) beats the naive pair join, which duplicates every
+    # vector per candidate pair through the exchange — O(n x probe)
+    # vs O(pairs) vector bytes.
+    members = assigned.select("cell", F.col(id_col).alias("vid"), "vec",
+                              F.lit(False).alias("is_probe"))
+    probes = assigned.select(F.explode("probe_cells").alias("cell"),
+                             F.col(id_col).alias("vid"), "vec",
+                             F.lit(True).alias("is_probe"))
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        mem = pdf[~pdf["is_probe"]]
+        qs = pdf[pdf["is_probe"]]
+        if not len(mem) or not len(qs):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        M = np.vstack(mem["vec"].to_numpy()).astype(np.float64)
+        Q = np.vstack(qs["vec"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        sims = Q @ M.T
+        mids = mem["vid"].to_numpy()
+        qids = qs["vid"].to_numpy()
+        sims[qids[:, None] == mids[None, :]] = -np.inf  # self
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qids)), kk)
+        cols = idx.ravel()
+        keep = np.isfinite(sims[rows, cols])
+        return pd.DataFrame({"query_id": qids[rows][keep],
+                             "neighbor_id": mids[cols][keep],
+                             "cosine": sims[rows, cols][keep]})
+
+    partials = (members.unionByName(probes)
+                .groupBy("cell")
+                .applyInPandas(rerank, "query_id long, neighbor_id long, cosine double")
+                .dropDuplicates(["query_id", "neighbor_id"]))
 
     from pyspark.sql import Window
-    cands = (
-        query_side.join(cand_side, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", cosine_udf_col(F.col("_qv"), F.col("_cv")))
-    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
-    return (cands.withColumn("rank", F.row_number().over(w))
+    return (partials.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
