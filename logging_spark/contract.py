@@ -509,6 +509,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.length("c.chunk_text").cast("int").alias("chunk_len"))
     q["text_chunks"] = text_chunks
 
+    def text_redact(spark, sf):
+        # augment turns with synthetic redactables (emails, hex traces)
+        # so the scrubber has something to hit — same concat in the oracle
+        t = turns_df(spark, sf)
+        aug = F.concat(F.col("text"), F.lit(" trace="), F.md5("conv_id"),
+                       F.lit(" contact="), F.col("conv_id"), F.lit("@example.com"))
+        return t.select("conv_id", "turn_idx", T.redact(aug).alias("redacted"))
+    q["text_redact"] = text_redact
+
+    def text_top_ngrams(spark, sf):
+        d = _read(spark, sf, "documents")
+        grams = d.select(F.explode(T.ngrams("text", 3)).alias("ngram"))
+        return (grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), "ngram").limit(20))
+    q["text_top_ngrams"] = text_top_ngrams
+
     q["text_fingerprint"] = lambda spark, sf: _read(spark, sf, "documents").select(
         "doc_id", T.fingerprint("text").alias("fp"))
 
@@ -759,6 +775,25 @@ c AS (SELECT doc_id, toks,
 SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        CAST(length(array_to_string(toks[i*24+1 : i*24+32], ' ')) AS INT) AS chunk_len
 FROM c, unnest(range(0, n_chunks)) AS u(i)"""
+
+    o["text_redact"] = "WITH " + TURNS_CTE + r"""
+SELECT conv_id, turn_idx,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             concat(text, ' trace=', md5(conv_id), ' contact=', conv_id, '@example.com'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9a-fA-F]{16,}\b', '<HEX>', 'g'),
+         '\b\d{6,}\b', '<NUM>', 'g') AS redacted
+FROM turns"""
+
+    o["text_top_ngrams"] = f"""
+WITH t AS (SELECT {TOKS} AS toks FROM documents),
+g AS (SELECT unnest(CASE WHEN len(toks) >= 3 THEN list_transform(
+             range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END) AS ngram FROM t)
+SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+ORDER BY n DESC, ngram LIMIT 20"""
 
     o["text_fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents"
 

@@ -51,21 +51,42 @@ def parse_expr(text: Column) -> Column:
     msg = nonempty(F.regexp_extract(text, _MSG_X, 1))
     # "key=val key=val" tail -> map -> canonical JSON
     tail = F.regexp_replace(text, r"^\[[A-Z]+\]\s+[\w.-]+:\s+\S+\s*", "")
-    kv_pairs = F.filter(
+    kv_tokens = F.filter(
         F.split(F.trim(tail), r"\s+"),
         lambda s: s.rlike(r"^\w+=\S+$"),
     )
+    # limit=2: the value may itself contain '=' (k=v=w) — split only on
+    # the first, matching the UDF's (\w+)=(\S+) capture
+    pairs = F.transform(
+        kv_tokens,
+        lambda s: F.struct(
+            F.split(s, "=", 2).getItem(0).alias("key"),
+            F.split(s, "=", 2).getItem(1).alias("value"),
+        ),
+    )
+    # Duplicate keys ("retry=1 ... retry=2") MUST NOT reach
+    # map_from_entries: under the default mapKeyDedupPolicy=EXCEPTION
+    # one such line kills the whole job. Resolve first-position/
+    # last-value (python dict semantics, matching the UDF twin):
+    # keep each key's first occurrence slot, take the value of its
+    # last occurrence.
+    firsts = F.filter(
+        pairs,
+        lambda p, i: ~F.exists(F.slice(pairs, 1, i),
+                               lambda q: q.getField("key") == p.getField("key")),
+    )
+    resolved = F.transform(
+        firsts,
+        lambda p: F.struct(
+            p.getField("key").alias("key"),
+            F.element_at(
+                F.filter(pairs, lambda q: q.getField("key") == p.getField("key")), -1
+            ).getField("value").alias("value"),
+        ),
+    )
     attrs = F.when(
-        F.size(kv_pairs) > 0,
-        F.to_json(F.map_from_entries(F.transform(
-            kv_pairs,
-            # limit=2: the value may itself contain '=' (k=v=w) — split
-            # only on the first, matching the UDF's (\w+)=(\S+) capture
-            lambda s: F.struct(
-                F.split(s, "=", 2).getItem(0).alias("key"),
-                F.split(s, "=", 2).getItem(1).alias("value"),
-            ),
-        ))),
+        F.size(resolved) > 0,
+        F.to_json(F.map_from_entries(resolved)),
     )
     return F.struct(
         level.alias("level"), comp.alias("component"),
@@ -97,11 +118,14 @@ def parsed_udf(text: pd.Series) -> pd.DataFrame:
     tail = text.str.replace(_HEAD_STRIP_RE, "", regex=True)
     kv = tail.str.extractall(_KV_TOKEN_RE)
     if len(kv):
+        # dict(zip(...)) = first-position / last-value on duplicate
+        # keys — the same resolution the expression twin applies before
+        # map_from_entries
         attrs = (
             kv.rename(columns={0: "k", 1: "v"})
             .groupby(level=0)
             .apply(lambda g: "{%s}" % ",".join(
-                f'"{k}":"{v}"' for k, v in zip(g["k"], g["v"])
+                f'"{k}":"{v}"' for k, v in dict(zip(g["k"], g["v"])).items()
             ))
         )
     else:

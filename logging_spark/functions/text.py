@@ -105,6 +105,38 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(text)
 
 
+# (pattern, replacement) applied IN ORDER — order is part of the
+# contract (a 16+ digit run hits <HEX> before <NUM> can see it)
+REDACT_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9a-fA-F]{16,}\b", "<HEX>"),
+    (r"\b\d{6,}\b", "<NUM>"),
+]
+
+
+def redact(text: Column | str, rules: list[tuple[str, str]] | None = None) -> Column:
+    """Mask sensitive substrings (emails, long ids, hex tokens) with a
+    chain of regexp_replace — pure codegen, the log-scrubbing stage of
+    any compliance-bound pipeline."""
+    out = F.col(text) if isinstance(text, str) else text
+    for pat, rep in (rules or REDACT_RULES):
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def ngrams(text: Column | str, n: int = 3) -> Column:
+    """ALL word n-grams in order (with repeats — unlike
+    textdedup.shingles, which distincts per doc for set semantics).
+    Documents shorter than n tokens yield none."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    sliced = F.transform(
+        F.sequence(F.lit(1), cnt - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(cnt >= n, sliced).otherwise(F.array().cast("array<string>"))
+
+
 def quality_keep(text: Column | str,
                  min_tokens: int = 5, max_tokens: int = 100_000,
                  max_long_token_ratio_pct: int = 10,

@@ -73,6 +73,8 @@ EDGE_LINES = [
     "k=v orphan pairs without header",
     "   ",                                 # whitespace only
     "[INFO] missing-colon msg",
+    "[INFO] c: m retry=1 x=0 retry=2",     # duplicate keys: first slot, last value
+
     "[INFO] c: m " + " ".join(f"k{i}={i}" for i in range(50)),  # many kvs
 ]
 
@@ -98,3 +100,12 @@ def test_parse_builtin_matches_udf_on_edge_cases(spark):
     na, nb = norm(a), norm(b)
     for text in na:
         assert na[text] == nb[text], f"divergence on {text!r}: {na[text]} vs {nb[text]}"
+
+
+def test_parse_duplicate_keys_do_not_crash(spark):
+    """mapKeyDedupPolicy=EXCEPTION must never see duplicate keys: one
+    'retry=1 ... retry=2' line would otherwise kill the job."""
+    import json as _json
+    df = spark.createDataFrame([("[INFO] c: m retry=1 x=0 retry=2",)], "text string")
+    row = parse_turns(df).select("parsed").first()["parsed"]
+    assert _json.loads(row["attrs"]) == {"retry": "2", "x": "0"}
