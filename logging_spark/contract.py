@@ -452,6 +452,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rev.orderBy(F.col("revenue").desc(), "o_orderkey").limit(10)
     q["tpch_q3_top_revenue"] = tpch_q3_top_revenue
 
+    def agg_grouping_sets(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        return (li.groupingSets([["l_returnflag"], ["l_returnflag", "l_linestatus"]],
+                                "l_returnflag", "l_linestatus")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.grouping_id("l_returnflag", "l_linestatus").cast("int").alias("gid")))
+    q["agg_grouping_sets"] = agg_grouping_sets
+
     def dim_join_rollup(spark, sf):
         r = _read(spark, sf, "region")
         n = _read(spark, sf, "nation")
@@ -703,6 +711,12 @@ JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey
 ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+
+    o["agg_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))"""
 
     o["dim_join_rollup"] = """
 SELECT r_name, n_name, count(*) AS n_customers,
