@@ -573,7 +573,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def sim_lsh_topk(spark, sf):  # rows-only: hyperplanes not expressible in SQL
         e = _read(spark, sf, "embeddings")
-        return lsh_topk(e, k=5, dim=64, tables=4, n_planes=10)
+        # n_planes sizes buckets: 2^6 buckets/table keeps groups dense
+        # enough for the per-bucket matmul kernel to amortize
+        return lsh_topk(e, k=5, dim=64, tables=4, n_planes=6)
     q["sim_lsh_topk"] = sim_lsh_topk
 
     def sim_ivf_topk(spark, sf):  # rows-only: k-means cells, no SQL twin

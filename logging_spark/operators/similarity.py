@@ -161,12 +161,40 @@ def lsh_bucket(vec: Column, dim: int, table: int, n_planes: int = 12) -> Column:
     return acc
 
 
+def _bucket_rerank_kernel(k: int, id_col: str, vec_col: str):
+    """applyInPandas kernel: ONE matmul per bucket (all members vs all
+    members), per-query partial top-k. Vector bytes shipped once per
+    (row, bucket) — the pair self-join alternative duplicates every
+    vector per candidate pair through the exchange."""
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ M.T
+        np.fill_diagonal(sims, -np.inf)
+        ids = pdf[id_col].to_numpy()
+        kk = min(k, sims.shape[1] - 1)
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(ids)), kk)
+        cols = idx.ravel()
+        keep = np.isfinite(sims[rows, cols])
+        return pd.DataFrame({"query_id": ids[rows][keep],
+                             "neighbor_id": ids[cols][keep],
+                             "cosine": sims[rows, cols][keep]})
+
+    return rerank
+
+
 def lsh_topk(
     df: DataFrame, k: int = 5, dim: int = 64, tables: int = 4,
     n_planes: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: union of `tables` bucket self-joins, exact
-    cosine re-rank within candidates. All equi-joins on (table, bucket)."""
+    """Approximate top-k: per-(table, bucket) matmul rerank (same
+    grouped-kernel shape as ivf_topk), global top-k over the k-sized
+    per-bucket partials. One shuffle on the bucket key, one on the
+    query id."""
     from pyspark.sql import Window
 
     bucketed = df.select(
@@ -177,24 +205,19 @@ def lsh_topk(
             for t in range(tables)
         ])).alias("tb"),
     ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    cands = (
-        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("query_id"),
-            F.col(f"b.{id_col}").alias("neighbor_id"),
-            F.col(f"a.{vec_col}").alias("_qv"),
-            F.col(f"b.{vec_col}").alias("_cv"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", cosine_udf_col(F.col("_qv"), F.col("_cv")))
+
+    partials = (
+        bucketed.groupBy("tbl", "bucket")
+        .applyInPandas(_bucket_rerank_kernel(k, id_col, vec_col),
+                       "query_id long, neighbor_id long, cosine double")
+        # the same pair can surface from several tables; also keep the
+        # max cosine deterministically (they are equal, but max() makes
+        # the reduction explicit rather than arrival-order dependent)
+        .groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        cands.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
