@@ -147,6 +147,12 @@ def lookup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("pod-"), (F.col("c_custkey") % 50).cast("string")).alias("pod_name"),
         F.concat(F.lit("node-"), (F.col("c_nationkey") % 8).cast("string")).alias("node_name"),
         F.concat(F.lit("svc-"), F.lower("c_mktsegment")).alias("service_name"),
+        F.array(
+            F.concat(F.lit("10.0."), (F.col("c_nationkey") % 255).cast("string"),
+                     F.lit("."), (F.col("c_custkey") % 255).cast("string")),
+            F.concat(F.lit("10.1."), (F.col("c_nationkey") % 255).cast("string"),
+                     F.lit("."), (F.col("c_custkey") % 255).cast("string")),
+        ).alias("ips"),
     )
 
 
@@ -157,7 +163,9 @@ lookup AS (
          concat('ns-', CAST(c_nationkey % 5 AS VARCHAR)) AS namespace,
          concat('pod-', CAST(c_custkey % 50 AS VARCHAR)) AS pod_name,
          concat('node-', CAST(c_nationkey % 8 AS VARCHAR)) AS node_name,
-         concat('svc-', lower(c_mktsegment)) AS service_name
+         concat('svc-', lower(c_mktsegment)) AS service_name,
+         [concat('10.0.', CAST(c_nationkey % 255 AS VARCHAR), '.', CAST(c_custkey % 255 AS VARCHAR)),
+          concat('10.1.', CAST(c_nationkey % 255 AS VARCHAR), '.', CAST(c_custkey % 255 AS VARCHAR))] AS ips
   FROM customer WHERE c_custkey % 3 != 0)
 """
 
@@ -391,6 +399,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id", "event_type",
         F.get_json_object("props", "$.k").alias("attr_k"))
 
+    # -- P7 ips-array flatten ----------------------------------------------
+    def pipe_ips_flatten(spark, sf):
+        t = turns_df(spark, sf).select("conv_id", "tool").distinct()
+        lk = lookup_df(spark, sf)
+        joined = t.join(lk, on=["conv_id", "tool"])
+        return joined.select("conv_id", F.explode("ips").alias("ip")).distinct()
+    q["pipe_ips_flatten"] = pipe_ips_flatten
+
     # -- S5/W2 latest-wins upsert ------------------------------------------
     def pipe_latest_wins(spark, sf):
         ev = _read(spark, sf, "events")
@@ -451,6 +467,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.count(F.lit(1)).alias("n_items")))
         return rev.orderBy(F.col("revenue").desc(), "o_orderkey").limit(10)
     q["tpch_q3_top_revenue"] = tpch_q3_top_revenue
+
+    def agg_exact_quantiles(spark, sf):
+        # percentile() (exact, interpolated) matches DuckDB's
+        # quantile_cont bitwise — verified, no rounding needed
+        ev = _read(spark, sf, "events")
+        return (ev.groupBy("event_type")
+                .agg(F.expr("percentile(value, 0.5)").alias("p50"),
+                     F.expr("percentile(value, 0.95)").alias("p95"),
+                     F.count(F.lit(1)).alias("n")))
+    q["agg_exact_quantiles"] = agg_exact_quantiles
 
     def agg_grouping_sets(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -662,6 +688,12 @@ FROM turns"""
     o["pipe_json_path_p9"] = """
 SELECT event_id, event_type, json_extract_string(props, '$.k') AS attr_k FROM events"""
 
+    o["pipe_ips_flatten"] = "WITH " + TURNS_CTE + "," + LOOKUP_CTE + """
+SELECT DISTINCT conv_id, ip FROM (
+  SELECT t.conv_id, unnest(l.ips) AS ip
+  FROM (SELECT DISTINCT conv_id, tool FROM turns) t
+  JOIN lookup l ON t.conv_id = l.conv_id AND t.tool = l.tool)"""
+
     o["pipe_latest_wins"] = """
 SELECT user_id, event_type AS last_event_type, value AS last_value FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id
@@ -713,6 +745,11 @@ JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey
 ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+
+    o["agg_exact_quantiles"] = """
+SELECT event_type, quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95, count(*) AS n
+FROM events GROUP BY event_type"""
 
     o["agg_grouping_sets"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
