@@ -72,3 +72,36 @@ def test_rerun_without_new_files_is_noop(spark, dirs):
                     dirs["sink"], dirs["chk"])
     after = spark.read.parquet(dirs["sink"]).count()
     assert before == after
+
+
+def test_cross_batch_dedup_drops_replays(spark, tmp_path):
+    """With the stateful guard on, a (conv_id, turn_idx) replayed in a
+    LATER drain is dropped (first-wins), so the sink holds exactly one
+    copy per turn."""
+    import pyspark.sql.functions as SF
+    from logging_spark import synth as SY
+    from logging_spark.operators.rules import load_rules
+
+    d = {k: str(tmp_path / k) for k in ("input", "sink", "chk")}
+    lookup = SY.lookup(spark, n_conversations=10)
+    rules = load_rules(SY.rules(spark))
+
+    base = SY.transcripts(spark, n_conversations=10, turns_per_conv=5,
+                          hot_conversations=0, dup_pct=0.0)
+    base.coalesce(1).write.mode("append").parquet(d["input"])
+    run_incremental(spark, d["input"], lookup, rules, d["sink"], d["chk"],
+                    cross_batch_dedup=True, watermark="10 hours")
+
+    # replay EVERY turn with a later ts and marker text in a second file
+    replay = (base.withColumn("ts", SF.expr("ts + INTERVAL 2 SECONDS"))
+              .withColumn("text", SF.concat(SF.col("text"), SF.lit(" REPLAY"))))
+    replay.coalesce(1).write.mode("append").parquet(d["input"])
+    run_incremental(spark, d["input"], lookup, rules, d["sink"], d["chk"],
+                    cross_batch_dedup=True, watermark="10 hours")
+
+    sink = spark.read.parquet(d["sink"])
+    # one routed copy per (sink, conv, turn): no REPLAY text made it through
+    assert sink.where(SF.col("text").contains("REPLAY")).count() == 0
+    dup_turns = (sink.groupBy("sink_name", "conv_id", "turn_idx").count()
+                 .where("count > 1").count())
+    assert dup_turns == 0
