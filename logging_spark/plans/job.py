@@ -69,6 +69,7 @@ class PipelineResult:
     seconds: float
     per_sink_counts: DataFrame = field(repr=False)
     role_rollup: DataFrame = field(repr=False)
+    phase_seconds: dict[str, float] = field(default_factory=dict)
 
 
 def transform(
@@ -109,6 +110,7 @@ def run_pipeline(
     write_partitions: int | None = None,
 ) -> PipelineResult:
     t0 = time.time()
+    phase_secs: dict[str, float] = {}
     run_id = run_id or uuid.uuid4().hex[:12]
     rules = load_rules(rules_df)
 
@@ -126,7 +128,9 @@ def run_pipeline(
             write_partitions, "sink_name", "bucket",
             F.pmod(F.hash("turn_idx"), F.lit(8)),
         )
+    tw = time.time()
     catalog.overwrite_partitions(routed, ROUTED_TABLE, ["sink_name", "bucket"])
+    phase_secs["transform_write"] = time.time() - tw
 
     # lineage + aggregates recomputed FROM THE WRITTEN TABLE: what was
     # committed is what is counted (exactness under resume/crash).
@@ -135,6 +139,7 @@ def run_pipeline(
     # per-(sink,role) rollup) instead of three separate scans — the
     # expand is map-side-combined, so the shuffle carries pre-reduced
     # rows, and the committed data is read exactly once.
+    ta = time.time()
     sink_table = catalog.read(ROUTED_TABLE)
     g = (
         sink_table.groupingSets(
@@ -166,10 +171,15 @@ def run_pipeline(
     catalog.drop(AGG_ROLES_TABLE)
     catalog.append(roles, AGG_ROLES_TABLE)
     g.unpersist()
+    phase_secs["aggregate_checkpoint"] = time.time() - ta
 
     secs = time.time() - t0
+    phase_rows = [(run_id, "pipeline", input_snapshot, None, f"{secs:.3f}")] + [
+        (run_id, phase, input_snapshot, None, f"{s:.3f}")
+        for phase, s in phase_secs.items()
+    ]
     metrics = spark.createDataFrame(
-        [(run_id, "pipeline", input_snapshot, None, f"{secs:.3f}")],
+        phase_rows,
         "run_id string, phase string, key string, rows long, seconds string",
     ).withColumn("updated_ts", F.current_timestamp())
     catalog.append(metrics, METRICS_TABLE)
@@ -179,7 +189,8 @@ def run_pipeline(
         buckets_processed=num_buckets - n_done,
         buckets_skipped=n_done,
         seconds=secs,
-        per_sink_counts=catalog.read(AGG_COUNTS_TABLE),
+        phase_seconds=phase_secs,
+    per_sink_counts=catalog.read(AGG_COUNTS_TABLE),
         role_rollup=catalog.read(AGG_ROLES_TABLE),
     )
 

@@ -80,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
         "seconds": round(wall, 3),
         "n_input_turns": n_input_turns,
         "turns_per_sec": round(n_input_turns / wall, 1),
+        "phase_seconds": {k: round(v, 3) for k, v in res.phase_seconds.items()},
         "buckets_processed": res.buckets_processed,
         "buckets_skipped": res.buckets_skipped,
         "per_sink_counts": counts,
