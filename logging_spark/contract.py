@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 from logging_spark.functions import text as T
 from logging_spark.functions.parse import parse_turns
-from logging_spark.operators.aggregate import (per_sink_counts,
+from logging_spark.operators.aggregate import (assemble_conversations,
+                                               per_sink_counts,
                                                per_sink_role_rollup,
                                                resume_points)
 from logging_spark.operators.dedup import dedup_latest_wins
@@ -399,6 +400,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id", "event_type",
         F.get_json_object("props", "$.k").alias("attr_k"))
 
+    # -- conversation assembly (turns -> trainable transcripts) ------------
+    def pipe_assemble_conversation(spark, sf):
+        t = dedup_latest_wins(turns_with_dups(spark, sf))
+        a = assemble_conversations(t)
+        return a.select("conv_id", "n_turns",
+                        F.md5("conversation_text").alias("conv_hash"))
+    q["pipe_assemble_conversation"] = pipe_assemble_conversation
+
     # -- P7 ips-array flatten ----------------------------------------------
     def pipe_ips_flatten(spark, sf):
         t = turns_df(spark, sf).select("conv_id", "tool").distinct()
@@ -687,6 +696,11 @@ FROM turns"""
 
     o["pipe_json_path_p9"] = """
 SELECT event_id, event_type, json_extract_string(props, '$.k') AS attr_k FROM events"""
+
+    o["pipe_assemble_conversation"] = "WITH " + DUPS_CTE + """
+SELECT conv_id, count(*) AS n_turns,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS conv_hash
+FROM dedup GROUP BY conv_id"""
 
     o["pipe_ips_flatten"] = "WITH " + TURNS_CTE + "," + LOOKUP_CTE + """
 SELECT DISTINCT conv_id, ip FROM (

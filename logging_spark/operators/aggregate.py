@@ -40,6 +40,31 @@ def approx_distinct_conv(routed: DataFrame, rsd: float = 0.02) -> DataFrame:
     )
 
 
+def assemble_conversations(turns: DataFrame,
+                           key: str = "conv_id",
+                           order_col: str = "turn_idx",
+                           text_col: str = "text",
+                           sep: str = "\n") -> DataFrame:
+    """Assemble each conversation's full text in turn order — the
+    document-building step that turns the turns table into trainable
+    transcripts. collect_list + array_sort keeps it a single hash
+    aggregation (one shuffle, map-side combined); per-group memory is
+    one conversation's turns, the same bound every per-conv operator
+    in this pipeline lives with (hot conversations are why skew.py
+    exists)."""
+    assembled = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(order_col, text_col))),
+            lambda s: s.getField(text_col),
+        ),
+        sep,
+    )
+    return turns.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        assembled.alias("conversation_text"),
+    )
+
+
 def resume_points(checkpointish: DataFrame,
                   keys: list[str] = ("conv_id",),
                   offset_col: str = "turn_idx") -> DataFrame:
