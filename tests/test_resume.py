@@ -69,3 +69,40 @@ def test_new_snapshot_reprocesses(spark, fixtures, tmp_path_factory):
     r2 = run_pipeline(spark, turns, lookup, rules, cat, num_buckets=4,
                       input_snapshot="snap-D")
     assert r2.buckets_skipped == 0
+
+
+def test_crashed_bucket_partial_write_is_overwritten(spark, fixtures, tmp_path_factory):
+    """A bucket that crashed mid-write leaves stale rows in its sink
+    partitions but no checkpoint row. The re-run's dynamic partition
+    overwrite must replace those partitions wholesale — no garbage
+    survives, counts exact."""
+    import os
+    turns, lookup, rules = fixtures
+    wh = str(tmp_path_factory.mktemp("wh"))
+    cat = Catalog(spark, wh)
+    run_pipeline(spark, turns, lookup, rules, cat, num_buckets=8,
+                 input_snapshot="snap-E")
+    want = _snapshot(cat)
+
+    # un-checkpoint bucket 2, then plant garbage rows in one of its
+    # sink partitions (simulating a crash after a partial write)
+    cp = cat.read(CHECKPOINT_TABLE).where(F.col("bucket") != 2).collect()
+    cat.drop(CHECKPOINT_TABLE)
+    cat.append(spark.createDataFrame(cp), CHECKPOINT_TABLE)
+    part_dir = os.path.join(wh, "sinks", "routed", "sink_name=errors", "bucket=2")
+    garbage = spark.createDataFrame(
+        [("conv-GARBAGE", -1, "assistant", "[ERROR] bogus: crashed-partial-row",
+          None, None, None, None, None, "ns-0", "pod-0", "node-0", "svc-0")],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, level string, component string, attrs string, "
+        "namespace string, pod_name string, node_name string, service_name string")
+    garbage.write.mode("append").parquet(part_dir)
+    assert cat.read(ROUTED_TABLE).where(
+        F.col("conv_id") == "conv-GARBAGE").count() == 1  # damage visible
+
+    r2 = run_pipeline(spark, turns, lookup, rules, cat, num_buckets=8,
+                      input_snapshot="snap-E")
+    assert r2.buckets_skipped == 7
+    assert cat.read(ROUTED_TABLE).where(
+        F.col("conv_id") == "conv-GARBAGE").count() == 0  # partition rewritten
+    assert _snapshot(cat) == want
