@@ -52,6 +52,11 @@ def run_suite(cpus: int) -> dict:
     # count the pipeline's input turns once for the throughput metric
     n_turns = contract.turns_with_dups(spark, SF_DIR).count()
 
+    # warm up codegen/JIT and the parquet reader paths so the first
+    # timed query doesn't absorb one-time JVM costs
+    spark.range(100_000).selectExpr("sum(id)").collect()
+    contract.turns_df(spark, SF_DIR).limit(1000).write.format("noop").mode("overwrite").save()
+
     results: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, SF_DIR)
