@@ -42,8 +42,10 @@ from logging_spark.operators.route import route
 from logging_spark.operators.rules import Rule
 from logging_spark.operators.sessionize import sessionize
 from logging_spark.operators.similarity import (brute_force_topk_expr,
+                                                brute_force_topk_sharded,
                                                 embedding_near_duplicates,
-                                                ivf_topk, lsh_topk)
+                                                ivf_topk, lsh_topk,
+                                                plane_signs)
 from logging_spark.operators.textdedup import (exact_duplicates,
                                                lsh_candidate_pairs,
                                                ngram_jaccard_pairs, simhash)
@@ -72,22 +74,30 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _case(col: Column, mapping: dict[str, str]) -> Column:
+def _case(col: Column, mapping: dict[str, str], default: str) -> Column:
+    """CASE expression with an explicit ELSE branch matching the SQL
+    oracles' ELSE — without it an unknown key yields NULL, which
+    null-propagates through Spark concat() and silently nulls the whole
+    derived text while DuckDB keeps it."""
     it = iter(mapping.items())
     k, v = next(it)
     out = F.when(col == k, F.lit(v))
     for k, v in it:
         out = out.when(col == k, F.lit(v))
-    return out
+    return out.otherwise(F.lit(default))
 
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition ONLY under-split inputs (the driver's tables are one
     small parquet file -> 1 scan split -> serial CPU-bound stages). On
-    a real table with thousands of splits this is a no-op, so no extra
-    shuffle lands in the 100 TB plan."""
+    a real table with thousands of files this is a no-op, so no extra
+    shuffle lands in the 100 TB plan.
+
+    Uses inputFiles() (a file-index listing) rather than
+    df.rdd.getNumPartitions(), which forced eager RDD lineage
+    construction per query in the bench loop."""
     want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    if len(df.inputFiles()) < want:
         return df.repartition(want)
     return df
 
@@ -95,7 +105,7 @@ def _spread(df: DataFrame) -> DataFrame:
 def turns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> transcript turns with the input_hint schema."""
     ev = _spread(_read(spark, sf_dir, "events"))
-    level = _case(F.col("event_type"), _LEVEL_CASE)
+    level = _case(F.col("event_type"), _LEVEL_CASE, "INFO")
     k = F.coalesce(F.get_json_object("props", "$.k"), F.lit(""))
     text = F.concat(
         F.lit("["), level, F.lit("] comp-"),
@@ -110,7 +120,7 @@ def turns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 6, "0")).alias("conv_id"),
         F.col("event_id").cast("int").alias("turn_idx"),
-        _case(F.col("event_type"), _ROLE_CASE).alias("role"),
+        _case(F.col("event_type"), _ROLE_CASE, "assistant").alias("role"),
         text.alias("text"),
         tool.alias("tool"),
         F.col("ts"),
@@ -601,10 +611,35 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_topk_cosine"] = sim_topk_cosine
 
     def sim_near_dup(spark, sf):
+        # production path: LSH-bucketed candidates + exact re-rank (no
+        # cross join anywhere in the plan — tests/test_plans.py). The
+        # oracle mirrors the integer-exact sign buckets, so the check
+        # verifies the candidate generation itself, not just re-rank.
+        # n_planes=4 keeps buckets coarse enough that a 0.40-cosine
+        # pair still collides often at the test corpus size.
         e = _read(spark, sf, "embeddings")
-        nd = embedding_near_duplicates(e, threshold=0.40, id_col="vec_id")
+        nd = embedding_near_duplicates(e, threshold=0.40, id_col="vec_id",
+                                       dim=64, tables=8, n_planes=4)
         return nd.select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine"))
     q["sim_near_dup"] = sim_near_dup
+
+    def sim_near_dup_exact(spark, sf):
+        # all-pairs verification mode (exact=True): small-n only
+        e = _read(spark, sf, "embeddings")
+        nd = embedding_near_duplicates(e, threshold=0.40, id_col="vec_id",
+                                       exact=True)
+        return nd.select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine"))
+    q["sim_near_dup_exact"] = sim_near_dup_exact
+
+    def sim_topk_sharded(spark, sf):
+        # the beyond-broadcast exact path: top-k of per-shard top-ks
+        e = _read(spark, sf, "embeddings")
+        topk = brute_force_topk_sharded(e.where(F.col("vec_id") < 30), e,
+                                        k=5, n_shards=4)
+        return topk.select("query_id", "neighbor_id",
+                           F.col("rank").cast("int").alias("rank"),
+                           F.round("cosine", 4).alias("cosine"))
+    q["sim_topk_sharded"] = sim_topk_sharded
 
     def sim_lsh_topk(spark, sf):  # rows-only: hyperplanes not expressible in SQL
         e = _read(spark, sf, "embeddings")
@@ -724,8 +759,9 @@ WITH marked AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sessions AS (
   SELECT user_id,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_id
   FROM marked)
 SELECT user_id, session_id, count(*) AS n_events
 FROM sessions GROUP BY user_id, session_id"""
@@ -885,8 +921,14 @@ sh AS (SELECT doc_id, {SHINGLES} AS sh
        FROM (SELECT doc_id, {TOKS} AS toks FROM corpus)),
 sigs AS (SELECT doc_id, [
     {sig_entries}] AS sig FROM sh),
+banded_raw AS (
+{band_rows}),
 banded AS (
-{band_rows})
+  -- mirror of lsh_candidate_pairs' max_bucket=1000 anti-join: drop
+  -- every row of a degenerate bucket BEFORE the pair expansion, so
+  -- Spark and the oracle agree even once a larger sf hits the cap
+  SELECT * FROM banded_raw
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= 1000)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
@@ -895,7 +937,12 @@ FROM banded a JOIN banded b
 WITH {CORPUS_CTE},
 sh AS (SELECT doc_id, {SHINGLES} AS sh
        FROM (SELECT doc_id, {TOKS} AS toks FROM corpus)),
-inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+inv_raw AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+inv AS (
+  -- mirror of ngram_jaccard_pairs' max_doc_freq=1000 hot-shingle
+  -- anti-join (shingles are distinct per doc, so rows = doc freq)
+  SELECT * FROM inv_raw
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
 sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_intersection
@@ -920,12 +967,48 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rnk
       FROM scored) WHERE rnk <= 5"""
 
-    o["sim_near_dup"] = f"""
+    o["sim_near_dup_exact"] = f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings)
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round({_vcos}, 4) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE {_vcos} >= 0.40"""
+
+    # Mirror of similarity.sign_bucket / near_dup_candidates for the
+    # bucketed production path (tables=8, n_planes=4): bucket bits come
+    # from EXACT integer dot products (floor(x*1e6) quantization), so
+    # both engines compute bit-identical bucket ids; DuckDB's double
+    # accumulation of integer-valued products is exact below 2^53.
+    _nd_rows = []
+    for _t in range(8):
+        _bits = " + ".join(
+            "(CASE WHEN list_dot_product(q, ["
+            + ", ".join(str(s) for s in plane_signs(64, _t, _p))
+            + f"]) > 0 THEN {1 << _p} ELSE 0 END)"
+            for _p in range(4))
+        _nd_rows.append(f"  SELECT vec_id, {_t} AS tbl, {_bits} AS bucket FROM q")
+    _nd_banded = "\n  UNION ALL\n".join(_nd_rows)
+    _vcos_ab = ("list_dot_product(va.v, vb.v) / "
+                "(sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))")
+    o["sim_near_dup"] = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id, list_transform(v, x -> floor(x * 1000000)) AS q FROM v),
+bucketed_raw AS (
+{_nd_banded}),
+bucketed AS (
+  -- mirror of near_dup_candidates' max_bucket=10000 guard
+  SELECT * FROM bucketed_raw
+  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= 10000),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM bucketed a JOIN bucketed b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT doc_a, doc_b, round({_vcos_ab}, 4) AS cosine
+FROM cand JOIN v va ON va.vec_id = doc_a JOIN v vb ON vb.vec_id = doc_b
+WHERE {_vcos_ab} >= 0.40"""
+
+    o["sim_topk_sharded"] = o["sim_topk_cosine"]
 
     o["mm_per_kind_stats"] = "WITH " + MEDIA_CTE + """
 SELECT kind, count(*) AS n_items,

@@ -18,6 +18,7 @@ Two implementations, same output schema (schema.PARSED):
 
 from __future__ import annotations
 
+import json
 import re
 
 import pandas as pd
@@ -120,12 +121,16 @@ def parsed_udf(text: pd.Series) -> pd.DataFrame:
     if len(kv):
         # dict(zip(...)) = first-position / last-value on duplicate
         # keys — the same resolution the expression twin applies before
-        # map_from_entries
+        # map_from_entries. json.dumps (compact separators,
+        # ensure_ascii=False) matches to_json's escaping of quotes /
+        # backslashes / control chars — a naive f-string join diverged
+        # on values like k="v" (the \S+ capture admits quotes).
         attrs = (
             kv.rename(columns={0: "k", 1: "v"})
             .groupby(level=0)
-            .apply(lambda g: "{%s}" % ",".join(
-                f'"{k}":"{v}"' for k, v in dict(zip(g["k"], g["v"])).items()
+            .apply(lambda g: json.dumps(
+                dict(zip(g["k"], g["v"])),
+                separators=(",", ":"), ensure_ascii=False,
             ))
         )
     else:

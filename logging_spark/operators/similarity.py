@@ -134,17 +134,27 @@ def brute_force_topk(
     return queries.select(id_col, vec_col).mapInPandas(kernel, out_schema)
 
 
+def _mix(table: int, plane: int, d: int) -> int:
+    """splitmix-style 32-bit integer mix — identical on driver and
+    every executor (and re-derivable as literal constants in SQL)."""
+    z = (table * 1_000_003 + plane * 10_007 + d * 97 + 0x9E3779B9) & 0xFFFFFFFF
+    z = (z ^ (z >> 16)) * 0x85EBCA6B & 0xFFFFFFFF
+    z = (z ^ (z >> 13)) * 0xC2B2AE35 & 0xFFFFFFFF
+    z ^= z >> 16
+    return z
+
+
 def _plane(dim: int, table: int, plane: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane component via a splitmix-
-    style integer mix — identical on driver and every executor."""
-    out = []
-    for d in range(dim):
-        z = (table * 1_000_003 + plane * 10_007 + d * 97 + 0x9E3779B9) & 0xFFFFFFFF
-        z = (z ^ (z >> 16)) * 0x85EBCA6B & 0xFFFFFFFF
-        z = (z ^ (z >> 13)) * 0xC2B2AE35 & 0xFFFFFFFF
-        z ^= z >> 16
-        out.append((z / 0xFFFFFFFF) * 2.0 - 1.0)
-    return out
+    """Deterministic pseudo-random hyperplane components in [-1, 1)."""
+    return [(_mix(table, plane, d) / 0xFFFFFFFF) * 2.0 - 1.0
+            for d in range(dim)]
+
+
+def plane_signs(dim: int, table: int, plane: int) -> list[int]:
+    """Deterministic ±1 hyperplane (sign random projection, the sparse
+    LSH family of Achlioptas/Charikar). Used where the bucket id must
+    be INTEGER-exact across engines — see sign_bucket."""
+    return [1 if _mix(table, plane, d) & 1 else -1 for d in range(dim)]
 
 
 def lsh_bucket(vec: Column, dim: int, table: int, n_planes: int = 12) -> Column:
@@ -156,6 +166,31 @@ def lsh_bucket(vec: Column, dim: int, table: int, n_planes: int = 12) -> Column:
             F.zip_with(vec, F.array(*[F.lit(c) for c in plane]),
                        lambda x, y: x.cast("double") * y),
             F.lit(0.0), lambda a, x: a + x,
+        )
+        acc = acc + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return acc
+
+
+def sign_bucket(vec: Column, dim: int, table: int, n_planes: int = 16,
+                scale: int = 1_000_000) -> Column:
+    """Integer-exact sign-random-projection bucket id: bit p =
+    sign(quantized_vec . ±1-plane_p) for n_planes deterministic planes.
+
+    Components are quantized floor(x * scale) -> BIGINT first, so every
+    per-plane dot is exact integer arithmetic: bit-identical in any
+    engine (a float dot's SIGN near zero is summation-order dependent,
+    which would make an oracle mirror flaky). |dot| <= dim * scale *
+    max|x| stays far under 2^53, so even an engine that sums in double
+    is exact. The quantization perturbs each plane boundary by
+    O(1/scale) — statistically irrelevant to LSH recall."""
+    q = F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+    acc = F.lit(0).cast("long")
+    for p in range(n_planes):
+        signs = plane_signs(dim, table, p)
+        dot = F.aggregate(
+            F.zip_with(q, F.array(*[F.lit(s).cast("long") for s in signs]),
+                       lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda a, x: a + x,
         )
         acc = acc + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
     return acc
@@ -221,6 +256,72 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def _members_probes_rerank(k: int):
+    """applyInPandas kernel shared by ivf_topk and
+    brute_force_topk_sharded: the group carries candidate rows
+    (is_probe=False) and query rows (is_probe=True) under columns
+    (vid, vec, is_probe); ONE matmul scores all queries against all
+    members, per-query partial top-k, self-pairs masked."""
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        mem = pdf[~pdf["is_probe"]]
+        qs = pdf[pdf["is_probe"]]
+        if not len(mem) or not len(qs):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        M = np.vstack(mem["vec"].to_numpy()).astype(np.float64)
+        Q = np.vstack(qs["vec"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        sims = Q @ M.T
+        mids = mem["vid"].to_numpy()
+        qids = qs["vid"].to_numpy()
+        sims[qids[:, None] == mids[None, :]] = -np.inf  # self
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qids)), kk)
+        cols = idx.ravel()
+        keep = np.isfinite(sims[rows, cols])
+        return pd.DataFrame({"query_id": qids[rows][keep],
+                             "neighbor_id": mids[cols][keep],
+                             "cosine": sims[rows, cols][keep]})
+
+    return rerank
+
+
+def brute_force_topk_sharded(
+    queries: DataFrame, candidates: DataFrame, k: int = 5, n_shards: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k past the broadcast budget: candidates are hash-
+    sharded, each shard reranked by the shared matmul kernel, the
+    global top-k reduced from per-shard top-ks (top-k of top-ks —
+    exact because every true neighbor lives in exactly one shard).
+
+    This is the documented scale path beyond brute_force_topk's
+    ~10^6-candidate driver-collect wall: no collect, no broadcast;
+    candidate bytes cross the exchange once, query bytes n_shards
+    times. Plan: two narrow projections -> one shuffle on shard ->
+    one shuffle on query_id for the final window."""
+    from pyspark.sql import Window
+
+    members = candidates.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        F.lit(False).alias("is_probe"))
+    probes = queries.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard"),
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        F.lit(True).alias("is_probe"))
+    partials = (members.unionByName(probes)
+                .groupBy("shard")
+                .applyInPandas(_members_probes_rerank(k),
+                               "query_id long, neighbor_id long, cosine double"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
 def _kmeans_centroids(mat: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
@@ -289,7 +390,10 @@ def ivf_topk(
 
     assigned = df.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, vec array<float>, cell int, probe_cells array<int>")
-    assigned = assigned.persist()  # feeds member + probe branches
+    # feeds member + probe branches; localCheckpoint (not persist) so
+    # the cached blocks are GC-owned and dropped automatically instead
+    # of accumulating CacheManager entries across repeated calls
+    assigned = assigned.localCheckpoint(eager=True)
 
     # Per-cell rerank: ONE matmul per cell (queries probing the cell x
     # cell members) via applyInPandas. Shipping vectors once per
@@ -302,31 +406,10 @@ def ivf_topk(
                              F.col(id_col).alias("vid"), "vec",
                              F.lit(True).alias("is_probe"))
 
-    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
-        mem = pdf[~pdf["is_probe"]]
-        qs = pdf[pdf["is_probe"]]
-        if not len(mem) or not len(qs):
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        M = np.vstack(mem["vec"].to_numpy()).astype(np.float64)
-        Q = np.vstack(qs["vec"].to_numpy()).astype(np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-        sims = Q @ M.T
-        mids = mem["vid"].to_numpy()
-        qids = qs["vid"].to_numpy()
-        sims[qids[:, None] == mids[None, :]] = -np.inf  # self
-        kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(len(qids)), kk)
-        cols = idx.ravel()
-        keep = np.isfinite(sims[rows, cols])
-        return pd.DataFrame({"query_id": qids[rows][keep],
-                             "neighbor_id": mids[cols][keep],
-                             "cosine": sims[rows, cols][keep]})
-
     partials = (members.unionByName(probes)
                 .groupBy("cell")
-                .applyInPandas(rerank, "query_id long, neighbor_id long, cosine double")
+                .applyInPandas(_members_probes_rerank(k),
+                               "query_id long, neighbor_id long, cosine double")
                 .dropDuplicates(["query_id", "neighbor_id"]))
 
     from pyspark.sql import Window
@@ -336,16 +419,75 @@ def ivf_topk(
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
+def near_dup_candidates(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        tables: int = 8, n_planes: int = 16,
+                        max_bucket: int | None = 10_000) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing at least one
+    sign-projection bucket in any of `tables` hash tables. Same plan
+    shape as textdedup.lsh_candidate_pairs: project buckets -> explode
+    tables -> self equi-join on (tbl, bucket) -> distinct; `max_bucket`
+    drops degenerate buckets (e.g. all-zero vectors) before the
+    quadratic pair expansion."""
+    bucketed = df.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     sign_bucket(F.col(vec_col), dim, t, n_planes).alias("bucket"))
+            for t in range(tables)
+        ])).alias("tb"),
+    ).select(id_col, "tb.tbl", "tb.bucket")
+    bucketed = bucketed.localCheckpoint(eager=True)  # feeds cap + both join sides
+    if max_bucket is not None:
+        hot = (bucketed.groupBy("tbl", "bucket").count()
+               .where(F.col("count") > max_bucket))
+        bucketed = bucketed.join(F.broadcast(hot.select("tbl", "bucket")),
+                                 ["tbl", "bucket"], "left_anti")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
-    """Near-dup pairs by cosine >= threshold (exact, broadcast cross
-    join; swap in lsh candidates for web scale)."""
-    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_av"))
-    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_bv"))
+                              vec_col: str = "embedding",
+                              exact: bool = False, dim: int = 64,
+                              tables: int = 8, n_planes: int = 16,
+                              max_bucket: int | None = 10_000) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold.
+
+    Default path is LSH-bucketed: sign-projection candidates (every
+    join an equi-join — O(n x tables) bucket rows, never all pairs),
+    then exact cosine re-rank of candidates only. Approximate in
+    recall (tune tables/n_planes; with the defaults a 0.95-cosine pair
+    collides in >=1 of 8 tables w.p. ~0.8, and recall is tested vs the
+    exact path in tests/test_similarity.py); precision is exact since
+    every emitted pair is re-scored.
+
+    `exact=True` keeps the old all-pairs broadcast cross join as a
+    small-n verification mode — O(n^2), never for production corpora."""
+    if exact:
+        a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_av"))
+        b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_bv"))
+        return (
+            a.crossJoin(F.broadcast(b))
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("cosine", cosine_expr(F.col("_av"), F.col("_bv")))
+            .where(F.col("cosine") >= threshold)
+            .select("doc_a", "doc_b", "cosine")
+        )
+    cand = near_dup_candidates(df, id_col, vec_col, dim, tables,
+                               n_planes, max_bucket)
+    va = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_av"))
+    vb = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_bv"))
     return (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("doc_a") < F.col("doc_b"))
+        cand.join(va, "doc_a").join(vb, "doc_b")
         .withColumn("cosine", cosine_expr(F.col("_av"), F.col("_bv")))
         .where(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")

@@ -130,12 +130,16 @@ def lsh_candidate_pairs(
     ).select(id_col, "band.band_idx", "band.band_hash")
 
     # The banded projection is referenced 4x below (bucket counts, the
-    # anti-join, both self-join sides); without a persist each use
+    # anti-join, both self-join sides); without materialization each use
     # recomputes the minhash signatures — the dominant cost. Banded is
     # O(docs x bands) short hash rows, a few % of corpus size, so
     # caching it is the right call even at web scale (it is exactly
     # what production MinHash pipelines checkpoint between stages).
-    banded = banded.persist()
+    # localCheckpoint (not persist): blocks are owned by the RDD and
+    # auto-dropped by the ContextCleaner when it goes out of scope, so
+    # repeated operator calls in a long-lived session don't accumulate
+    # CacheManager entries nobody unpersists.
+    banded = banded.localCheckpoint(eager=True)
 
     counts = banded.groupBy("band_idx", "band_hash").count()
     banded = (
@@ -160,18 +164,35 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     w: int = 3,
     min_intersection: int = 1,
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
     """Exact shingle-Jaccard for every pair sharing >= min_intersection
     shingles: inverted index (explode) -> self equi-join on shingle ->
     count per pair -> sizes via broadcast -> (inter, union) as exact
     integers. Never materializes non-overlapping pairs.
 
-    The shingle-array projection is persisted: it feeds three branches
+    `max_doc_freq` drops shingles appearing in more than that many
+    documents BEFORE the self-join — the analog of lsh_candidate_pairs'
+    max_bucket guard. Without it one boilerplate shingle shared by 10^6
+    docs makes the join quadratic in its document frequency (10^12
+    joined rows). Excluded stop-shingles no longer count toward
+    n_intersection (and hence inflate n_union), the standard trade in
+    production near-dup pipelines; sizes (n_a, n_b) stay exact.
+
+    The shingle-array projection is materialized via localCheckpoint
+    (auto-cleaned on GC, unlike persist): it feeds three branches
     (both self-join sides + the size table) and would otherwise be
     recomputed per branch."""
-    sh_df = df.select(F.col(id_col), shingles(text_col, w).alias("_sh")).persist()
+    sh_df = (df.select(F.col(id_col), shingles(text_col, w).alias("_sh"))
+             .localCheckpoint(eager=True))
     sh = sh_df.select(F.col(id_col), F.explode("_sh").alias("shingle"))
     sizes = sh_df.select(F.col(id_col), F.size("_sh").cast("long").alias("n_sh"))
+    if max_doc_freq is not None:
+        # shingles are distinct per doc, so count(rows) = doc frequency.
+        # Hot-shingle set is tiny by construction -> broadcast anti-join.
+        hot = (sh.groupBy("shingle").count()
+               .where(F.col("count") > max_doc_freq).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -65,7 +65,11 @@ def build_session(
     builder = builder.config("spark.sql.parquet.compression.codec", "zstd")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
-        builder = builder.config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+    # NB: driver JVM options (e.g. -XX:+UseParallelGC) CANNOT be set
+    # here — in client/local mode the driver JVM is already running by
+    # the time builder confs apply. The GC choice only takes effect via
+    # spark-submit --conf spark.driver.extraJavaOptions=... (bench.py
+    # passes it; plain `python` runs keep the JVM default GC).
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

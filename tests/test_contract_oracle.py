@@ -31,6 +31,71 @@ def duck():
     con.close()
 
 
+def _canon_arrow(t):
+    """Canonical type label for a pyarrow DataType.
+
+    Groups int widths together (both engines freely pick int32/int64 for
+    literals) but keeps decimal distinct from int/float — that is the class
+    the round-1 driver gate caught (DuckDB windowed sum() -> HUGEINT ->
+    arrow decimal128(38,0) vs Spark BIGINT) and the local gate missed.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_arrow(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{_canon_arrow(t.field(i).type)}"
+            for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def _canon_spark(t):
+    """Same canonical labels for a Spark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.DecimalType):
+        return "decimal"
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, T.StringType):
+        return "string"
+    if isinstance(t, T.BinaryType):
+        return "binary"
+    if isinstance(t, T.ArrayType):
+        return f"list<{_canon_spark(t.elementType)}>"
+    if isinstance(t, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{_canon_spark(f.dataType)}" for f in t.fields)
+        return f"struct<{inner}>"
+    return t.simpleString()
+
+
 def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -50,11 +115,22 @@ def test_query_matches_oracle(spark, duck, name):
     srows = [[row[c] for c in scols] for row in sdf.collect()]
 
     res = duck.execute(ORACLES[name])
-    ocols_all = [d[0] for d in res.description]
-    orows_raw = res.fetchall()
+    otable = res.fetch_arrow_table()
+    ocols_all = otable.column_names
+    orows_raw = [list(r.values()) for r in otable.to_pylist()]
     assert sorted(ocols_all) == scols, f"{name}: columns differ"
     idx = [ocols_all.index(c) for c in scols]
     orows = [[r[i] for i in idx] for r in orows_raw]
+
+    # Type-sensitive gate: the driver value-hashes through a typed
+    # serialization, so e.g. DuckDB HUGEINT vs Spark BIGINT fails there
+    # even when values match. Catch type drift locally first.
+    stypes = {f.name: _canon_spark(f.dataType) for f in sdf.schema.fields}
+    otypes = {ocols_all[i]: _canon_arrow(otable.schema.types[i])
+              for i in range(len(ocols_all))}
+    type_diffs = {c: (stypes[c], otypes[c]) for c in scols
+                  if stypes[c] != otypes[c]}
+    assert not type_diffs, f"{name}: column type drift {type_diffs}"
 
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
     sn, on = _rows(srows), _rows(orows)

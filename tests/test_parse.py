@@ -76,6 +76,9 @@ EDGE_LINES = [
     "[INFO] c: m retry=1 x=0 retry=2",     # duplicate keys: first slot, last value
 
     "[INFO] c: m " + " ".join(f"k{i}={i}" for i in range(50)),  # many kvs
+    '[INFO] c: m k="v"',                   # quote inside value -> JSON escape
+    "[INFO] c: m path=a\\b\\c",            # backslashes -> JSON escape
+    '[INFO] c: m j={"a":1}',               # value that is itself JSON-ish
 ]
 
 
@@ -100,6 +103,15 @@ def test_parse_builtin_matches_udf_on_edge_cases(spark):
     na, nb = norm(a), norm(b)
     for text in na:
         assert na[text] == nb[text], f"divergence on {text!r}: {na[text]} vs {nb[text]}"
+
+    # the attrs JSON must be BYTE-identical, not just parse-equal —
+    # the twin contract (and pipe_parse_grok_udf's oracle) hashes the
+    # raw string, so escaping differences (quotes, backslashes) count
+    raw_a = {r["text"]: r["parsed"]["attrs"] for r in a}
+    raw_b = {r["text"]: r["parsed"]["attrs"] for r in b}
+    for text in raw_a:
+        assert raw_a[text] == raw_b[text], (
+            f"attrs bytes diverge on {text!r}: {raw_a[text]!r} vs {raw_b[text]!r}")
 
 
 def test_parse_duplicate_keys_do_not_crash(spark):

@@ -56,6 +56,22 @@ def test_sessionize_single_shuffle(spark):
     assert _n_exchanges(plan) == 1, plan[:2000]
 
 
+def test_near_dup_has_no_cross_join(spark):
+    # the production near-dup path must be LSH-bucketed equi-joins:
+    # an O(n^2) cross join here is a scale-killer at any real corpus
+    plan = _plan(spark, "sim_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sharded_topk_has_no_broadcast_of_candidates(spark):
+    # candidate matrix must flow through the shard shuffle, never a
+    # driver collect/broadcast (that is brute_force_topk's small path)
+    plan = _plan(spark, "sim_topk_sharded")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_route_adds_no_shuffle(spark):
     # route = dedup + enrich(broadcast) + explode: must add zero
     # shuffle exchanges beyond dedup's window shuffle

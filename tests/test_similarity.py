@@ -52,12 +52,41 @@ def test_lsh_recall_against_exact(vecs):
 
 
 def test_near_duplicates_threshold(spark, vecs):
-    # plant an exact duplicate pair and verify it is found with cosine ~1
+    # plant an exact duplicate pair and verify the BUCKETED default
+    # path finds it with cosine ~1 (identical vectors share every
+    # bucket, so LSH recall is exactly 1 for true duplicates)
     dup = vecs.limit(1).select((F.col("vec_id") + 100000).alias("vec_id"),
                                "embedding", "label")
     df = vecs.unionByName(dup)
     rows = S.embedding_near_duplicates(df, threshold=0.999).collect()
     assert any(r["doc_b"] - r["doc_a"] == 100000 for r in rows)
+
+
+def test_near_dup_bucketed_recall_and_precision_vs_exact(vecs):
+    exact = {(r["doc_a"], r["doc_b"]): r["cosine"]
+             for r in S.embedding_near_duplicates(
+                 vecs, threshold=0.40, exact=True).collect()}
+    approx = {(r["doc_a"], r["doc_b"]): r["cosine"]
+              for r in S.embedding_near_duplicates(
+                  vecs, threshold=0.40, tables=8, n_planes=4).collect()}
+    assert exact, "fixture produced no near-dup pairs"
+    # precision is exact by construction: every emitted pair is
+    # re-scored with the same cosine as the exact path
+    for pair, cos in approx.items():
+        assert pair in exact
+        assert abs(cos - exact[pair]) < 1e-12
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"bucketed near-dup recall {recall:.2f}"
+
+
+def test_sharded_topk_agrees_with_broadcast_kernel(vecs):
+    # candidate set forced through 5 shards; exact top-k must agree
+    # with the driver-broadcast kernel pair-for-pair
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in S.brute_force_topk(vecs, vecs, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in S.brute_force_topk_sharded(vecs, vecs, k=3, n_shards=5).collect()}
+    assert a == b
 
 
 def test_ivf_topk_recall(spark, sf_dir):

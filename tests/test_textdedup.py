@@ -87,3 +87,28 @@ def test_simhash_properties(spark):
     ham01 = bin((sh[0] ^ sh[1]) & (2**64 - 1)).count("1")
     ham02 = bin((sh[0] ^ sh[2]) & (2**64 - 1)).count("1")
     assert ham01 < ham02  # near-dup closer than unrelated
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # 40 docs all sharing one boilerplate shingle ("standard legal
+    # footer"), plus one true near-dup pair with unique overlap. With
+    # max_doc_freq below 40 the boilerplate-only pairs vanish (the
+    # quadratic blowup at scale) while the true pair survives via its
+    # unique shingles.
+    docs = [(i, f"unique{i} words{i} here{i} standard legal footer")
+            for i in range(40)]
+    docs.append((100, "alpha beta gamma delta epsilon zeta"))
+    docs.append((101, "alpha beta gamma delta epsilon eta"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = {(r["doc_a"], r["doc_b"])
+                for r in D.ngram_jaccard_pairs(df, w=3, max_doc_freq=None).collect()}
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in D.ngram_jaccard_pairs(df, w=3, max_doc_freq=10).collect()}
+
+    assert (0, 1) in uncapped          # boilerplate-only pair exists uncapped
+    assert (0, 1) not in capped        # excluded once the hot shingle is dropped
+    assert (100, 101) in capped        # true near-dup still found
+    # boilerplate pairs dominate the uncapped result: the cap removes
+    # the quadratic term, not the signal
+    assert len(capped) < len(uncapped)
