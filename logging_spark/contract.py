@@ -30,6 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from logging_spark.functions import json_path as jp
 from logging_spark.functions import text as T
 from logging_spark.functions.parse import parse_turns
 from logging_spark.operators.aggregate import (assemble_conversations,
@@ -41,6 +42,7 @@ from logging_spark.operators.enrich import enrich
 from logging_spark.operators.route import route
 from logging_spark.operators.rules import Rule
 from logging_spark.operators.sessionize import sessionize
+from logging_spark.sources.catalog import merge_frames
 from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 brute_force_topk_sharded,
                                                 embedding_near_duplicates,
@@ -410,6 +412,52 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id", "event_type",
         F.get_json_object("props", "$.k").alias("attr_k"))
 
+    def pipe_json_set_delete(spark, sf):
+        # P9 Set/Delete (reference dict.go:23-57): struct withField
+        # (replace + create-new-field), struct dropFields, and the
+        # JSON-string twins over the parser's attrs payload.
+        t = parse_turns(turns_df(spark, sf))
+        p = F.col("parsed")
+        p2 = jp.delete_path(
+            jp.set_path(
+                jp.set_path(p, "component",
+                            F.coalesce(p.getField("component"), F.lit("unknown"))),
+                "tool_tag", F.coalesce(F.col("tool"), F.lit("none"))),
+            "message")
+        return t.select(
+            "conv_id", "turn_idx",
+            p2.getField("component").alias("component_or_default"),
+            p2.getField("tool_tag").alias("tool_tag"),
+            # remaining non-null fields after Delete, in struct order —
+            # proves `message` is gone and `tool_tag` was appended
+            F.array_join(F.json_object_keys(F.to_json(p2)), ",").alias("remaining_fields"),
+            jp.delete_json_key(p.getField("attrs"), "k").alias("attrs_without_k"),
+            jp.set_json_key(p.getField("attrs"), "seen", F.lit("1")).alias("attrs_with_seen"),
+        )
+    q["pipe_json_set_delete"] = pipe_json_set_delete
+
+    def pipe_merge_upsert(spark, sf):
+        # S5 Apply field-wise merge (reference datasource.go:206-276):
+        # update rows carry NULLs for fields they do not touch; merged
+        # output must preserve those from the existing dimension,
+        # insert new keys, and keep untouched keys verbatim.
+        existing = lookup_df(spark, sf)
+        cu = _read(spark, sf, "customer").where(F.col("c_custkey") % 4 == 0)
+        updates = cu.select(
+            F.concat(F.lit("conv-"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")).alias("conv_id"),
+            F.concat(F.lit("tool_"), F.lpad((F.col("c_custkey") % 20).cast("string"), 2, "0")).alias("tool"),
+            F.concat(F.lit("ns-upd-"), (F.col("c_custkey") % 7).cast("string")).alias("namespace"),
+            F.lit(None).cast("string").alias("pod_name"),
+            F.lit(None).cast("string").alias("node_name"),
+            F.lit("svc-updated").alias("service_name"),
+            F.lit(None).cast("array<string>").alias("ips"),
+        )
+        m = merge_frames(existing, updates, ["conv_id", "tool"])
+        return m.select("conv_id", "tool", "namespace", "pod_name",
+                        "node_name", "service_name",
+                        F.array_join("ips", ",").alias("ips_joined"))
+    q["pipe_merge_upsert"] = pipe_merge_upsert
+
     # -- conversation assembly (turns -> trainable transcripts) ------------
     def pipe_assemble_conversation(spark, sf):
         t = dedup_latest_wins(turns_with_dups(spark, sf))
@@ -672,6 +720,38 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.size("feature").alias("feature_dim"))
     q["mm_features"] = mm_features
 
+    def mm_features_png(spark, sf):
+        # rows-only: REAL image decode — deterministic PNG payloads are
+        # synthesized per media row (pure-stdlib codec, functions/png.py)
+        # and features come from decoded PIXELS (decode_stub=False)
+        imgs = (media_df(spark, sf).where(F.col("kind") == "image")
+                .select("media_id", "width", "height"))
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+            from logging_spark.functions import png as png_mod
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                payloads = []
+                for mid, w, h in zip(pdf["media_id"], pdf["width"], pdf["height"]):
+                    w, h = int(w) % 48 + 8, int(h) % 48 + 8  # keep fixture cheap
+                    y, x = np.mgrid[0:h, 0:w]
+                    arr = np.stack([(x + int(mid)) % 256, (y * 2 + int(mid)) % 256,
+                                    (x + y) % 256], axis=2).astype("uint8")
+                    payloads.append(png_mod.encode_png(arr))
+                yield pd.DataFrame({"media_id": pdf["media_id"],
+                                    "kind": "image", "payload": payloads})
+
+        pngs = imgs.mapInPandas(kernel, "media_id long, kind string, payload binary")
+        feats = mm.extract_features(pngs, decode_stub=False)
+        return feats.select("media_id", "n_bytes",
+                            F.size("feature").alias("feature_dim"),
+                            F.round(F.element_at("feature", 1), 4).alias("f0"))
+    q["mm_features_png"] = mm_features_png
+
     return q
 
 
@@ -731,6 +811,40 @@ FROM turns"""
 
     o["pipe_json_path_p9"] = """
 SELECT event_id, event_type, json_extract_string(props, '$.k') AS attr_k FROM events"""
+
+    # the parser's attrs on this corpus is always {"code":C,"k":K}
+    # (code=floor(value), k=props.$.k, both numeric strings — no JSON
+    # escaping hazards), so Set/Delete results are exact string builds
+    o["pipe_json_set_delete"] = "WITH " + TURNS_CTE + r"""
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '^\[[A-Z]+\]\s+([\w.-]+):', 1) AS component_or_default,
+       coalesce(tool, 'none') AS tool_tag,
+       'level,component,attrs,tool_tag' AS remaining_fields,
+       concat('{"code":"', regexp_extract(text, 'code=(\S+)', 1), '"}')
+         AS attrs_without_k,
+       concat('{"code":"', regexp_extract(text, 'code=(\S+)', 1),
+              '","k":"', regexp_extract(text, 'k=(\S+)', 1),
+              '","seen":"1"}') AS attrs_with_seen
+FROM turns"""
+
+    o["pipe_merge_upsert"] = "WITH " + LOOKUP_CTE + """,
+upd AS (
+  SELECT concat('conv-', lpad(CAST(c_custkey AS VARCHAR), 6, '0')) AS conv_id,
+         concat('tool_', lpad(CAST(c_custkey % 20 AS VARCHAR), 2, '0')) AS tool,
+         concat('ns-upd-', CAST(c_custkey % 7 AS VARCHAR)) AS namespace,
+         CAST(NULL AS VARCHAR) AS pod_name,
+         CAST(NULL AS VARCHAR) AS node_name,
+         'svc-updated' AS service_name,
+         CAST(NULL AS VARCHAR[]) AS ips
+  FROM customer WHERE c_custkey % 4 = 0)
+SELECT coalesce(u.conv_id, l.conv_id) AS conv_id,
+       coalesce(u.tool, l.tool) AS tool,
+       coalesce(u.namespace, l.namespace) AS namespace,
+       coalesce(u.pod_name, l.pod_name) AS pod_name,
+       coalesce(u.node_name, l.node_name) AS node_name,
+       coalesce(u.service_name, l.service_name) AS service_name,
+       array_to_string(coalesce(u.ips, l.ips), ',') AS ips_joined
+FROM lookup l FULL JOIN upd u ON l.conv_id = u.conv_id AND l.tool = u.tool"""
 
     o["pipe_assemble_conversation"] = "WITH " + DUPS_CTE + """
 SELECT conv_id, count(*) AS n_turns,

@@ -2,11 +2,15 @@
 
 Images/audio/video ride as `binary` columns with a `kind`/`mime` and
 typed metadata (schema.MEDIA). The Spark-side plumbing — schema,
-partitioning, Arrow batch shape, UDF signatures — is real and tested;
-the actual codec step is STUBBED (this container has no image/audio
-libraries): `decode_stub=True` produces a deterministic fake feature
-vector from the payload bytes, `decode_stub=False` raises
-NotImplementedError where PIL/torchaudio/ffmpeg would be called.
+partitioning, Arrow batch shape, UDF signatures — is real and tested.
+
+Codec status: IMAGES decode for real — functions/png.py is a pure
+stdlib (zlib) PNG codec, so `decode_stub=False` turns PNG payloads
+into actual pixel-derived features (tests/test_multimodal.py proves
+the values are a function of pixels, not payload bytes). Audio/video
+decode remains STUBBED (no torchaudio/pyav in this image):
+`decode_stub=True` produces a deterministic hash-fake for every kind,
+`decode_stub=False` raises NotImplementedError for non-PNG payloads.
 
 At scale: payloads dominate bytes, so operators below never shuffle
 payloads — feature extraction is a mapInPandas projection (narrow),
@@ -44,22 +48,28 @@ def extract_features(df: DataFrame, decode_stub: bool = True,
     kernel without materializing the whole partition."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from logging_spark.functions import png
+
+        def one(payload: bytes) -> np.ndarray:
+            if decode_stub:
+                return _fake_decode(payload)
+            if png.is_png(payload):
+                return png.image_features(png.decode_png(payload), FEATURE_DIM)
+            raise NotImplementedError(
+                "real decode beyond PNG requires torchaudio/pyav; "
+                "not in this image (pass decode_stub=True)")
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real decode requires PIL/torchaudio/pyav; not in this image"
-                )
             payloads = [
                 p if isinstance(p, (bytes, bytearray)) else str(p).encode()
                 for p in pdf[payload_col]
             ]
-            feats = [_fake_decode(p) for p in payloads]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "feature": feats,
+                "feature": [one(p) for p in payloads],
                 "n_bytes": [len(p) for p in payloads],
             })
 
@@ -68,10 +78,12 @@ def extract_features(df: DataFrame, decode_stub: bool = True,
 
 def resize_images(df: DataFrame, max_side: int = 256,
                   decode_stub: bool = True) -> DataFrame:
-    """Resize plumbing: computes target dims JVM-side (exact integer
-    math, no UDF); the pixel work is the stubbed decode step."""
+    """Resize PLANNING: computes target dims JVM-side (exact integer
+    math, no UDF). For actual pixel work on PNG payloads use
+    resize_image_payloads."""
     if not decode_stub:
-        raise NotImplementedError("real resize requires an image codec")
+        raise NotImplementedError(
+            "use resize_image_payloads for real pixel resize (PNG)")
     scale_num = F.lit(max_side)
     longest = F.greatest("width", "height")
     needs = longest > max_side
@@ -83,6 +95,46 @@ def resize_images(df: DataFrame, max_side: int = 256,
         F.when(needs, (F.col("height") * scale_num / longest).cast("int"))
          .otherwise(F.col("height")).alias("out_height"),
     )
+
+
+def resize_image_payloads(df: DataFrame, max_side: int = 256,
+                          payload_col: str = "payload") -> DataFrame:
+    """REAL pixel resize for PNG payloads: decode (functions/png.py)
+    -> nearest-neighbor downsample -> re-encode. Narrow mapInPandas —
+    payloads stream through executors batch-by-batch, never shuffle.
+    Images already within max_side pass through re-encoded (canonical
+    filter-0 PNG). Non-PNG rows raise: route kind=='image' here."""
+    out_schema = "media_id long, out_width int, out_height int, payload binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from logging_spark.functions import png
+
+        def one(payload: bytes):
+            arr = png.decode_png(payload)
+            h, w = arr.shape[:2]
+            longest = max(h, w)
+            if longest > max_side:
+                oh = max(1, (h * max_side) // longest)
+                ow = max(1, (w * max_side) // longest)
+                ys = (np.arange(oh) * h) // oh
+                xs = (np.arange(ow) * w) // ow
+                arr = arr[ys][:, xs]
+            else:
+                oh, ow = h, w
+            return ow, oh, png.encode_png(arr.squeeze())
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            res = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "out_width": [r[0] for r in res],
+                "out_height": [r[1] for r in res],
+                "payload": [r[2] for r in res],
+            })
+
+    return df.select("media_id", payload_col).mapInPandas(kernel, out_schema)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -1,6 +1,14 @@
 """Warehouse catalog: Iceberg when the runtime jar is present,
-Parquet-directory fallback otherwise (this image ships no Iceberg
-jar — SURVEY.md §7 mandates the fallback).
+Parquet-directory fallback otherwise.
+
+STATUS OF THE ICEBERG BRANCH: designed-for, NOT exercised — this image
+ships no iceberg-spark-runtime jar and has no network to fetch one, so
+every `self.iceberg` path below (snapshot reads, overwritePartitions,
+MERGE INTO) is written against the published Iceberg-Spark API but has
+never run here. The tested, supported backend in this repo is the
+parquet fallback; treat the Iceberg code as a deployment template to
+be validated when a jar is available (drop it on the classpath and the
+same Catalog calls switch over).
 
 The pipeline only uses four verbs, all of which exist in both
 backends with the same semantics:
@@ -23,6 +31,37 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_frames(existing: DataFrame, updates: DataFrame, keys: list[str],
+                 order_col: str | None = None) -> DataFrame:
+    """Field-wise merge of `updates` into `existing` (same schema):
+    per key, a NON-NULL update field replaces the existing value and a
+    NULL update field PRESERVES it; keys only in updates insert, keys
+    only in existing survive untouched. This is the reference Apply's
+    per-field merge contract (datasource.go:206-276), where a partial
+    update object must not clobber sibling fields.
+
+    `order_col`: when updates may carry several rows per key, the row
+    with the highest order_col wins (latest-wins pre-dedup); without
+    it the caller guarantees one row per key.
+
+    Plan shape: one equi full-outer join on the keys (broadcast when
+    the update side is small, AQE otherwise) + a coalesce projection —
+    no UDFs, no collects."""
+    if order_col is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        updates = (updates.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") == 1).drop("_rn"))
+    value_cols = [c for c in existing.columns if c not in keys]
+    joined = existing.alias("_e").join(updates.alias("_u"), on=keys, how="full_outer")
+    return joined.select(
+        *[F.col(k) for k in keys],
+        *[F.coalesce(F.col(f"_u.{c}"), F.col(f"_e.{c}")).alias(c)
+          for c in value_cols],
+    )
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
@@ -108,6 +147,35 @@ class Catalog:
             )
         (df.write.mode("overwrite").partitionBy(*partition_cols)
          .parquet(self._path(table)))
+
+    def merge_upsert(self, df: DataFrame, table: str, keys: list[str],
+                     order_col: str | None = None) -> None:
+        """S5 Apply with the reference's FIELD-WISE merge semantics
+        (datasource.go:206-276): see merge_frames. Intended for
+        control-plane-sized tables (rule/config/dimension) — the hot
+        data path stays on overwrite_partitions. On Iceberg this is a
+        single atomic MERGE INTO; the parquet fallback materializes the
+        merged frame (localCheckpoint, so the read of the old files is
+        finished before they are replaced) and overwrites."""
+        if not self.table_exists(table):
+            if order_col is not None:
+                df = merge_frames(df.limit(0), df, keys, order_col)
+            self.append(df, table)
+            return
+        if self.iceberg:
+            value_cols = [c for c in df.columns if c not in keys]
+            tmp = f"_merge_src_{table.replace('.', '_')}"
+            df.createOrReplaceTempView(tmp)
+            on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            sets = ", ".join(f"t.{c} = coalesce(s.{c}, t.{c})" for c in value_cols)
+            self.spark.sql(
+                f"MERGE INTO {self._ident(table)} t USING {tmp} s ON {on} "
+                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT *")
+            return
+        merged = merge_frames(self.read(table), df, keys, order_col)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self._path(table))
 
     def drop(self, table: str) -> None:
         if self.iceberg:

@@ -51,3 +51,136 @@ def test_per_kind_stats_prunes_payload(media):
     assert "Exchange" in explained
     post_shuffle = explained.split("Exchange")[0]
     assert "payload" not in post_shuffle
+
+
+# ---------------------------------------------------------------------------
+# real PNG codec path (functions/png.py): images are no longer stubbed
+# ---------------------------------------------------------------------------
+
+def _gradient(h, w):
+    import numpy as np
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 255 // max(w - 1, 1)),
+                     (y * 255 // max(h - 1, 1)),
+                     ((x + y) * 255 // max(h + w - 2, 1))],
+                    axis=2).astype("uint8")
+
+
+def test_png_roundtrip_rgb_gray_rgba():
+    import numpy as np
+    from logging_spark.functions import png
+
+    rgb = _gradient(13, 7)
+    assert (png.decode_png(png.encode_png(rgb)) == rgb).all()
+    gray = rgb[:, :, 0]
+    assert (png.decode_png(png.encode_png(gray)).squeeze() == gray).all()
+    rgba = np.dstack([rgb, np.full((13, 7), 200, "uint8")])
+    assert (png.decode_png(png.encode_png(rgba)) == rgba).all()
+
+
+def test_png_decoder_handles_all_five_filters():
+    """Foreign encoders emit filters 1-4; build one PNG whose rows use
+    filter 0..4 (forward-filtered here per the spec) and verify the
+    decoder reverses every one of them."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from logging_spark.functions import png
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (5, 6, 3)).astype("uint8")
+    h, w, ch = img.shape
+    flat = img.reshape(h, w * ch).astype(int)
+    out = bytearray()
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, int)
+        line = np.zeros(w * ch, int)
+        for x in range(w * ch):
+            left = cur[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            line[x] = (cur[x] - pred) % 256
+        out.append(f)
+        out.extend(int(v) for v in line)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr)
+            + png._chunk(b"IDAT", zlib.compress(bytes(out)))
+            + png._chunk(b"IEND", b""))
+    assert (png.decode_png(data) == img).all()
+
+
+def test_extract_features_real_pixels_not_payload_hash(spark):
+    """Two PNGs with identical pixels but different compressed BYTES
+    (different zlib levels) must give identical real features — proof
+    the decode_stub=False path reads pixels, not payload bytes. The
+    stub path gives different vectors for the same two payloads."""
+    import zlib
+
+    import numpy as np
+    from logging_spark import multimodal as mm
+    from logging_spark.functions import png
+
+    img = _gradient(32, 48)
+    p1 = png.encode_png(img)
+    # same pixels, different bytes: recompress IDAT at level 9
+    raw = np.empty((32, 1 + 48 * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(32, 48 * 3)
+    import struct
+    ihdr = struct.pack(">IIBBBBB", 48, 32, 8, 2, 0, 0, 0)
+    p2 = (b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr)
+          + png._chunk(b"IDAT", zlib.compress(raw.tobytes(), 9))
+          + png._chunk(b"IEND", b""))
+    assert p1 != p2
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(p1)), (2, "image", bytearray(p2))],
+        "media_id long, kind string, payload binary")
+    real = {r["media_id"]: list(r["feature"])
+            for r in mm.extract_features(df, decode_stub=False).collect()}
+    assert real[1] == real[2]
+    want = [float(v) for v in png.image_features(img)]
+    assert np.allclose(real[1], want)
+
+    fake = {r["media_id"]: list(r["feature"])
+            for r in mm.extract_features(df, decode_stub=True).collect()}
+    assert fake[1] != fake[2]          # stub is payload-hash based
+    assert real[1] != fake[1]          # and differs from real pixels
+
+
+def test_resize_image_payloads_real_pixels(spark):
+    import numpy as np
+    from logging_spark import multimodal as mm
+    from logging_spark.functions import png
+
+    big = _gradient(64, 128)    # longest side 128 -> 32 => 16x32
+    small = _gradient(8, 10)    # untouched
+    df = spark.createDataFrame(
+        [(1, bytearray(png.encode_png(big))),
+         (2, bytearray(png.encode_png(small)))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in
+            mm.resize_image_payloads(df, max_side=32).collect()}
+    assert (rows[1]["out_width"], rows[1]["out_height"]) == (32, 16)
+    assert (rows[2]["out_width"], rows[2]["out_height"]) == (10, 8)
+    out = png.decode_png(bytes(rows[1]["payload"]))
+    assert out.shape == (16, 32, 3)
+    # nearest-neighbor: every output pixel exists somewhere in the input
+    ys = (np.arange(16) * 64) // 16
+    xs = (np.arange(32) * 128) // 32
+    assert (out == big[ys][:, xs]).all()

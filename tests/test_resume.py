@@ -106,3 +106,35 @@ def test_crashed_bucket_partial_write_is_overwritten(spark, fixtures, tmp_path_f
     assert cat.read(ROUTED_TABLE).where(
         F.col("conv_id") == "conv-GARBAGE").count() == 0  # partition rewritten
     assert _snapshot(cat) == want
+
+
+def test_merge_upsert_field_wise(spark, tmp_path_factory):
+    """S5 Apply with reference merge semantics (datasource.go:206-276):
+    a NULL field in an update row preserves the existing value; new
+    keys insert; re-applying the same update is idempotent."""
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    schema = "k string, a string, b string"
+    cat.merge_upsert(
+        spark.createDataFrame([("k1", "a1", "b1"), ("k2", "a2", "b2")], schema),
+        "cfg.rules", keys=["k"])
+    # partial update: b=None must NOT clobber existing b1; k3 inserts
+    upd = spark.createDataFrame([("k1", "a1x", None), ("k3", "a3", None)], schema)
+    cat.merge_upsert(upd, "cfg.rules", keys=["k"])
+    got = {r["k"]: (r["a"], r["b"]) for r in cat.read("cfg.rules").collect()}
+    assert got == {"k1": ("a1x", "b1"), "k2": ("a2", "b2"), "k3": ("a3", None)}
+    # idempotent re-apply
+    cat.merge_upsert(upd, "cfg.rules", keys=["k"])
+    got2 = {r["k"]: (r["a"], r["b"]) for r in cat.read("cfg.rules").collect()}
+    assert got2 == got
+
+
+def test_merge_upsert_latest_wins_order_col(spark, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    schema = "k string, v string, ts long"
+    cat.merge_upsert(spark.createDataFrame([("k1", "old", 1)], schema),
+                     "cfg.vals", keys=["k"], order_col="ts")
+    # two update rows for the same key: highest ts wins
+    upd = spark.createDataFrame([("k1", "mid", 5), ("k1", "new", 9)], schema)
+    cat.merge_upsert(upd, "cfg.vals", keys=["k"], order_col="ts")
+    rows = cat.read("cfg.vals").collect()
+    assert len(rows) == 1 and rows[0]["v"] == "new" and rows[0]["ts"] == 9
