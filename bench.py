@@ -41,7 +41,7 @@ HEADLINE = [
 ]
 
 
-def run_suite(cpus: int) -> dict:
+def run_suite(cpus: int, repeats: int = 3) -> dict:
     from logging_spark.session import build_session
     from logging_spark import contract
 
@@ -57,23 +57,35 @@ def run_suite(cpus: int) -> dict:
     spark.range(100_000).selectExpr("sum(id)").collect()
     contract.turns_df(spark, SF_DIR).limit(1000).write.format("noop").mode("overwrite").save()
 
-    results: dict[str, float] = {}
-    for name in HEADLINE:
-        df = queries[name](spark, SF_DIR)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        results[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()  # operators persist intermediates; isolate queries
-    total = round(sum(results.values()), 3)
+    # per-query best-of-N with the repeats INTERLEAVED (full suite
+    # passes, not N back-to-back runs of one query): this VM shows
+    # 2-3x ambient run-to-run variance, and interleaving decorrelates
+    # a noisy window from any single query. min is the headline
+    # (closest to the machine's true capability); median is reported
+    # alongside so regressions are distinguishable from noise.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(repeats):
+        for name in HEADLINE:
+            df = queries[name](spark, SF_DIR)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()  # operators cache intermediates; isolate queries
+    import statistics
+    best = {n: min(s) for n, s in samples.items()}
+    med = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    total = round(sum(best.values()), 3)
     out = {
-        "metric": f"headline suite wall time ({len(HEADLINE)} queries, parse/enrich/route/agg + dedup/ANN/TPCH)",
+        "metric": f"headline suite wall time ({len(HEADLINE)} queries, parse/enrich/route/agg + dedup/ANN/TPCH; per-query best of {repeats} interleaved)",
         "value": total,
         "unit": "sec",
-        "queries": results,
+        "queries": best,
+        "queries_median": med,
+        "value_median": round(sum(med.values()), 3),
         "sf": SF_DIR,
         "cpus": cpus,
         "throughput": {
-            "pipe_e2e_turns_per_sec": round(n_turns / results["pipe_e2e"], 1),
+            "pipe_e2e_turns_per_sec": round(n_turns / best["pipe_e2e"], 1),
             "n_turns": n_turns,
         },
     }
@@ -117,42 +129,58 @@ def _submit_once(here: str, cpus: int, n_conversations: int,
 
 
 def run_scaling(n_conversations: int = 80000, turns_per_conv: int = 100,
-                repeats: int = 3) -> dict:
+                repeats: int = 5, pair: tuple[int, int] = (8, 32)) -> dict:
     """North-rule scaling evidence: the SAME end-to-end job
     (parse→enrich→route→aggregate incl. partitioned sink writes) via
-    spark-submit --py-files at N and 4N parallelism (local[8] vs
-    local[32] — the sandbox proxy for N vs 4N executors) on identical
+    spark-submit --py-files at N and 4N parallelism (local[N] vs
+    local[4N] — the sandbox proxy for N vs 4N executors) on identical
     deterministic input. Efficiency = (tput_4N / tput_N) / 4.
 
-    Runs are INTERLEAVED (8,32,8,32,...) and best-of-repeats is used:
-    this VM shows heavy ambient interference (hypervisor steal time up
-    to 15%), and best-of cancels slow outliers that have nothing to do
-    with the job. A raw-CPU calibration (multiprocessing busy loop) is
-    reported alongside, because the VM itself cannot deliver 4x
-    userspace throughput from 8->32 vCPUs; the honest ceiling matters
-    when reading the ratio."""
+    Methodology against this VM's 2-3x ambient variance:
+    - legs are INTERLEAVED (N, 4N, N, 4N, ...) so a noisy window hits
+      both legs, not one;
+    - BOTH best-of-repeats and median-of-repeats efficiencies are
+      reported — best is closest to the machine's true capability,
+      median shows the distribution didn't get cherry-picked;
+    - a raw-CPU calibration (pure multiprocessing busy loop, N vs 4N
+      processes, no Spark/IO) runs INSIDE the same measurement window,
+      before every repeat, because this VM cannot deliver 4x userspace
+      throughput at full width (hypervisor steal + oversubscription);
+      the per-window ceiling is what the Spark ratio must be read
+      against. pair=(4,16) keeps both legs under half the vCPUs, where
+      the hypervisor penalty is smallest."""
     here = os.path.dirname(os.path.abspath(__file__))
     subprocess.run([sys.executable, os.path.join(here, "make_pyfiles.py")],
                    check=True, capture_output=True)
-    samples: dict[int, list[dict]] = {8: [], 32: []}
+    lo, hi = pair
+    samples: dict[int, list[dict]] = {lo: [], hi: []}
+    ceilings = []
     for r in range(repeats):
-        for cpus in (8, 32):
+        ceilings.append(_cpu_calibration(pair))
+        for cpus in (lo, hi):
             samples[cpus].append(_submit_once(
                 here, cpus, n_conversations, turns_per_conv, f"r{r}"))
+    import statistics
     runs = {}
     for cpus, ss in samples.items():
         best = min(ss, key=lambda s: s["seconds"])
+        med_tput = statistics.median(s["turns_per_sec"] for s in ss)
         runs[cpus] = {"seconds": best["seconds"],
                       "all_seconds": [s["seconds"] for s in ss],
                       "n_input_turns": best["n_input_turns"],
                       "routed_rows": sum(v["n_rows"] for v in best["per_sink_counts"].values()),
-                      "turns_per_sec": best["turns_per_sec"]}
-    eff = (runs[32]["turns_per_sec"] / runs[8]["turns_per_sec"]) / 4.0
+                      "turns_per_sec": best["turns_per_sec"],
+                      "turns_per_sec_median": round(med_tput, 1)}
+    eff_best = (runs[hi]["turns_per_sec"] / runs[lo]["turns_per_sec"]) / 4.0
+    eff_med = (runs[hi]["turns_per_sec_median"]
+               / runs[lo]["turns_per_sec_median"]) / 4.0
     return {
-        "metric": "scaling efficiency e2e pipeline local[8]->local[32] (N vs 4N)",
-        "value": round(eff, 3), "unit": "ratio",
-        "runs": {f"local{c}": runs[c] for c in (8, 32)},
-        "hw_ceiling": _cpu_calibration(),
+        "metric": f"scaling efficiency e2e pipeline local[{lo}]->local[{hi}] (N vs 4N)",
+        "value": round(eff_best, 3), "unit": "ratio",
+        "value_median": round(eff_med, 3),
+        "runs": {f"local{c}": runs[c] for c in (lo, hi)},
+        "hw_ceiling_per_window": ceilings,
+        "hw_ceiling_best": max(c["raw_cpu_efficiency"] for c in ceilings),
         "workload": {"n_conversations": n_conversations,
                      "turns_per_conv": turns_per_conv},
     }
@@ -165,28 +193,42 @@ def _burn(n: int) -> int:
     return x
 
 
-def _cpu_calibration() -> dict:
-    """Pure-userspace CPU scaling of this VM, 8 vs 32 processes: the
-    upper bound any 8->32 Spark measurement can reach here."""
+def _cpu_calibration(pair: tuple[int, int] = (8, 32)) -> dict:
+    """Pure-userspace CPU scaling of this VM, N vs 4N processes: the
+    upper bound any N->4N Spark measurement can reach in this window."""
     import multiprocessing as mp
 
     burn = _burn
     n = 20_000_000
+    lo, hi = pair
     rates = {}
-    for procs in (8, 32):
+    for procs in (lo, hi):
         t0 = time.time()
         with mp.Pool(procs) as pool:
             pool.map(burn, [n] * procs)
         rates[procs] = procs * n / (time.time() - t0)
-    return {"raw_cpu_8to32_efficiency": round((rates[32] / rates[8]) / 4.0, 3)}
+    return {"pair": [lo, hi],
+            "raw_cpu_efficiency": round((rates[hi] / rates[lo]) / 4.0, 3)}
 
 
 def main() -> int:
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        # --scaling [lo,hi] [n_conversations] — e.g. `--scaling 4,16 40000`
+        i = sys.argv.index("--scaling")
+        rest = sys.argv[i + 1:]
+        pair = (8, 32)
+        kwargs = {}
+        if rest and "," in rest[0]:
+            lo, hi = rest[0].split(",")
+            pair = (int(lo), int(hi))
+            rest = rest[1:]
+        if rest:
+            kwargs["n_conversations"] = int(rest[0])
+        print(json.dumps(run_scaling(pair=pair, **kwargs)))
         return 0
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(json.dumps(run_suite(cpus)))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    print(json.dumps(run_suite(cpus, repeats=repeats)))
     return 0
 
 
