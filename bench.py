@@ -96,7 +96,11 @@ def run_suite(cpus: int, repeats: int = 3) -> dict:
 def _submit_once(here: str, cpus: int, n_conversations: int,
                  turns_per_conv: int, tag: str) -> dict:
     import shutil
-    wh = f"/tmp/wh_bench_{cpus}_{tag}"
+    # warehouse on tmpfs: the VM's single virtio disk is a sandbox
+    # artifact (a real cluster writes sinks to distributed storage that
+    # scales with executors); shuffle dirs are on tmpfs for the same
+    # reason. Sink size at this workload is ~200 MB — far under RAM.
+    wh = f"/dev/shm/wh_bench_{cpus}_{tag}"
     shutil.rmtree(wh, ignore_errors=True)
     cmd = [
         "spark-submit", "--master", f"local[{cpus}]",
@@ -110,6 +114,7 @@ def _submit_once(here: str, cpus: int, n_conversations: int,
         "--conf", "spark.local.dir=/dev/shm/spark-local",
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
         "--conf", "spark.sql.parquet.compression.codec=zstd",
+        "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
         "--py-files", os.path.join(here, "dist/logging_spark.zip"),
         os.path.join(here, "run_job.py"),
         "--warehouse", wh,
@@ -170,7 +175,8 @@ def run_scaling(n_conversations: int = 80000, turns_per_conv: int = 100,
                       "n_input_turns": best["n_input_turns"],
                       "routed_rows": sum(v["n_rows"] for v in best["per_sink_counts"].values()),
                       "turns_per_sec": best["turns_per_sec"],
-                      "turns_per_sec_median": round(med_tput, 1)}
+                      "turns_per_sec_median": round(med_tput, 1),
+                      "phase_seconds_best": best.get("phase_seconds", {})}
     eff_best = (runs[hi]["turns_per_sec"] / runs[lo]["turns_per_sec"]) / 4.0
     eff_med = (runs[hi]["turns_per_sec_median"]
                / runs[lo]["turns_per_sec_median"]) / 4.0
@@ -213,7 +219,8 @@ def _cpu_calibration(pair: tuple[int, int] = (8, 32)) -> dict:
 
 def main() -> int:
     if "--scaling" in sys.argv:
-        # --scaling [lo,hi] [n_conversations] — e.g. `--scaling 4,16 40000`
+        # --scaling [lo,hi] [n_conversations] [repeats]
+        # e.g. `--scaling 4,16 160000 3`
         i = sys.argv.index("--scaling")
         rest = sys.argv[i + 1:]
         pair = (8, 32)
@@ -224,6 +231,8 @@ def main() -> int:
             rest = rest[1:]
         if rest:
             kwargs["n_conversations"] = int(rest[0])
+        if len(rest) > 1:
+            kwargs["repeats"] = int(rest[1])
         print(json.dumps(run_scaling(pair=pair, **kwargs)))
         return 0
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

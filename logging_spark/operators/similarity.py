@@ -89,13 +89,22 @@ def brute_force_topk_expr(
 def brute_force_topk(
     queries: DataFrame, candidates: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_broadcast: int = 1_000_000,
 ) -> DataFrame:
     """Exact top-k with a vectorized numpy kernel: the candidate set is
     collected once to the driver, L2-normalized, and broadcast; each
     Arrow batch of queries does one (B x D) @ (D x N) matmul + argpartition.
     Scales in the QUERY dimension (distributed); the candidate side
-    must fit an executor (~10^6 x 64 floats = 256 MB). Beyond that,
-    shard candidates and take top-k of top-ks (same groupBy plan)."""
+    must fit an executor (~10^6 x 64 floats = 256 MB). Past
+    `max_broadcast` candidates it auto-dispatches to
+    brute_force_topk_sharded — same exact semantics, candidates
+    hash-sharded through the exchange instead of driver-collected."""
+    n_cand = candidates.count()
+    if n_cand > max_broadcast:
+        shards = max(2, math.ceil(n_cand / max_broadcast))
+        return brute_force_topk_sharded(queries, candidates, k,
+                                        n_shards=shards,
+                                        id_col=id_col, vec_col=vec_col)
     spark = queries.sparkSession
     cand = candidates.select(id_col, vec_col).toPandas()
     ids = cand[id_col].to_numpy()

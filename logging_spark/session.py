@@ -53,11 +53,24 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # LAST_WIN = python-dict duplicate-key semantics inside
+        # map_from_entries (first position, last value): lets the
+        # parser skip its O(k^2) interpreted dedup fallback
+        # (functions/parse.py) — measured ~2x parse-stage speedup
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # v2 commit: task outputs move to the destination at task
+        # commit (parallel, on executors) instead of one serial
+        # driver-side rename pass at job commit — measurably shorter
+        # commit floor for many-partition sink writes. Idempotent
+        # resume is unaffected: bucket overwrite replaces whole
+        # partition dirs, so a torn job is rewritten either way
+        # (tests/test_resume.py crash-mid-write case).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     # zstd sink files: ~3x smaller than snappy on log-like text, which
     # converts sink-write time from (serial) disk bandwidth into

@@ -106,3 +106,13 @@ def test_ivf_topk_recall(spark, sf_dir):
     # every query must still get k results (cells are non-empty)
     n_q = approx.select("query_id").distinct().count()
     assert n_q == e.count()
+
+
+def test_topk_auto_dispatch_past_broadcast_budget(vecs):
+    # force the dispatch with a tiny budget: results must be identical
+    # to the broadcast-kernel path (both are exact)
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in S.brute_force_topk(vecs, vecs, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in S.brute_force_topk(vecs, vecs, k=3, max_broadcast=50).collect()}
+    assert a == b

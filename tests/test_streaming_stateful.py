@@ -1,0 +1,124 @@
+"""Custom stateful streaming operator (applyInPandasWithState):
+session assembly with per-conversation state across micro-batches,
+closed by gap or by event-time timeout, state bounded by watermark."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+IN_SCHEMA = "conv_id string, turn_idx int, ts timestamp"
+T0 = datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _drain(spark, input_dir, sink_dir, chk_dir):
+    from logging_spark.streaming.stateful import streaming_sessionize
+
+    turns = (spark.readStream.schema(IN_SCHEMA)
+             .option("maxFilesPerTrigger", 1).parquet(input_dir))
+    sessions = streaming_sessionize(turns, gap_minutes=30, watermark="1 hour")
+
+    def sink(batch, _bid):
+        batch.write.mode("append").parquet(sink_dir)
+
+    q = (sessions.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def _read_sessions(spark, sink_dir):
+    from logging_spark.streaming.stateful import SESSION_SCHEMA
+    try:
+        return spark.read.schema(SESSION_SCHEMA).parquet(sink_dir).collect()
+    except Exception:
+        return []
+
+
+def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
+    from datetime import timedelta
+
+    d = {k: str(tmp_path / k) for k in ("input", "sink", "chk")}
+
+    def write(rows):
+        spark.createDataFrame(rows, IN_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d["input"])
+
+    # batch 1: conv A, two turns 10 min apart -> one OPEN session,
+    # nothing emitted yet
+    write([("A", 1, T0), ("A", 2, T0 + timedelta(minutes=10))])
+    _drain(spark, d["input"], d["sink"], d["chk"])
+    assert _read_sessions(spark, d["sink"]) == []
+
+    # batch 2: conv A turn 2h later -> gap rule CLOSES session 1
+    # (2 turns) and opens session 2
+    write([("A", 3, T0 + timedelta(hours=2))])
+    _drain(spark, d["input"], d["sink"], d["chk"])
+    rows = _read_sessions(spark, d["sink"])
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["conv_id"], r["session_id"], r["n_turns"]) == ("A", 1, 2)
+    assert r["session_start"] == T0
+    assert r["session_end"] == T0 + timedelta(minutes=10)
+
+    # batch 3: unrelated conv B far in the future -> watermark passes
+    # session 2's horizon -> EVENT-TIME TIMEOUT emits it and drops
+    # conv A's state; conv B's own session stays open (not emitted)
+    write([("B", 1, T0 + timedelta(hours=48))])
+    _drain(spark, d["input"], d["sink"], d["chk"])
+    rows = {(r["conv_id"], r["session_id"]): r
+            for r in _read_sessions(spark, d["sink"])}
+    assert set(rows) == {("A", 1), ("A", 2)}
+    s2 = rows[("A", 2)]
+    assert s2["n_turns"] == 1
+    assert s2["session_start"] == s2["session_end"] == T0 + timedelta(hours=2)
+
+
+def test_streaming_sessionize_matches_batch_operator(spark, tmp_path):
+    """Closed streaming sessions agree with the batch sessionize
+    operator on the same (key, ts) data — same gap rule, same
+    contiguous numbering."""
+    import random
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from logging_spark.operators.sessionize import sessionize
+
+    rng = random.Random(11)
+    rows, t = [], {}
+    for conv in ("c1", "c2", "c3"):
+        cur = T0 + timedelta(minutes=rng.randint(0, 60))
+        for i in range(30):
+            rows.append((conv, i, cur))
+            # mix of intra-session steps and >30min session breaks
+            cur += timedelta(minutes=rng.choice([1, 5, 20, 45, 90]))
+        t[conv] = cur
+    d = {k: str(tmp_path / k) for k in ("input", "sink", "chk")}
+    spark.createDataFrame(rows, IN_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d["input"])
+    # sentinel far in the future so the watermark closes everything
+    sentinel = [("zz", 0, max(t.values()) + timedelta(hours=100))]
+    spark.createDataFrame(sentinel, IN_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d["input"])
+
+    _drain(spark, d["input"], d["sink"], d["chk"])
+    # second drain so the sentinel's watermark (set in trigger 1) fires
+    # the timeouts recorded in trigger state
+    spark.createDataFrame(
+        [("zz", 1, sentinel[0][2] + timedelta(hours=1))], IN_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(d["input"])
+    _drain(spark, d["input"], d["sink"], d["chk"])
+
+    got = {(r["conv_id"], r["session_id"]): r["n_turns"]
+           for r in _read_sessions(spark, d["sink"])
+           if r["conv_id"] not in ("zz",)}
+
+    batch_in = spark.createDataFrame(rows, IN_SCHEMA)
+    want = {(r["conv_id"], r["session_id"]): r["n_turns"]
+            for r in sessionize(batch_in, key="conv_id", ts_col="ts",
+                                order_tiebreak="turn_idx", gap_seconds=1800)
+            .groupBy("conv_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_turns")).collect()}
+    assert got == want
