@@ -107,7 +107,11 @@ def _submit_once(here: str, cpus: int, n_conversations: int,
         # spark-submit defaults to a 1g driver; in local mode the
         # driver IS the executor, so size it like one
         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        "--conf", f"spark.sql.shuffle.partitions={2 * cpus}",
+        # 4x cores: wave quantization dominates at 2x (64 tasks on 32
+        # cores = 2 waves; a straggler idles 31 cores for its whole
+        # overhang). Finer tasks pack the tail — same rule as a real
+        # cluster's 2-4x total-cores guidance.
+        "--conf", f"spark.sql.shuffle.partitions={4 * cpus}",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
@@ -122,10 +126,11 @@ def _submit_once(here: str, cpus: int, n_conversations: int,
         "--turns-per-conv", str(turns_per_conv),
         # workload held CONSTANT across parallelism levels: bucket and
         # write-partition counts must not vary with cpus or the two
-        # legs run different jobs
+        # legs run different jobs. 128 write partitions packs cleanly
+        # at both widths (16 waves at 8 cores, 4 at 32).
         "--num-buckets", "32",
         "--snapshot", f"bench-{cpus}-{tag}",
-        "--write-partitions", "64",
+        "--write-partitions", "128",
     ]
     p = subprocess.run(cmd, capture_output=True, text=True, check=True)
     stats = json.loads(p.stdout.strip().splitlines()[-1])

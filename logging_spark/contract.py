@@ -647,8 +647,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
         corpus_df(spark, sf), w=3, min_intersection=30)
 
+    # portable signature (md5-derived 60-bit token hashes): bit-exact
+    # across engines, value-checked against the DuckDB oracle
     q["dedup_simhash"] = lambda spark, sf: corpus_df(spark, sf).select(
-        "doc_id", simhash("text").alias("sig"))  # rows-only (xxhash64 not in DuckDB)
+        "doc_id", simhash("text", bits=60, portable=True).alias("sig"))
+    # production-path twin: xxhash64 token hashes (rows-only — DuckDB
+    # has no xxhash64), same expression shape
+    q["dedup_simhash_fast"] = lambda spark, sf: corpus_df(spark, sf).select(
+        "doc_id", simhash("text").alias("sig"))
 
     # -- similarity search --------------------------------------------------
     def sim_topk_cosine(spark, sf):
@@ -1067,6 +1073,26 @@ SELECT doc_a, doc_b, n_intersection,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b"""
+
+    # Charikar simhash, portable variant: per-token 60-bit hash from
+    # md5 hex (integer-exact in both engines; float-free throughout).
+    # Mirrors textdedup.simhash(bits=60, portable=True) bit for bit:
+    # duplicates-preserving token list, tally = sum of (+-1) votes per
+    # bit, bit set iff tally > 0, empty docs -> 0.
+    o["dedup_simhash"] = f"""
+WITH {CORPUS_CTE},
+tok AS (
+  SELECT doc_id,
+         list_transform({TOKS},
+                        t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+  FROM corpus)
+SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(range(60), k ->
+         CASE WHEN COALESCE(list_sum(list_transform(hs,
+                    h -> ((h >> k) & 1) * 2 - 1)), 0) > 0
+              THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)), 0)
+            AS BIGINT) AS sig
+FROM tok"""
 
     _vcos = ("list_dot_product(a.v, b.v) / "
              "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")

@@ -212,16 +212,28 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(text: Column | str, bits: int = 64) -> Column:
+def simhash(text: Column | str, bits: int = 64, portable: bool = False) -> Column:
     """Charikar SimHash as a single expression tree: per-token 64-bit
     hash votes +-1 per bit position; sign of the tally sets the bit.
-    aggregate+zip_with keeps it inside codegen, no explode/shuffle."""
+    aggregate+zip_with keeps it inside codegen, no explode/shuffle.
+
+    `portable=True` derives the per-token hash from md5 (first 15 hex
+    chars -> 60-bit integer, so pass bits<=60): integer-exact in any
+    engine with md5 + hex parsing, which makes the signature
+    oracle-checkable against DuckDB. Default xxhash64 is the fast
+    production path (one JVM hash vs md5+hex-parse per token)."""
     toks = tokens(text)
     zeros = F.array_repeat(F.lit(0).cast("long"), bits)
     # token hashes materialized once (transform), then folded into the
     # per-bit tally; bit positions are Python constants so shift
     # amounts are literals in the expression tree.
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if portable:
+        hashes = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
     tally = F.aggregate(
         hashes,
         zeros,

@@ -108,6 +108,7 @@ def run_pipeline(
     input_snapshot: str = "snap-0",
     run_id: str | None = None,
     write_partitions: int | None = None,
+    write_salt: int = 1,
 ) -> PipelineResult:
     t0 = time.time()
     phase_secs: dict[str, float] = {}
@@ -121,13 +122,17 @@ def run_pipeline(
 
     routed = transform(pend.drop("bucket"), lookup_df, rules, num_buckets)
     if write_partitions:
-        # salt-aware distribution: (sink_name, bucket, hash(turn_idx))
-        # spreads a hot (sink, bucket) cell across writers while dynamic
-        # partition overwrite still groups files per partition dir.
+        # distribution on the write keys so dynamic partition overwrite
+        # groups files per partition dir. write_salt > 1 additionally
+        # spreads a hot (sink, bucket) cell across that many writers —
+        # use it at scale when one cell outgrows a single task; at
+        # modest volume keep 1: every extra salt multiplies the sink
+        # FILE COUNT, and per-file metadata cost (open/commit/chmod,
+        # and the reader's footer+mmap churn) is the measured serial
+        # floor that caps scaling efficiency on many-small-file sinks.
+        salt = [F.pmod(F.hash("turn_idx"), F.lit(write_salt))] if write_salt > 1 else []
         routed = routed.repartition(
-            write_partitions, "sink_name", "bucket",
-            F.pmod(F.hash("turn_idx"), F.lit(8)),
-        )
+            write_partitions, "sink_name", "bucket", *salt)
     tw = time.time()
     catalog.overwrite_partitions(routed, ROUTED_TABLE, ["sink_name", "bucket"])
     phase_secs["transform_write"] = time.time() - tw
@@ -152,7 +157,13 @@ def run_pipeline(
             F.sum(F.when(F.col("level").isNull(), 1).otherwise(0)).alias("parse_errors"),
             F.grouping_id("bucket", "sink_name", "role").alias("_gid"),
         )
-        .persist()  # three tiny slices read below; base scan runs once
+        # materialize NOW, in parallel, before the coalesce(1) slice
+        # writes below: a lazy persist would first materialize under a
+        # coalesce(1) plan, collapsing the whole sink scan + agg into
+        # one task (profiled as a 5 s single-task stage). localCheckpoint
+        # blocks are auto-dropped by the ContextCleaner — no unpersist
+        # bookkeeping in long-lived sessions.
+        .localCheckpoint(eager=True)
     )
     # grouping_id bit k set = that column aggregated away
     stats = g.where(F.col("_gid") == 0b011).select(
@@ -162,15 +173,18 @@ def run_pipeline(
         new_stats = stats.join(F.broadcast(done), "bucket", "left_anti")
     ckpt.record_done(catalog, new_stats, input_snapshot)
 
+    # aggregate outputs are a handful of rows — coalesce(1) so each
+    # table is ONE file, not shuffle_partitions near-empty ones (local
+    # FS file ops fork subprocesses without native libhadoop; small
+    # files are pure overhead on any FS)
     counts = g.where(F.col("_gid") == 0b101).select(
-        "sink_name", "n_rows", "n_distinct_conv")
+        "sink_name", "n_rows", "n_distinct_conv").coalesce(1)
     roles = g.where(F.col("_gid") == 0b100).select(
-        "sink_name", "role", F.col("n_rows").alias("n_turns"))
+        "sink_name", "role", F.col("n_rows").alias("n_turns")).coalesce(1)
     catalog.drop(AGG_COUNTS_TABLE)
     catalog.append(counts, AGG_COUNTS_TABLE)
     catalog.drop(AGG_ROLES_TABLE)
     catalog.append(roles, AGG_ROLES_TABLE)
-    g.unpersist()
     phase_secs["aggregate_checkpoint"] = time.time() - ta
 
     secs = time.time() - t0
@@ -178,10 +192,17 @@ def run_pipeline(
         (run_id, phase, input_snapshot, None, f"{s:.3f}")
         for phase, s in phase_secs.items()
     ]
+    # pandas -> Arrow createDataFrame: driver-side conversion, no
+    # Python executor workers. A list-of-rows createDataFrame goes
+    # through pickled-RDD evaluation, and a cold Python worker fork
+    # under 32 task threads costs seconds per tiny bookkeeping write
+    # (profiled: a 4.9 s single-task stage at ~0 CPU).
+    import pandas as pd
     metrics = spark.createDataFrame(
-        phase_rows,
-        "run_id string, phase string, key string, rows long, seconds string",
-    ).withColumn("updated_ts", F.current_timestamp())
+        pd.DataFrame(phase_rows,
+                     columns=["run_id", "phase", "key", "rows", "seconds"]),
+        schema="run_id string, phase string, key string, rows long, seconds string",
+    ).withColumn("updated_ts", F.current_timestamp()).coalesce(1)
     catalog.append(metrics, METRICS_TABLE)
 
     return PipelineResult(

@@ -34,6 +34,33 @@ def build_session(
     - shuffle partitions default to 2x cores locally; on a real
       cluster set ~2-3x total executor cores via spark-submit --conf.
     """
+    # Under spark-submit the JVM gateway already exists and carries the
+    # submit-time conf (--master, --conf ...). Those MUST win over this
+    # module's local-mode defaults: overriding --master local[N] with
+    # local[cpu_count] silently runs every leg of a scaling comparison
+    # at full width (this exact bug shipped in round 1 — the N-vs-4N
+    # evidence was two identical configs measuring ambient noise).
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    submit_conf: dict[str, str] = {}
+    if submitted:
+        try:
+            # attach to the gateway spark-submit already launched (a
+            # plain SparkConf() here is python-local and EMPTY — the
+            # submit conf lives in the JVM's system properties)
+            from pyspark.java_gateway import launch_gateway
+
+            props = launch_gateway().jvm.java.lang.System.getProperties()
+            names = props.stringPropertyNames().iterator()
+            while names.hasNext():
+                k = names.next()
+                if k.startswith("spark."):
+                    submit_conf[k] = props.getProperty(k)
+        except Exception:
+            submit_conf = {}
+    submit_master = submit_conf.get("spark.master")
+    if cores is None and submit_master and submit_master.startswith("local["):
+        n = submit_master[len("local["):-1]
+        cores = (os.cpu_count() or 8) if n == "*" else int(n)
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
     # Sandbox/local-mode tuning (harmless on a real cluster where
@@ -44,9 +71,13 @@ def build_session(
     local_dir = None
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         local_dir = "/dev/shm/spark-local"
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not submit_master:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -71,6 +102,19 @@ def build_session(
         # partition dirs, so a torn job is rewritten either way
         # (tests/test_resume.py crash-mid-write case).
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # Local-FS metadata cost: pip-installed PySpark has no native
+        # libhadoop, so Hadoop's LocalFileSystem shells out (fork+exec
+        # of chmod/ls) for EVERY permission op and writes a .crc twin
+        # per file — profiled at ~90% blocked time in many-file sink
+        # writes (jstack: Shell.runCommand under task threads).
+        # RawLocalFileSystem skips checksum twins and most permission
+        # shelling; durability is parquet's own checksums + the
+        # overwrite-by-partition resume story. On a real cluster sinks
+        # live on HDFS/S3 and this conf is inert.
+        .config("spark.hadoop.fs.file.impl",
+                "org.apache.hadoop.fs.RawLocalFileSystem")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+                "false")
     )
     # zstd sink files: ~3x smaller than snappy on log-like text, which
     # converts sink-write time from (serial) disk bandwidth into
@@ -83,6 +127,9 @@ def build_session(
     # the time builder confs apply. The GC choice only takes effect via
     # spark-submit --conf spark.driver.extraJavaOptions=... (bench.py
     # passes it; plain `python` runs keep the JVM default GC).
+    # spark-submit's explicit conf wins over every module default above
+    for k, v in submit_conf.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -68,7 +68,8 @@ def record_done(
         .select("bucket", "input_snapshot", "row_count", "parse_errors",
                 "state", "updated_ts")
     )
-    catalog.append(rows, CHECKPOINT_TABLE)
+    # <= num_buckets rows: one file per append, not shuffle_partitions
+    catalog.append(rows.coalesce(1), CHECKPOINT_TABLE)
 
 
 def clear(catalog: Catalog) -> None:

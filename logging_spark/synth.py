@@ -148,7 +148,14 @@ FIXTURE_RULES = [
 
 
 def rules(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(FIXTURE_RULES, schema=S.RULES)
+    # pandas -> Arrow path: list-of-rows createDataFrame evaluates via
+    # pickled RDDs and forks a Python worker per core just to serve a
+    # 6-row table (profiled: 60 task-seconds blocked at local[32])
+    import pandas as pd
+
+    cols = [f.name for f in S.RULES.fields]
+    return spark.createDataFrame(
+        pd.DataFrame(FIXTURE_RULES, columns=cols), schema=S.RULES)
 
 
 def media(spark: SparkSession, n: int = 200) -> DataFrame:

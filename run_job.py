@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-buckets", type=int, default=32)
     p.add_argument("--snapshot", default="snap-0")
     p.add_argument("--write-partitions", type=int, default=None)
+    p.add_argument("--write-salt", type=int, default=1,
+                   help="writers per hot (sink,bucket) cell; >1 only at "
+                        "scale — each salt multiplies sink file count")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the steady-state warm-up pass (cold-start timing)")
     args = p.parse_args(argv)
@@ -87,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         num_buckets=args.num_buckets,
         input_snapshot=args.snapshot,
         write_partitions=args.write_partitions,
+        write_salt=args.write_salt,
     )
     wall = time.time() - t0
     counts = {r["sink_name"]: {"n_rows": r["n_rows"], "n_distinct_conv": r["n_distinct_conv"]}

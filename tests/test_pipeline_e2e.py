@@ -75,6 +75,23 @@ def test_routed_text_equality_under_ordering(run):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_write_salt_invariant(spark, fixtures, run, tmp_path_factory):
+    """write_salt only changes HOW rows are distributed to writer
+    tasks (and hence sink file counts) — never what is written. A
+    salted run must produce identical per-sink counts and rollups."""
+    turns, lookup, rules = fixtures
+    cat_ref, res_ref, _, _ = run
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_salt")))
+    res = run_pipeline(spark, turns, lookup, rules, cat, num_buckets=8,
+                       write_partitions=16, write_salt=4)
+    ref = res_ref.per_sink_counts.orderBy("sink_name").collect()
+    got = res.per_sink_counts.orderBy("sink_name").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+    ref_roles = res_ref.role_rollup.orderBy("sink_name", "role").collect()
+    got_roles = res.role_rollup.orderBy("sink_name", "role").collect()
+    assert [tuple(r) for r in got_roles] == [tuple(r) for r in ref_roles]
+
+
 def test_enrich_defaults_on_miss(spark, fixtures):
     from logging_spark.operators.enrich import enrich
 

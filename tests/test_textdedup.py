@@ -89,6 +89,31 @@ def test_simhash_properties(spark):
     assert ham01 < ham02  # near-dup closer than unrelated
 
 
+def _py_simhash_portable(text: str, bits: int = 60) -> int:
+    """Pure-python reference for simhash(portable=True): per-token
+    60-bit hash = int(md5 hex[:15], 16); bit k set iff the +-1 vote
+    tally over ALL tokens (duplicates preserved) is > 0."""
+    import hashlib
+
+    toks = text.strip().split() if text.strip() else []
+    tally = [0] * bits
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for k in range(bits):
+            tally[k] += 1 if (h >> k) & 1 else -1
+    return sum(1 << k for k in range(bits) if tally[k] > 0)
+
+
+def test_simhash_portable_matches_python_reference(spark):
+    docs = DOCS + [(97, ""), (98, "   "), (99, "dup dup dup one")]
+    df = spark.createDataFrame(docs, SCHEMA)
+    rows = df.select(
+        "doc_id", D.simhash("text", bits=60, portable=True).alias("sh")).collect()
+    for r in rows:
+        expect = _py_simhash_portable(dict(docs)[r["doc_id"]])
+        assert r["sh"] == expect, r["doc_id"]
+
+
 def test_ngram_jaccard_hot_shingle_cap(spark):
     # 40 docs all sharing one boilerplate shingle ("standard legal
     # footer"), plus one true near-dup pair with unique overlap. With
