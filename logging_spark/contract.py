@@ -48,6 +48,7 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 embedding_near_duplicates,
                                                 ivf_topk, lsh_topk,
                                                 plane_signs)
+from logging_spark.operators.cluster import duplicate_clusters
 from logging_spark.operators.textdedup import (exact_duplicates,
                                                lsh_candidate_pairs,
                                                ngram_jaccard_pairs, simhash)
@@ -647,6 +648,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
         corpus_df(spark, sf), w=3, min_intersection=30)
 
+    # cluster assembly over the LSH pair graph: connected components
+    # via iterative min-label propagation, canonical = min id. The
+    # oracle reaches the same fixpoint with a recursive CTE.
+    q["dedup_cluster"] = lambda spark, sf: duplicate_clusters(
+        lsh_candidate_pairs(corpus_df(spark, sf), num_perm=8, bands=4,
+                            w=3, portable=True))
+
     # portable signature (md5-derived 60-bit token hashes): bit-exact
     # across engines, value-checked against the DuckDB oracle
     q["dedup_simhash"] = lambda spark, sf: corpus_df(spark, sf).select(
@@ -1035,8 +1043,7 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1"""
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_idx, md5(sig[{2*b+1}] || '|' || sig[{2*b+2}]) AS band_hash FROM sigs"
         for b in range(4))
-    o["dedup_minhash_lsh"] = f"""
-WITH {CORPUS_CTE},
+    _lsh_ctes = f"""{CORPUS_CTE},
 sh AS (SELECT doc_id, {SHINGLES} AS sh
        FROM (SELECT doc_id, {TOKS} AS toks FROM corpus)),
 sigs AS (SELECT doc_id, [
@@ -1048,10 +1055,28 @@ banded AS (
   -- every row of a degenerate bucket BEFORE the pair expansion, so
   -- Spark and the oracle agree even once a larger sf hits the cap
   SELECT * FROM banded_raw
-  QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= 1000)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= 1000)"""
+    _lsh_pairs = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
+    o["dedup_minhash_lsh"] = f"WITH {_lsh_ctes}\n{_lsh_pairs}"
+
+    # connected components over the LSH pair graph: reachability to
+    # fixpoint in a recursive CTE, canonical = min reachable id. The
+    # Spark side is iterative label propagation (operators/cluster.py)
+    # — totally different algorithm, same fixpoint, which is exactly
+    # what an oracle should check.
+    o["dedup_cluster"] = f"""
+WITH RECURSIVE {_lsh_ctes},
+pairs AS ({_lsh_pairs}),
+und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT s, d FROM und
+  UNION
+  SELECT reach.node, und.d FROM reach JOIN und ON reach.r = und.s)
+SELECT node AS doc_id, least(node, min(r)) AS canonical_id
+FROM reach GROUP BY node"""
 
     o["dedup_ngram_jaccard"] = f"""
 WITH {CORPUS_CTE},

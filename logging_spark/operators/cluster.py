@@ -1,0 +1,86 @@
+"""Duplicate-cluster assembly: connected components over candidate
+pairs, picking one canonical document per cluster.
+
+Near-dup detection (textdedup.lsh_candidate_pairs,
+similarity.embedding_near_duplicates) emits PAIRS; a curation pipeline
+needs CLUSTERS — "these 17 docs are one group, keep doc 42". That is
+connected components over the pair graph with min-id as the canonical
+representative, the standard final step of a web-scale dedup pass.
+
+Algorithm: iterative min-label propagation with pointer jumping —
+each round every node takes the minimum label among itself, its
+neighbors, and its current label's own label (path halving). Plain
+neighbor propagation alone needs O(diameter) rounds (bad on chains);
+the pointer-jumping join cuts it to O(log n) like the classic
+MapReduce CC formulations (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — public). In practice LSH candidate
+graphs are unions of near-cliques, so convergence is 2-3 rounds.
+
+Scale shape per round: two shuffle joins (edges⨝labels, labels⨝labels)
++ one agg, all keyed on node/label ids (uniform by construction).
+Lineage is truncated every round with localCheckpoint (blocks are
+ContextCleaner-owned — nothing for callers to unpersist), so the plan
+does not grow with iterations; the convergence probe piggybacks on the
+same materialization (max(changed) over the checkpointed frame), one
+action per round. Driver holds only the loop counter — no per-node
+state ever leaves the executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a",
+                       id_b: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """(doc_id, canonical_id) for every doc appearing in >=1 pair;
+    canonical_id = min doc id of its connected component. Docs in no
+    pair are implicitly their own cluster (left out, like the pair
+    operators leave out non-duplicates)."""
+    und = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (und.unionByName(und.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = edges.select(F.col("a").alias("node")).distinct() \
+                  .select("node", F.col("node").alias("label"))
+    for _ in range(max_iter):
+        # min label among neighbors (edges are symmetric, so grouping
+        # by the destination covers every node with >=1 edge)
+        nbr = (edges.join(labels.withColumnRenamed("node", "a"), "a")
+               .groupBy(F.col("b").alias("node"))
+               .agg(F.min("label").alias("nbr_label")))
+        step = (labels.join(nbr, "node", "left")
+                .select("node",
+                        F.least("label", F.coalesce("nbr_label", "label"))
+                        .alias("label")))
+        # pointer jumping: follow my label to ITS label (path halving)
+        hop = labels.select(F.col("node").alias("label"),
+                            F.col("label").alias("hop_label"))
+        step = (step.join(hop, "label", "left")
+                .select("node",
+                        F.least("label", F.coalesce("hop_label", "label"))
+                        .alias("label")))
+        prev = labels
+        labels = step.localCheckpoint(eager=True)
+        changed = (labels.withColumnRenamed("label", "new_label")
+                   .join(prev, "node")
+                   .where(F.col("new_label") != F.col("label"))
+                   .limit(1).count())
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("canonical_id"))
+
+
+def keep_canonical(df: DataFrame, clusters: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Filter a corpus to one representative per duplicate cluster:
+    drop every doc whose cluster canonical is a different doc. The
+    duplicate set is a small fraction of the corpus, so the anti-join
+    side is broadcast."""
+    losers = (clusters
+              .where(F.col("doc_id") != F.col("canonical_id"))
+              .select(F.col("doc_id").alias(id_col)))
+    return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -1,0 +1,49 @@
+"""Connected-components duplicate clustering (operators/cluster.py)."""
+
+from pyspark.sql import functions as F
+
+from logging_spark.operators.cluster import duplicate_clusters, keep_canonical
+
+PAIRS_SCHEMA = "doc_a long, doc_b long"
+
+
+def _clusters(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, PAIRS_SCHEMA)
+    return {(r["doc_id"], r["canonical_id"])
+            for r in duplicate_clusters(df, **kw).collect()}
+
+
+def test_two_components(spark):
+    got = _clusters(spark, [(1, 2), (2, 3), (7, 9), (4, 1)])
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7)}
+
+
+def test_chain_converges_past_diameter(spark):
+    # a 12-node path: plain neighbor propagation needs 11 rounds;
+    # pointer jumping must close it well inside max_iter
+    chain = [(i, i + 1) for i in range(12)]
+    got = _clusters(spark, chain, max_iter=6)
+    assert got == {(i, 0) for i in range(13)}
+
+
+def test_clique_and_singleton_pair(spark):
+    clique = [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
+    got = _clusters(spark, clique + [(100, 200)])
+    assert got == {(i, 20) for i in range(20, 25)} | {(100, 100), (200, 100)}
+
+
+def test_orientation_invariance(spark):
+    # pair order must not matter (edges are symmetrized inside)
+    got_fwd = _clusters(spark, [(1, 5), (5, 9)])
+    got_rev = _clusters(spark, [(9, 5), (5, 1)])
+    assert got_fwd == got_rev == {(1, 1), (5, 1), (9, 1)}
+
+
+def test_keep_canonical(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string")
+    clusters = duplicate_clusters(
+        spark.createDataFrame([(0, 3), (3, 5)], PAIRS_SCHEMA))
+    kept = {r["doc_id"] for r in keep_canonical(corpus, clusters).collect()}
+    # cluster {0,3,5} -> keep 0; untouched docs 1,2,4 stay
+    assert kept == {0, 1, 2, 4}
