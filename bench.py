@@ -197,6 +197,176 @@ def run_scaling(n_conversations: int = 80000, turns_per_conv: int = 100,
     }
 
 
+def _start_standalone(n_workers: int = 4, worker_cores: int = 8,
+                      worker_mem: str = "9g") -> list:
+    """Stand up a localhost standalone cluster: one master + n_workers
+    worker JVMs. Returns the Popen handles (master first) for teardown.
+
+    Why: local[N] vs local[4N] shares ONE heap/GC across both legs,
+    which is not how a cluster scales — N->4N executors brings 4x
+    heaps, 4x GC threads pools, 4x shuffle trees. Separate worker JVMs
+    on one box keep the memory-bandwidth/SMT reality of the VM while
+    removing the single-JVM artifacts, so the measured ratio is the
+    closest sandbox analog of "the same job on a 1-node vs 4-node
+    cluster"."""
+    import urllib.request
+    try:
+        with urllib.request.urlopen("http://127.0.0.1:8090/json/",
+                                    timeout=2) as r:
+            r.read()
+        raise RuntimeError("a standalone master is already serving on "
+                           ":8090 — kill stale deploy.master/deploy.worker "
+                           "processes before running --scaling-cluster")
+    except RuntimeError:
+        raise
+    except Exception:
+        pass  # nothing listening: good
+    env = dict(os.environ, SPARK_MASTER_HOST="127.0.0.1")
+    logs = "/dev/shm/sa-logs"
+    os.makedirs(logs, exist_ok=True)
+    procs = [subprocess.Popen(
+        ["spark-class", "org.apache.spark.deploy.master.Master",
+         "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8090"],
+        stdout=open(f"{logs}/master.log", "w"), stderr=subprocess.STDOUT,
+        env=env)]
+    for i in range(n_workers):
+        procs.append(subprocess.Popen(
+            ["spark-class", "org.apache.spark.deploy.worker.Worker",
+             "spark://127.0.0.1:7077", "--host", "127.0.0.1",
+             "--cores", str(worker_cores), "--memory", worker_mem,
+             "--webui-port", str(8091 + i),
+             "--work-dir", f"/dev/shm/sa-work{i}"],
+            stdout=open(f"{logs}/worker{i}.log", "w"),
+            stderr=subprocess.STDOUT, env=env))
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                    "http://127.0.0.1:8090/json/", timeout=5) as r:
+                st = json.loads(r.read())
+            if sum(1 for w in st.get("workers", [])
+                   if w.get("state") == "ALIVE") >= n_workers:
+                return procs
+        except Exception:
+            pass
+        time.sleep(2)
+    _stop_standalone(procs)
+    raise RuntimeError("standalone cluster failed to start (see "
+                       "/dev/shm/sa-logs)")
+
+
+def _stop_standalone(procs: list) -> None:
+    for p in reversed(procs):  # workers first, master last
+        p.terminate()
+    for p in procs:
+        try:
+            p.wait(timeout=15)
+        except Exception:
+            p.kill()
+
+
+def _submit_once_cluster(here: str, total_cores: int, n_conversations: int,
+                         turns_per_conv: int, tag: str) -> dict:
+    """One e2e run against the standalone master with a core budget:
+    total_cores=8 -> 1 executor (one 'node'), 32 -> 4 executors."""
+    import shutil
+    wh = f"/dev/shm/wh_bench_c{total_cores}_{tag}"
+    shutil.rmtree(wh, ignore_errors=True)
+    cmd = [
+        "spark-submit", "--master", "spark://127.0.0.1:7077",
+        "--total-executor-cores", str(total_cores),
+        "--executor-cores", "8",
+        "--executor-memory", "8g",
+        "--driver-memory", "4g",
+        "--conf", f"spark.sql.shuffle.partitions={4 * total_cores}",
+        # everything is one host: locality tiers are meaningless, and
+        # the default 3s wait stacks up across the pipeline's many
+        # small single-task jobs (coalesce(1) agg/checkpoint writes)
+        # when slots live on 4 executors instead of 1
+        "--conf", "spark.locality.wait=0",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+        "--conf", "spark.local.dir=/dev/shm/spark-local",
+        # each executor JVM must size its runtime (GC threads, JIT,
+        # netty pools) for ITS core share, not the whole box — on a
+        # real cluster the container does this; here 4 JVMs that each
+        # think they own 32 CPUs run ~4x oversubscribed GC threads and
+        # thrash (measured: 978s GC in one stage without this cap)
+        "--conf", ("spark.executor.extraJavaOptions=-XX:+UseParallelGC "
+                   "-XX:ActiveProcessorCount=8"),
+        "--conf", ("spark.driver.extraJavaOptions=-XX:+UseParallelGC "
+                   "-XX:ActiveProcessorCount=4"),
+        "--conf", "spark.sql.parquet.compression.codec=zstd",
+        "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
+        "--py-files", os.path.join(here, "dist/logging_spark.zip"),
+        os.path.join(here, "run_job.py"),
+        "--warehouse", wh,
+        "--n-conversations", str(n_conversations),
+        "--turns-per-conv", str(turns_per_conv),
+        "--num-buckets", "32",
+        "--snapshot", f"bench-c{total_cores}-{tag}",
+        "--write-partitions", "128",
+    ]
+    p = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    stats = json.loads(p.stdout.strip().splitlines()[-1])
+    shutil.rmtree(wh, ignore_errors=True)
+    return stats
+
+
+def run_scaling_cluster(n_conversations: int = 160000,
+                        turns_per_conv: int = 100, repeats: int = 5,
+                        pair: tuple[int, int] = (8, 32)) -> dict:
+    """North-rule scaling evidence, cluster edition: the SAME job on a
+    localhost standalone cluster at 1 executor (N=8 cores) vs 4
+    executors (4N=32 cores). Executors are separate JVMs with their
+    own heaps — the 4N leg gets 4x memory and 4x GC capacity exactly
+    as a real 4-node cluster would. Interleaved legs + in-window CPU
+    calibration as in run_scaling."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    subprocess.run([sys.executable, os.path.join(here, "make_pyfiles.py")],
+                   check=True, capture_output=True)
+    lo, hi = pair
+    procs = _start_standalone(n_workers=max(hi // 8, 1))
+    samples: dict[int, list[dict]] = {lo: [], hi: []}
+    ceilings = []
+    try:
+        for r in range(repeats):
+            ceilings.append(_cpu_calibration(pair))
+            for cores in (lo, hi):
+                samples[cores].append(_submit_once_cluster(
+                    here, cores, n_conversations, turns_per_conv, f"r{r}"))
+    finally:
+        _stop_standalone(procs)
+    import statistics
+    runs = {}
+    for cores, ss in samples.items():
+        best = min(ss, key=lambda s: s["seconds"])
+        med_tput = statistics.median(s["turns_per_sec"] for s in ss)
+        runs[cores] = {"seconds": best["seconds"],
+                       "all_seconds": [s["seconds"] for s in ss],
+                       "n_input_turns": best["n_input_turns"],
+                       "routed_rows": sum(v["n_rows"] for v in best["per_sink_counts"].values()),
+                       "turns_per_sec": best["turns_per_sec"],
+                       "turns_per_sec_median": round(med_tput, 1),
+                       "phase_seconds_best": best.get("phase_seconds", {})}
+    eff_best = (runs[hi]["turns_per_sec"] / runs[lo]["turns_per_sec"]) / 4.0
+    eff_med = (runs[hi]["turns_per_sec_median"]
+               / runs[lo]["turns_per_sec_median"]) / 4.0
+    return {
+        "metric": (f"scaling efficiency e2e pipeline {lo // 8}x8 -> "
+                   f"{hi // 8}x8 executor JVMs (N vs 4N nodes, "
+                   "standalone cluster)"),
+        "value": round(eff_best, 3), "unit": "ratio",
+        "value_median": round(eff_med, 3),
+        "runs": {f"cores{c}": runs[c] for c in (lo, hi)},
+        "hw_ceiling_per_window": ceilings,
+        "hw_ceiling_best": max(c["raw_cpu_efficiency"] for c in ceilings),
+        "workload": {"n_conversations": n_conversations,
+                     "turns_per_conv": turns_per_conv},
+    }
+
+
 def _burn(n: int) -> int:
     x = 0
     for i in range(n):
@@ -223,6 +393,22 @@ def _cpu_calibration(pair: tuple[int, int] = (8, 32)) -> dict:
 
 
 def main() -> int:
+    if "--scaling-cluster" in sys.argv:
+        # --scaling-cluster [lo,hi] [n_conversations] [repeats]
+        i = sys.argv.index("--scaling-cluster")
+        rest = sys.argv[i + 1:]
+        pair = (8, 32)
+        kwargs = {}
+        if rest and "," in rest[0]:
+            lo, hi = rest[0].split(",")
+            pair = (int(lo), int(hi))
+            rest = rest[1:]
+        if rest:
+            kwargs["n_conversations"] = int(rest[0])
+        if len(rest) > 1:
+            kwargs["repeats"] = int(rest[1])
+        print(json.dumps(run_scaling_cluster(pair=pair, **kwargs)))
+        return 0
     if "--scaling" in sys.argv:
         # --scaling [lo,hi] [n_conversations] [repeats]
         # e.g. `--scaling 4,16 160000 3`

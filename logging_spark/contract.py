@@ -48,7 +48,12 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 embedding_near_duplicates,
                                                 ivf_topk, lsh_topk,
                                                 plane_signs)
-from logging_spark.operators.cluster import duplicate_clusters
+from logging_spark.operators.cluster import duplicate_clusters, keep_canonical
+from logging_spark.operators.sample import (deterministic_sample,
+                                            deterministic_split,
+                                            global_shuffle, hash60_sql,
+                                            mix_corpora, split_thresholds,
+                                            HASH_SPACE)
 from logging_spark.operators.textdedup import (exact_duplicates,
                                                lsh_candidate_pairs,
                                                ngram_jaccard_pairs, simhash)
@@ -303,6 +308,10 @@ media AS (
          CASE WHEN doc_id % 3 != 0 THEN CAST(n_chars * 100 AS BIGINT) END AS duration_ms
   FROM documents)
 """
+
+# shared by the sample_split query and its oracle so the integer
+# thresholds are literally the same values on both sides
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 TOKS = r"CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END"
 
@@ -654,6 +663,39 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_cluster"] = lambda spark, sf: duplicate_clusters(
         lsh_candidate_pairs(corpus_df(spark, sf), num_perm=8, bands=4,
                             w=3, portable=True))
+
+    # pairs -> clusters -> curated corpus, end to end: drop every doc
+    # whose cluster canonical is a different doc
+    q["dedup_keep_canonical"] = lambda spark, sf: keep_canonical(
+        corpus_df(spark, sf),
+        duplicate_clusters(lsh_candidate_pairs(
+            corpus_df(spark, sf), num_perm=8, bands=4, w=3,
+            portable=True))).select("doc_id")
+
+    # -- deterministic sampling / splitting / mixing ------------------------
+    # integer-exact md5 thresholds (operators/sample.py): membership is
+    # a pure function of (seed, id), reproducible on any engine
+    q["sample_deterministic"] = lambda spark, sf: deterministic_sample(
+        corpus_df(spark, sf), 0.25, seed="bench").select("doc_id")
+
+    q["sample_split"] = lambda spark, sf: deterministic_split(
+        corpus_df(spark, sf), SPLIT_WEIGHTS, seed="bench").select(
+            "doc_id", "split")
+
+    def sample_mix(spark, sf):
+        docs = _read(spark, sf, "documents").select("doc_id", "text")
+        dups = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text")
+        return mix_corpora({"web": (docs, 0.5), "replay": (dups, 0.9)},
+                           seed="bench").select("doc_id", "source")
+    q["sample_mix"] = sample_mix
+
+    # reproducible global permutation: one range-partitioned sort; the
+    # value check verifies the permutation KEY per doc (order itself is
+    # compared order-insensitively by the driver, so the key is the
+    # portable witness of the ordering)
+    q["sample_global_shuffle"] = lambda spark, sf: global_shuffle(
+        corpus_df(spark, sf), seed="bench").select("doc_id", "shuffle_key")
 
     # portable signature (md5-derived 60-bit token hashes): bit-exact
     # across engines, value-checked against the DuckDB oracle
@@ -1077,6 +1119,50 @@ reach(node, r) AS (
   SELECT reach.node, und.d FROM reach JOIN und ON reach.r = und.s)
 SELECT node AS doc_id, least(node, min(r)) AS canonical_id
 FROM reach GROUP BY node"""
+
+    # curated corpus = corpus minus docs whose cluster canonical is a
+    # different doc (same recursive-CTE fixpoint as dedup_cluster)
+    o["dedup_keep_canonical"] = f"""
+WITH RECURSIVE {_lsh_ctes},
+pairs AS ({_lsh_pairs}),
+und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT s, d FROM und
+  UNION
+  SELECT reach.node, und.d FROM reach JOIN und ON reach.r = und.s),
+losers AS (
+  SELECT node FROM reach GROUP BY node
+  HAVING least(node, min(r)) <> node)
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT node FROM losers)"""
+
+    _h60 = hash60_sql("doc_id", "bench")
+    o["sample_deterministic"] = f"""
+WITH {CORPUS_CTE}
+SELECT doc_id FROM corpus
+WHERE {_h60} < {int(0.25 * HASH_SPACE)}"""
+
+    _split_case = "CASE " + " ".join(
+        f"WHEN {_h60} < {thr} THEN '{name}'"
+        for name, thr in split_thresholds(SPLIT_WEIGHTS)[:-1]
+    ) + f" ELSE '{list(SPLIT_WEIGHTS)[-1]}' END"
+    o["sample_split"] = f"""
+WITH {CORPUS_CTE}
+SELECT doc_id, {_split_case} AS split FROM corpus"""
+
+    o["sample_mix"] = f"""
+SELECT doc_id, 'replay' AS source
+FROM (SELECT doc_id + 10000 AS doc_id FROM documents WHERE doc_id % 10 = 0)
+WHERE {hash60_sql("doc_id", "bench:replay")} < {int(0.9 * HASH_SPACE)}
+UNION ALL
+SELECT doc_id, 'web' AS source FROM documents
+WHERE {hash60_sql("doc_id", "bench:web")} < {int(0.5 * HASH_SPACE)}"""
+
+    o["sample_global_shuffle"] = f"""
+WITH {CORPUS_CTE}
+SELECT doc_id, md5('bench:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM corpus"""
 
     o["dedup_ngram_jaccard"] = f"""
 WITH {CORPUS_CTE},

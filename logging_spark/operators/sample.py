@@ -1,0 +1,134 @@
+"""Deterministic sampling, splitting, mixing and shuffling for
+training-data curation.
+
+A pretraining pipeline needs reproducible data selection: the same
+corpus + the same seed must yield byte-identical train/val/test
+membership on any cluster size, any partitioning, any engine — which
+rules out `df.sample()` (partition-dependent RNG) and anything float.
+The standard technique is content hashing: a document's fate is a pure
+function of (seed, id).
+
+All operators here share one primitive: a 60-bit integer drawn from
+md5(seed ':' id). Decisions are made by comparing that integer against
+integer thresholds precomputed in Python (`floor(fraction * 2^60)`),
+so there is no floating-point anywhere on the data path and the DuckDB
+oracles reproduce membership bit-exactly (md5 is the only hash both
+engines share; 15 hex chars keeps the value inside a signed 64-bit —
+same trick as dedup_simhash, see CLAUDE.md).
+
+Scale shape: every operator is a narrow projection + filter — no
+shuffle, no state, no skew surface. `global_shuffle` is the one
+exception by design: a reproducible total reorder is exactly one
+range-partitioned sort, the same wide dependency Spark uses for
+ORDER BY, and the md5 key is uniform so the range partitions are
+balanced no matter how skewed the input ids are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit hash space: 15 hex chars, always positive in a signed int64.
+HASH_SPACE = 1 << 60
+
+
+def hash60(id_col: str | Column, seed: str) -> Column:
+    """Uniform integer in [0, 2^60) that is a pure function of
+    (seed, id) — identical in Spark and DuckDB (md5 on the same
+    string rendering)."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat_ws(":", F.lit(seed), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(id_expr: str, seed: str) -> str:
+    """The DuckDB rendering of hash60 for oracle SQL."""
+    return ("CAST('0x' || substr(md5('" + seed + ":' || CAST(" + id_expr
+            + " AS VARCHAR)), 1, 15) AS BIGINT)")
+
+
+def deterministic_sample(df: DataFrame, fraction: float, seed: str = "s",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Keep ~fraction of rows, membership decided per id. Reproducible
+    across runs, partitionings and engines; nested samples with the
+    same seed (0.1 then 0.5) compose like set intersection."""
+    thr = int(fraction * HASH_SPACE)
+    return df.where(hash60(id_col, seed) < F.lit(thr))
+
+
+def deterministic_split(df: DataFrame, weights: dict[str, float],
+                        seed: str = "s", id_col: str = "doc_id",
+                        split_col: str = "split") -> DataFrame:
+    """Partition a corpus into named splits (train/val/test) by
+    cumulative hash thresholds. Every row lands in exactly one split;
+    weights are normalized so they need not sum to 1. Growing one
+    split's weight only MOVES the boundary — documents never hop
+    between the surviving splits (the property heldout-set hygiene
+    depends on)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    h = hash60(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        thr = int(acc * HASH_SPACE)
+        cond = h < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, upper_threshold) pairs for oracle SQL generation — the
+    same integer literals deterministic_split compares against."""
+    total = float(sum(weights.values()))
+    acc, out = 0.0, []
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        out.append((name, int(acc * HASH_SPACE)))
+    out.append((names[-1], HASH_SPACE))
+    return out
+
+
+def mix_corpora(parts: dict[str, tuple[DataFrame, float]],
+                seed: str = "mix", id_col: str = "doc_id",
+                source_col: str = "source") -> DataFrame:
+    """Weighted union of corpora: each source is deterministically
+    downsampled to its rate and tagged. This is the standard way a
+    training mixture ('0.3 web, 0.5 code, 0.2 books') is materialized;
+    per-source seeds keep membership independent between sources that
+    share ids. Sources must be union-compatible on the selected
+    columns."""
+    out = None
+    for name in sorted(parts):
+        df, rate = parts[name]
+        s = (deterministic_sample(df, rate, seed=f"{seed}:{name}",
+                                  id_col=id_col)
+             .withColumn(source_col, F.lit(name)))
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
+def global_shuffle(df: DataFrame, seed: str = "s", id_col: str = "doc_id",
+                   key_col: str = "shuffle_key",
+                   num_partitions: int | None = None) -> DataFrame:
+    """Reproducible global permutation: order the corpus by
+    md5(seed, id). Implemented as a range-partitioned sort (one
+    shuffle, the same physical shape as ORDER BY): the output files
+    hold the permutation in file-then-row order, which is what a
+    sequential training reader consumes. The hash key is uniform, so
+    range partitions stay balanced even when ids are dense or skewed.
+    A new seed is a completely new permutation (epoch reshuffle)."""
+    keyed = df.withColumn(
+        key_col,
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))))
+    parted = (keyed.repartitionByRange(num_partitions, key_col)
+              if num_partitions else keyed.repartitionByRange(key_col))
+    return parted.sortWithinPartitions(key_col)

@@ -1,0 +1,80 @@
+"""Deterministic sampling/splitting/mixing/shuffle (operators/sample.py)."""
+
+from pyspark.sql import functions as F
+
+from logging_spark.operators.sample import (deterministic_sample,
+                                            deterministic_split,
+                                            global_shuffle, mix_corpora)
+
+
+def _corpus(spark, n=400):
+    return spark.range(n).select(F.col("id").alias("doc_id"),
+                                 F.concat(F.lit("doc "), "id").alias("text"))
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_sample_deterministic_and_partition_invariant(spark):
+    df = _corpus(spark)
+    a = _ids(deterministic_sample(df, 0.3, seed="x"))
+    b = _ids(deterministic_sample(df.repartition(13), 0.3, seed="x"))
+    assert a == b
+    # roughly the right size (binomial, 400 draws)
+    assert 0.2 * 400 < len(a) < 0.4 * 400
+    # a different seed is a different (overlapping but not equal) set
+    assert a != _ids(deterministic_sample(df, 0.3, seed="y"))
+
+
+def test_sample_nesting_composes_like_subsets(spark):
+    df = _corpus(spark)
+    small = _ids(deterministic_sample(df, 0.2, seed="x"))
+    big = _ids(deterministic_sample(df, 0.6, seed="x"))
+    assert small <= big  # same seed: shrinking the rate only removes rows
+
+
+def test_split_covers_each_row_exactly_once(spark):
+    df = _corpus(spark)
+    out = deterministic_split(df, {"train": 0.8, "val": 0.1, "test": 0.1},
+                              seed="x")
+    rows = out.groupBy("split").count().collect()
+    assert sum(r["count"] for r in rows) == 400
+    by = {r["split"]: r["count"] for r in rows}
+    assert set(by) == {"train", "val", "test"}
+    assert by["train"] > by["val"] and by["train"] > by["test"]
+
+
+def test_split_growth_only_moves_the_boundary(spark):
+    # growing 'a' must only convert b-rows to a-rows, never the reverse
+    df = _corpus(spark)
+    w1 = deterministic_split(df, {"a": 0.5, "b": 0.5}, seed="x")
+    w2 = deterministic_split(df, {"a": 0.7, "b": 0.3}, seed="x")
+    a1 = _ids(w1.where(F.col("split") == "a"))
+    a2 = _ids(w2.where(F.col("split") == "a"))
+    assert a1 <= a2
+
+
+def test_mix_tags_and_rates(spark):
+    docs = _corpus(spark)
+    out = mix_corpora({"web": (docs, 1.0), "code": (docs, 0.25)}, seed="m")
+    counts = {r["source"]: r["count"]
+              for r in out.groupBy("source").count().collect()}
+    assert counts["web"] == 400          # rate 1.0 keeps everything
+    assert 0.1 * 400 < counts["code"] < 0.45 * 400
+    # same id can appear under both tags (independent membership)
+    assert out.count() == counts["web"] + counts["code"]
+
+
+def test_global_shuffle_reproducible_total_order(spark):
+    df = _corpus(spark)
+    p1 = [r["doc_id"] for r in
+          global_shuffle(df, seed="e1", num_partitions=4).collect()]
+    p2 = [r["doc_id"] for r in
+          global_shuffle(df.repartition(7), seed="e1",
+                         num_partitions=4).collect()]
+    assert p1 == p2                      # same seed: same permutation
+    assert sorted(p1) == list(range(400))
+    p3 = [r["doc_id"] for r in
+          global_shuffle(df, seed="e2", num_partitions=4).collect()]
+    assert p1 != p3                      # new seed: new epoch order
