@@ -105,7 +105,11 @@ def _submit_once(here: str, cpus: int, n_conversations: int,
     cmd = [
         "spark-submit", "--master", f"local[{cpus}]",
         # spark-submit defaults to a 1g driver; in local mode the
-        # driver IS the executor, so size it like one
+        # driver IS the executor, so size it like one. Held CONSTANT
+        # across legs: scaling it with cores (64g at 16 threads) was
+        # measured 6.6x SLOWER than 16g on this VM — filling a ~21 GB
+        # eden is all page-fault/TLB kernel time here (A/B/C factor
+        # sweep, round 2; same workload: 16g=55s, 64g=364s).
         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         # 4x cores: wave quantization dominates at 2x (64 tasks on 32
         # cores = 2 waves; a straggler idles 31 cores for its whole
@@ -115,7 +119,21 @@ def _submit_once(here: str, cpus: int, n_conversations: int,
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+        # we size shuffle partitions to 4x cores explicitly; AQE's
+        # post-shuffle coalescing undoes that into ~1.2 waves (profiled:
+        # 64 -> 19 tasks on 16 cores, par 10.8/16, a 34s straggler as
+        # the whole tail). Skew-join splitting stays ON — only the
+        # coalescer is disabled.
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=false",
         "--conf", "spark.local.dir=/dev/shm/spark-local",
+        # JVM runtime config held IDENTICAL across legs (machine-sized
+        # GC/JIT/netty pools); only task parallelism varies. Pinning
+        # -XX:ActiveProcessorCount to the leg's core budget was tried
+        # and REJECTED: it slowed the 16-thread leg 40% (56s -> 78.5s,
+        # ParallelGC thread starvation in the write stage) and the
+        # 4-thread leg 24%, and worsened the measured ratio — the
+        # cluster harness keeps it because 4 cohabiting JVMs otherwise
+        # oversubscribe GC threads 4x, a different failure.
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
         "--conf", "spark.sql.parquet.compression.codec=zstd",
         "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
@@ -279,6 +297,9 @@ def _submit_once_cluster(here: str, total_cores: int, n_conversations: int,
         "--executor-memory", "8g",
         "--driver-memory", "4g",
         "--conf", f"spark.sql.shuffle.partitions={4 * total_cores}",
+        # explicit 4x-cores task sizing; AQE coalescing would repack it
+        # into ragged ~1.2-wave stages (see _submit_once)
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=false",
         # everything is one host: locality tiers are meaningless, and
         # the default 3s wait stacks up across the pipeline's many
         # small single-task jobs (coalesce(1) agg/checkpoint writes)

@@ -697,6 +697,53 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_global_shuffle"] = lambda spark, sf: global_shuffle(
         corpus_df(spark, sf), seed="bench").select("doc_id", "shuffle_key")
 
+    # -- corpus cleaning, end to end ---------------------------------------
+    # The flagship training-data chain as ONE lazy plan: quality filter
+    # -> exact dedup (cheap pass first) -> MinHash/LSH near-dup cluster
+    # + keep-canonical -> redact -> per-doc stats. Narrow stages fuse
+    # into the scan; the only wide dependencies are the exact-dedup
+    # hash partition and LSH's banded self-join — at corpus scale you
+    # would checkpoint `kept` between the two passes.
+    def docs_clean_e2e(spark, sf):
+        c = corpus_df(spark, sf)
+        kept = c.where(T.quality_keep("text", min_tokens=20,
+                                      min_distinct_ratio_pct=30))
+        wmd5 = Window.partitionBy(F.md5("text"))
+        kept = (kept.withColumn("_keeper", F.min("doc_id").over(wmd5))
+                .where(F.col("doc_id") == F.col("_keeper")).drop("_keeper"))
+        clusters = duplicate_clusters(lsh_candidate_pairs(
+            kept, num_perm=8, bands=4, w=3, portable=True))
+        cleaned = keep_canonical(kept, clusters)
+        return cleaned.select(
+            "doc_id",
+            T.lang_guess("text").alias("lang"),
+            T.token_count("text").alias("n_tokens"),
+            F.md5(T.redact("text")).alias("fp"))
+    q["docs_clean_e2e"] = docs_clean_e2e
+
+    # intra-document line dedup (C4/RefinedWeb-style): the fixture
+    # builds multi-line docs (8-token lines) and appends a copy of the
+    # first line, so every doc has >=1 repeated line to drop; the
+    # oracle mirrors the construction byte for byte
+    def text_dedup_lines(spark, sf):
+        d = _read(spark, sf, "documents")
+        toks = T.tokens("text")
+        n_lines = F.greatest(
+            F.ceil(F.size(toks) / F.lit(8.0)).cast("int"), F.lit(1))
+        lines = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "))
+        ml = F.concat(F.array_join(lines, "\n"), F.lit("\n"),
+                      F.element_at(lines, 1))
+        d = d.select("doc_id", ml.alias("ml"))
+        deduped = T.dedup_lines("ml")
+        return d.select(
+            "doc_id",
+            F.size(F.split("ml", "\n")).cast("long").alias("n_lines"),
+            F.size(F.split(deduped, "\n")).cast("long").alias("n_unique_lines"),
+            F.md5(deduped).alias("fp"))
+    q["text_dedup_lines"] = text_dedup_lines
+
     # portable signature (md5-derived 60-bit token hashes): bit-exact
     # across engines, value-checked against the DuckDB oracle
     q["dedup_simhash"] = lambda spark, sf: corpus_df(spark, sf).select(
@@ -1085,9 +1132,11 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1"""
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_idx, md5(sig[{2*b+1}] || '|' || sig[{2*b+2}]) AS band_hash FROM sigs"
         for b in range(4))
-    _lsh_ctes = f"""{CORPUS_CTE},
-sh AS (SELECT doc_id, {SHINGLES} AS sh
-       FROM (SELECT doc_id, {TOKS} AS toks FROM corpus)),
+    def _lsh_body(src: str) -> str:
+        """sh/sigs/banded CTE chain over any (doc_id, text) source —
+        the oracle twin of lsh_candidate_pairs' banded projection."""
+        return f"""sh AS (SELECT doc_id, {SHINGLES} AS sh
+       FROM (SELECT doc_id, {TOKS} AS toks FROM {src})),
 sigs AS (SELECT doc_id, [
     {sig_entries}] AS sig FROM sh),
 banded_raw AS (
@@ -1098,6 +1147,8 @@ banded AS (
   -- Spark and the oracle agree even once a larger sf hits the cap
   SELECT * FROM banded_raw
   QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= 1000)"""
+
+    _lsh_ctes = f"{CORPUS_CTE},\n" + _lsh_body("corpus")
     _lsh_pairs = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
@@ -1136,6 +1187,81 @@ losers AS (
   HAVING least(node, min(r)) <> node)
 SELECT doc_id FROM corpus
 WHERE doc_id NOT IN (SELECT node FROM losers)"""
+
+    # the full cleaning chain: quality -> exact dedup -> LSH clusters
+    # over the SURVIVORS -> keep canonical -> lang/tokens/redacted-fp
+    o["docs_clean_e2e"] = f"""
+WITH RECURSIVE {CORPUS_CTE},
+t0 AS (SELECT doc_id, text, {TOKS} AS toks FROM corpus),
+qual AS (SELECT doc_id, text FROM t0
+  WHERE len(toks) >= 20 AND len(toks) <= 100000
+    AND len(list_filter(toks, x -> length(x) > 20)) * 100 <= len(toks) * 10
+    AND len(list_distinct(toks)) * 100 >= len(toks) * 30),
+kept AS (SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+    FROM qual)
+  WHERE doc_id = keeper),
+{_lsh_body("kept")},
+pairs AS ({_lsh_pairs}),
+und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT s, d FROM und
+  UNION
+  SELECT reach.node, und.d FROM reach JOIN und ON reach.r = und.s),
+losers AS (
+  SELECT node FROM reach GROUP BY node
+  HAVING least(node, min(r)) <> node),
+lt AS (SELECT doc_id,
+              list_distinct(list_transform({TOKS}, t -> lower(t))) AS ltoks
+       FROM kept),
+ls AS (SELECT doc_id,
+              len(list_intersect(ltoks, {_m['en']})) AS s_en,
+              len(list_intersect(ltoks, {_m['de']})) AS s_de,
+              len(list_intersect(ltoks, {_m['fr']})) AS s_fr,
+              len(list_intersect(ltoks, {_m['es']})) AS s_es
+       FROM lt)
+SELECT k.doc_id,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+            WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'und' END AS lang,
+       CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b[0-9a-fA-F]{{16,}}\\b', '<HEX>', 'g'),
+             '\\b\\d{{6,}}\\b', '<NUM>', 'g')) AS fp
+FROM kept k JOIN ls ON k.doc_id = ls.doc_id
+WHERE k.doc_id NOT IN (SELECT node FROM losers)"""
+
+    # multi-line fixture (8-token lines + a repeat of line 1), then
+    # order-preserving first-occurrence line dedup: DuckDB's (x, i)
+    # lambda index is 1-based, Spark's 0-based — both sides compare
+    # against list/array_position's 1-based first-occurrence index
+    o["text_dedup_lines"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+l AS (SELECT doc_id,
+             list_transform(
+               range(0, greatest(CAST(ceil(len(toks) / 8.0) AS INT), 1)),
+               i -> array_to_string(toks[i*8+1 : i*8+8], ' ')) AS lines
+      FROM t),
+m AS (SELECT doc_id,
+             array_to_string(lines, chr(10)) || chr(10) || lines[1] AS ml
+      FROM l),
+s AS (SELECT doc_id, ml, string_split(ml, chr(10)) AS ls FROM m),
+d AS (SELECT doc_id, ml,
+             list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept_lines,
+             ls
+      FROM s)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept_lines) AS BIGINT) AS n_unique_lines,
+       md5(array_to_string(kept_lines, chr(10))) AS fp
+FROM d"""
 
     _h60 = hash60_sql("doc_id", "bench")
     o["sample_deterministic"] = f"""

@@ -177,6 +177,27 @@ def chunk_tokens(text: Column | str, chunk: int = 32, overlap: int = 8) -> Colum
     )
 
 
+def dedup_lines(text: Column | str, sep: str = "\n") -> Column:
+    """Intra-document line dedup (C4/RefinedWeb-style): drop every
+    repeat of a line, keeping the FIRST occurrence in order. Pure
+    expressions — the (x, i) filter lambda gets the element index, and
+    array_position finds the first occurrence, so `keep iff this index
+    IS the first occurrence`. O(L^2) in the line count per document
+    (array_position scans), which is fine for real documents (L in the
+    hundreds); the work is per-row, narrow, no shuffle.
+
+    Portability: DuckDB's list_filter((x, i) -> ...) + list_position
+    express the identical predicate, so the op is oracle-checkable.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    lines = F.split(text, sep)
+    kept = F.filter(
+        lines,
+        lambda x, i: F.array_position(lines, x) == i.cast("long") + 1,
+    )
+    return F.array_join(kept, sep)
+
+
 def rolling_fingerprint(text: Column | str, window: int = 16) -> Column:
     """Winnowing-style document sketch: md5 of each `window`-char
     slide, keep the lexicographic min — robust to small local edits at

@@ -70,3 +70,13 @@ def test_chunk_tokens_reconstructs_text(spark):
         assert recon == orig[doc], f"doc {doc}: reconstruction failed"
         for c in chunks[:-1]:
             assert len(c) == 32
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    s = "alpha\nbeta\nalpha\ngamma\nbeta\nalpha"
+    assert _one(spark, s, T.dedup_lines("text")) == "alpha\nbeta\ngamma"
+    # no duplicates -> unchanged; single line -> unchanged
+    assert _one(spark, "a\nb\nc", T.dedup_lines("text")) == "a\nb\nc"
+    assert _one(spark, "only", T.dedup_lines("text")) == "only"
+    # empty lines are lines too: repeated blanks collapse to one
+    assert _one(spark, "a\n\n\na", T.dedup_lines("text")) == "a\n"
