@@ -146,6 +146,14 @@ def run_pipeline(
     # rows, and the committed data is read exactly once.
     ta = time.time()
     sink_table = catalog.read(ROUTED_TABLE)
+    # Counts WITHOUT the distinct: a grouping-sets pass that is fully
+    # map-side combinable — the exchange carries (bucket/sink/role)
+    # cardinality, not rows. countDistinct used to ride in this same
+    # pass, but a distinct-aggregate cannot map-side combine under an
+    # expand: the shuffle carried 3x the table's (group, conv_id)
+    # pairs, and the phase stopped scaling with cores (measured 21-24s
+    # flat from 4->16 threads at 32M turns). Only the per-sink shape
+    # needs a distinct, so it gets its own cheap pass below.
     g = (
         sink_table.groupingSets(
             [["bucket"], ["sink_name"], ["sink_name", "role"]],
@@ -153,7 +161,6 @@ def run_pipeline(
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("conv_id").alias("n_distinct_conv"),
             F.sum(F.when(F.col("level").isNull(), 1).otherwise(0)).alias("parse_errors"),
             F.grouping_id("bucket", "sink_name", "role").alias("_gid"),
         )
@@ -163,6 +170,16 @@ def run_pipeline(
         # one task (profiled as a 5 s single-task stage). localCheckpoint
         # blocks are auto-dropped by the ContextCleaner — no unpersist
         # bookkeeping in long-lived sessions.
+        .localCheckpoint(eager=True)
+    )
+    # Exact per-sink distinct-conv count as dedup-then-count: the
+    # distinct shuffles short (sink_name, conv_id) pairs after local
+    # dedup — ~n_convs x n_sinks rows instead of 3x all rows. Column
+    # pruning keeps this second scan to two columns.
+    dconv = (
+        sink_table.select("sink_name", "conv_id").distinct()
+        .groupBy("sink_name")
+        .agg(F.count(F.lit(1)).alias("n_distinct_conv"))
         .localCheckpoint(eager=True)
     )
     # grouping_id bit k set = that column aggregated away
@@ -177,8 +194,10 @@ def run_pipeline(
     # table is ONE file, not shuffle_partitions near-empty ones (local
     # FS file ops fork subprocesses without native libhadoop; small
     # files are pure overhead on any FS)
-    counts = g.where(F.col("_gid") == 0b101).select(
-        "sink_name", "n_rows", "n_distinct_conv").coalesce(1)
+    counts = (g.where(F.col("_gid") == 0b101)
+              .select("sink_name", "n_rows")
+              .join(dconv, "sink_name")
+              .select("sink_name", "n_rows", "n_distinct_conv").coalesce(1))
     roles = g.where(F.col("_gid") == 0b100).select(
         "sink_name", "role", F.col("n_rows").alias("n_turns")).coalesce(1)
     catalog.drop(AGG_COUNTS_TABLE)
