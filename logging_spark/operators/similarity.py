@@ -428,24 +428,55 @@ def ivf_topk(
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
+def sign_buckets_kernel(df: DataFrame, id_col: str, vec_col: str,
+                        dim: int, tables: int, n_planes: int,
+                        scale: int = 1_000_000) -> DataFrame:
+    """(id, tbl, bucket) rows for every (row, table), Arrow-vectorized:
+    ONE int64 matmul per batch against the (dim x tables*n_planes)
+    ±1-plane matrix computes every per-plane dot exactly — bit-identical
+    to the `sign_bucket` expression (floor(x*scale) quantization, so
+    all arithmetic is integer; |dot| <= dim*scale*max|x| << 2^63).
+    The interpreted zip_with/aggregate expression re-walks the vector
+    per (table, plane); this kernel is one BLAS-shaped pass. Narrow —
+    no shuffle, vectors never leave the scan partition."""
+    P = np.stack([plane_signs(dim, t, p)
+                  for t in range(tables) for p in range(n_planes)],
+                 axis=1).astype(np.int64)  # (dim, tables*n_planes)
+    shifts = np.arange(n_planes, dtype=np.uint64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.floor(
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            D = V @ P  # exact: int64 dots, no overflow at dim*scale
+            bits = (D > 0).reshape(len(pdf), tables, n_planes).astype(np.uint64)
+            buckets = (bits << shifts).sum(axis=2).astype(np.int64)  # (n, tables)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, tables),
+                "tbl": np.tile(np.arange(tables, dtype=np.int32), len(pdf)),
+                "bucket": buckets.ravel(),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, tbl int, bucket long")
+
+
 def near_dup_candidates(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64,
                         tables: int = 8, n_planes: int = 16,
                         max_bucket: int | None = 10_000) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) sharing at least one
     sign-projection bucket in any of `tables` hash tables. Same plan
-    shape as textdedup.lsh_candidate_pairs: project buckets -> explode
-    tables -> self equi-join on (tbl, bucket) -> distinct; `max_bucket`
-    drops degenerate buckets (e.g. all-zero vectors) before the
-    quadratic pair expansion."""
-    bucketed = df.select(
-        F.col(id_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     sign_bucket(F.col(vec_col), dim, t, n_planes).alias("bucket"))
-            for t in range(tables)
-        ])).alias("tb"),
-    ).select(id_col, "tb.tbl", "tb.bucket")
+    shape as textdedup.lsh_candidate_pairs: project buckets (vectorized
+    kernel, one int64 matmul per Arrow batch — bit-identical to the
+    `sign_bucket` expression the oracle mirrors) -> self equi-join on
+    (tbl, bucket) -> distinct; `max_bucket` drops degenerate buckets
+    (e.g. all-zero vectors) before the quadratic pair expansion."""
+    bucketed = sign_buckets_kernel(df, id_col, vec_col, dim, tables, n_planes)
     bucketed = bucketed.localCheckpoint(eager=True)  # feeds cap + both join sides
     if max_bucket is not None:
         hot = (bucketed.groupBy("tbl", "bucket").count()

@@ -7,9 +7,20 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from logging_spark import contract
 
 SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _no_memo():
+    # contract memoizes shared upstream frames via localCheckpoint for
+    # the driver's sweep; plan guards must see the REAL query plans
+    contract.set_memo(False)
+    yield
+    contract.set_memo(True)
 
 
 def _n_exchanges(plan: str) -> int:
