@@ -913,6 +913,39 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.round(F.element_at("feature", 1), 4).alias("f0"))
     q["mm_features_png"] = mm_features_png
 
+    def mm_features_wav(spark, sf):
+        # rows-only: REAL audio decode — deterministic PCM WAV payloads
+        # are synthesized per audio media row (pure-stdlib codec,
+        # functions/wav.py) and features come from decoded SAMPLES
+        # (decode_stub=False)
+        auds = (media_df(spark, sf).where(F.col("kind") == "audio")
+                .select("media_id", "duration_ms"))
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+            from logging_spark.functions import wav as wav_mod
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                payloads = []
+                for mid, dur in zip(pdf["media_id"], pdf["duration_ms"]):
+                    n = int(dur) % 4000 + 400  # keep fixture cheap
+                    t = np.arange(n, dtype=np.float64)
+                    freq = (int(mid) % 40 + 1) / 100.0
+                    s = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+                    payloads.append(wav_mod.encode_wav(s, rate=8000))
+                yield pd.DataFrame({"media_id": pdf["media_id"],
+                                    "kind": "audio", "payload": payloads})
+
+        wavs = auds.mapInPandas(kernel, "media_id long, kind string, payload binary")
+        feats = mm.extract_features(wavs, decode_stub=False)
+        return feats.select("media_id", "n_bytes",
+                            F.size("feature").alias("feature_dim"),
+                            F.round(F.element_at("feature", 2), 4).alias("rms"))
+    q["mm_features_wav"] = mm_features_wav
+
     return q
 
 

@@ -177,7 +177,8 @@ def chunk_tokens(text: Column | str, chunk: int = 32, overlap: int = 8) -> Colum
     )
 
 
-def dedup_lines(text: Column | str, sep: str = "\n") -> Column:
+def dedup_lines(text: Column | str, sep: str = "\n",
+                max_lines: int = 10_000) -> Column:
     """Intra-document line dedup (C4/RefinedWeb-style): drop every
     repeat of a line, keeping the FIRST occurrence in order. Pure
     expressions — the (x, i) filter lambda gets the element index, and
@@ -185,6 +186,13 @@ def dedup_lines(text: Column | str, sep: str = "\n") -> Column:
     IS the first occurrence`. O(L^2) in the line count per document
     (array_position scans), which is fine for real documents (L in the
     hundreds); the work is per-row, narrow, no shuffle.
+
+    `max_lines` makes the quadratic TOTAL: a pathological document
+    past the cap (e.g. a 10^5-line dump — 10^10 comparisons, a
+    single-row stall) passes through UNCHANGED rather than stalling
+    the task. CaseWhen evaluates branches lazily per row, so capped
+    rows never run the filter. The oracle contract pins max_lines
+    well above the fixture corpus, where the cap is unreachable.
 
     Portability: DuckDB's list_filter((x, i) -> ...) + list_position
     express the identical predicate, so the op is oracle-checkable.
@@ -195,7 +203,8 @@ def dedup_lines(text: Column | str, sep: str = "\n") -> Column:
         lines,
         lambda x, i: F.array_position(lines, x) == i.cast("long") + 1,
     )
-    return F.array_join(kept, sep)
+    return F.when(F.size(lines) > max_lines, text).otherwise(
+        F.array_join(kept, sep))
 
 
 def rolling_fingerprint(text: Column | str, window: int = 16) -> Column:

@@ -4,13 +4,15 @@ Images/audio/video ride as `binary` columns with a `kind`/`mime` and
 typed metadata (schema.MEDIA). The Spark-side plumbing — schema,
 partitioning, Arrow batch shape, UDF signatures — is real and tested.
 
-Codec status: IMAGES decode for real — functions/png.py is a pure
-stdlib (zlib) PNG codec, so `decode_stub=False` turns PNG payloads
-into actual pixel-derived features (tests/test_multimodal.py proves
-the values are a function of pixels, not payload bytes). Audio/video
-decode remains STUBBED (no torchaudio/pyav in this image):
-`decode_stub=True` produces a deterministic hash-fake for every kind,
-`decode_stub=False` raises NotImplementedError for non-PNG payloads.
+Codec status: IMAGES and AUDIO decode for real — functions/png.py is
+a pure-stdlib (zlib) PNG codec and functions/wav.py a pure-stdlib
+RIFF/PCM WAV codec, so `decode_stub=False` turns PNG payloads into
+pixel-derived features and WAV payloads into sample-derived features
+(tests/test_multimodal.py proves both are functions of decoded
+content, not payload bytes). VIDEO decode remains STUBBED (compressed
+codecs legitimately need pyav, not in this image): `decode_stub=True`
+produces a deterministic hash-fake for every kind, `decode_stub=False`
+raises NotImplementedError for payloads that are neither PNG nor WAV.
 
 At scale: payloads dominate bytes, so operators below never shuffle
 payloads — feature extraction is a mapInPandas projection (narrow),
@@ -48,16 +50,18 @@ def extract_features(df: DataFrame, decode_stub: bool = True,
     kernel without materializing the whole partition."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from logging_spark.functions import png
+        from logging_spark.functions import png, wav
 
         def one(payload: bytes) -> np.ndarray:
             if decode_stub:
                 return _fake_decode(payload)
             if png.is_png(payload):
                 return png.image_features(png.decode_png(payload), FEATURE_DIM)
+            if wav.is_wav(payload):
+                return wav.audio_features(*wav.decode_wav(payload), FEATURE_DIM)
             raise NotImplementedError(
-                "real decode beyond PNG requires torchaudio/pyav; "
-                "not in this image (pass decode_stub=True)")
+                "real decode beyond PNG/WAV (compressed codecs) requires "
+                "pyav; not in this image (pass decode_stub=True)")
 
         for pdf in batches:
             if not len(pdf):
@@ -121,7 +125,12 @@ def resize_image_payloads(df: DataFrame, max_side: int = 256,
                 arr = arr[ys][:, xs]
             else:
                 oh, ow = h, w
-            return ow, oh, png.encode_png(arr.squeeze())
+            # squeeze ONLY the channel axis: arr.squeeze() would also
+            # drop a spatial axis of extent 1 (extreme aspect ratios,
+            # e.g. (1, W, 3)), silently re-encoding a W x 3 grayscale
+            if arr.ndim == 3 and arr.shape[2] == 1:
+                arr = arr[:, :, 0]
+            return ow, oh, png.encode_png(arr)
 
         for pdf in batches:
             if not len(pdf):

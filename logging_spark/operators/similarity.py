@@ -127,7 +127,7 @@ def brute_force_topk(
             self_mask = qids[:, None] == ids_l[None, :]
             sims[self_mask] = -np.inf
             kk = min(k, sims.shape[1] - 1)
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            idx = _topk_select(sims, ids_l, kk)
             rows = np.repeat(np.arange(len(qids)), kk)
             cols = idx.ravel()
             out = pd.DataFrame({
@@ -205,6 +205,25 @@ def sign_bucket(vec: Column, dim: int, table: int, n_planes: int = 16,
     return acc
 
 
+def _topk_select(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Per-row indices of the kk best candidates under the GLOBAL
+    ordering (cosine desc, neighbor_id asc) — argpartition alone breaks
+    exact-cosine ties arbitrarily, so when tied candidates (duplicate
+    vectors) straddle the per-shard/-bucket k boundary a partial could
+    discard the smaller-id neighbor the final window keeps, making the
+    reduction nondeterministic. Fast path stays O(n) argpartition; only
+    rows whose boundary cosine is tied get a (rare) exact re-select."""
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    rows = np.arange(sims.shape[0])[:, None]
+    bound = sims[rows, part].min(axis=1)
+    n_ge = (sims >= bound[:, None]).sum(axis=1)
+    for r in np.nonzero(n_ge > kk)[0]:
+        cand = np.nonzero(sims[r] >= bound[r])[0]
+        order = np.lexsort((ids[cand], -sims[r, cand]))
+        part[r] = cand[order[:kk]]
+    return part
+
+
 def _bucket_rerank_kernel(k: int, id_col: str, vec_col: str):
     """applyInPandas kernel: ONE matmul per bucket (all members vs all
     members), per-query partial top-k. Vector bytes shipped once per
@@ -220,7 +239,7 @@ def _bucket_rerank_kernel(k: int, id_col: str, vec_col: str):
         np.fill_diagonal(sims, -np.inf)
         ids = pdf[id_col].to_numpy()
         kk = min(k, sims.shape[1] - 1)
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        idx = _topk_select(sims, ids, kk)
         rows = np.repeat(np.arange(len(ids)), kk)
         cols = idx.ravel()
         keep = np.isfinite(sims[rows, cols])
@@ -288,7 +307,7 @@ def _members_probes_rerank(k: int):
         qids = qs["vid"].to_numpy()
         sims[qids[:, None] == mids[None, :]] = -np.inf  # self
         kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        idx = _topk_select(sims, mids, kk)
         rows = np.repeat(np.arange(len(qids)), kk)
         cols = idx.ravel()
         keep = np.isfinite(sims[rows, cols])

@@ -154,9 +154,16 @@ class Catalog:
         (datasource.go:206-276): see merge_frames. Intended for
         control-plane-sized tables (rule/config/dimension) — the hot
         data path stays on overwrite_partitions. On Iceberg this is a
-        single atomic MERGE INTO; the parquet fallback materializes the
-        merged frame (localCheckpoint, so the read of the old files is
-        finished before they are replaced) and overwrites."""
+        single atomic MERGE INTO; the parquet fallback writes the
+        merged frame to a temp sibling directory and swaps it over the
+        table path with two renames — the source data survives on disk
+        (as `<path>.old`) until the new copy is fully written, so a
+        crash or lost executor mid-write can never lose the table
+        (mode('overwrite') in place would delete the old files BEFORE
+        the write, leaving only non-reliable localCheckpoint blocks).
+        Residual non-atomicity: between the two renames the table path
+        is briefly absent — acceptable for the control-plane tables
+        this verb serves; the data path uses overwrite_partitions."""
         if not self.table_exists(table):
             if order_col is not None:
                 df = merge_frames(df.limit(0), df, keys, order_col)
@@ -173,9 +180,17 @@ class Catalog:
                 f"WHEN MATCHED THEN UPDATE SET {sets} "
                 f"WHEN NOT MATCHED THEN INSERT *")
             return
+        import shutil
+
+        path = self._path(table)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        old = f"{path}.old"
         merged = merge_frames(self.read(table), df, keys, order_col)
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(self._path(table))
+        merged.write.mode("overwrite").parquet(tmp)  # old files still live
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def drop(self, table: str) -> None:
         if self.iceberg:

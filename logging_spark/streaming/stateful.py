@@ -79,13 +79,25 @@ def _make_fn(gap_ms: int):
         for ts in rows["ts"]:
             ms = _to_ms(ts)
             if last_ms is None:
-                sid, n, start_ms = 1, 1, ms
+                sid, n, start_ms, last_ms = 1, 1, ms, ms
             elif ms - last_ms > gap_ms:
                 closed.append(_row(conv_id, sid, n, start_ms, last_ms))
-                sid, n, start_ms = sid + 1, 1, ms
+                sid, n, start_ms, last_ms = sid + 1, 1, ms, ms
             else:
+                # Late-but-within-watermark rows (ms < last_ms, i.e.
+                # out-of-order ACROSS micro-batches) join the open
+                # session but must never move the cursor backward: an
+                # unclamped last_ms = ms would shrink the timeout
+                # horizon and could falsely split the session on the
+                # next on-time turn. Monotone clamp both ends instead
+                # (start extends down, cursor only advances). Residual
+                # approximation vs batch: a late row older than the
+                # previous session's close re-opens nothing — it counts
+                # into the CURRENT session, while the batch operator
+                # (global sort) would have placed it in the earlier one.
                 n += 1
-            last_ms = ms
+                start_ms = min(start_ms, ms)
+                last_ms = max(last_ms, ms)
         state.update((sid, n, start_ms, last_ms))
         # bounded state: expire this key once the watermark passes the
         # point where the open session could still be extended

@@ -163,6 +163,26 @@ def test_extract_features_real_pixels_not_payload_hash(spark):
     assert real[1] != fake[1]          # and differs from real pixels
 
 
+def test_resize_image_payloads_extreme_aspect_keeps_spatial_axis(spark):
+    """A resize that lands on height 1 must stay a 1×W color image:
+    squeezing ALL size-1 axes would drop the spatial axis and silently
+    re-encode a (W, 3) array as a W×3 grayscale image."""
+    import numpy as np
+    from logging_spark import multimodal as mm
+    from logging_spark.functions import png
+
+    strip = _gradient(2, 64)    # max_side=32 -> (1, 32)
+    df = spark.createDataFrame(
+        [(1, bytearray(png.encode_png(strip)))], "media_id long, payload binary")
+    r = mm.resize_image_payloads(df, max_side=32).collect()[0]
+    assert (r["out_width"], r["out_height"]) == (32, 1)
+    out = png.decode_png(bytes(r["payload"]))
+    assert out.shape == (1, 32, 3)
+    ys = (np.arange(1) * 2) // 1
+    xs = (np.arange(32) * 64) // 32
+    assert (out == strip[ys][:, xs]).all()
+
+
 def test_resize_image_payloads_real_pixels(spark):
     import numpy as np
     from logging_spark import multimodal as mm
@@ -184,3 +204,104 @@ def test_resize_image_payloads_real_pixels(spark):
     ys = (np.arange(16) * 64) // 16
     xs = (np.arange(32) * 128) // 32
     assert (out == big[ys][:, xs]).all()
+
+
+# ---------------------------------------------------------------------------
+# real WAV codec path (functions/wav.py): audio is no longer stubbed
+# ---------------------------------------------------------------------------
+
+def _sine(n=4000, freq=0.01, amp=12000, ch=1):
+    import numpy as np
+    t = np.arange(n, dtype=np.float64)
+    s = np.sin(2 * np.pi * freq * t) * amp
+    if ch > 1:
+        s = np.stack([s * (i + 1) / ch for i in range(ch)], axis=1)
+    return s.astype("int16")
+
+
+def test_wav_roundtrip_mono_stereo_and_extra_chunks():
+    import numpy as np
+    from logging_spark.functions import wav
+
+    mono = _sine(1000)
+    s, rate = wav.decode_wav(wav.encode_wav(mono, rate=8000))
+    assert rate == 8000 and s.shape == (1000, 1)
+    assert np.allclose(s[:, 0], mono / 32768.0)
+
+    stereo = _sine(777, ch=2)
+    s2, _ = wav.decode_wav(wav.encode_wav(stereo))
+    assert s2.shape == (777, 2)
+    assert np.allclose(s2, stereo / 32768.0)
+
+    # non-canonical chunk layout (LIST metadata after data) decodes too
+    tagged = wav.encode_wav(mono, rate=8000,
+                            extra_chunks=[(b"LIST", b"INFOsoftware x")])
+    s3, _ = wav.decode_wav(tagged)
+    assert np.allclose(s3, s)
+
+    # 8-bit unsigned convention
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes([128, 255, 0, 128])
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 4) + data)
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    s8, r8 = wav.decode_wav(raw)
+    assert r8 == 8000
+    assert np.allclose(s8[:, 0], [0.0, 127 / 128, -1.0, 0.0])
+
+
+def test_extract_features_real_samples_not_payload_bytes(spark):
+    """Two WAVs with identical SAMPLES but different payload bytes (an
+    extra RIFF metadata chunk) must give identical real features —
+    proof the decode_stub=False path reads samples, not bytes. The
+    stub path hashes bytes and therefore differs."""
+    import numpy as np
+    from logging_spark import multimodal as mm
+    from logging_spark.functions import wav
+
+    samples = _sine(4000, ch=2)
+    p1 = wav.encode_wav(samples, rate=16000)
+    p2 = wav.encode_wav(samples, rate=16000,
+                        extra_chunks=[(b"LIST", b"INFOcomment abc")])
+    assert p1 != p2
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(p1)), (2, "audio", bytearray(p2))],
+        "media_id long, kind string, payload binary")
+    real = {r["media_id"]: list(r["feature"])
+            for r in mm.extract_features(df, decode_stub=False).collect()}
+    assert real[1] == real[2]
+    dec, rate = wav.decode_wav(p1)
+    want = [float(v) for v in wav.audio_features(dec, rate)]
+    assert np.allclose(real[1], want)
+    assert real[1][1] > 0          # rms of a sine is nonzero
+
+    fake = {r["media_id"]: list(r["feature"])
+            for r in mm.extract_features(df, decode_stub=True).collect()}
+    assert fake[1] != fake[2]      # stub is payload-hash based
+    assert real[1] != fake[1]
+
+
+def test_extract_features_mixed_png_wav_batch(spark):
+    """One real-decode pass over a batch containing BOTH kinds routes
+    each payload to its codec; video (non-PNG/WAV) still raises."""
+    from logging_spark import multimodal as mm
+    from logging_spark.functions import png, wav
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png.encode_png(_gradient(8, 8)))),
+         (2, "audio", bytearray(wav.encode_wav(_sine(500))))],
+        "media_id long, kind string, payload binary")
+    rows = {r["media_id"]: r for r in
+            mm.extract_features(df, decode_stub=False).collect()}
+    assert len(rows) == 2
+    assert all(len(r["feature"]) == mm.FEATURE_DIM for r in rows.values())
+
+    bad = spark.createDataFrame(
+        [(3, "video", bytearray(b"\x00\x01notacodec" * 4))],
+        "media_id long, kind string, payload binary")
+    with pytest.raises(Exception) as exc:
+        mm.extract_features(bad, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "pyav" in str(exc.value)

@@ -75,6 +75,42 @@ def test_streaming_sessionize_gap_and_timeout(spark, tmp_path):
     assert s2["session_start"] == s2["session_end"] == T0 + timedelta(hours=2)
 
 
+def test_streaming_sessionize_out_of_order_does_not_split(spark, tmp_path):
+    """A late-but-within-watermark row arriving in a LATER micro-batch
+    must not move the session cursor backward: with gap=30min, turns at
+    t0, t0+10, then (late) t0+5 in batch 2 followed by t0+38 must stay
+    ONE session — an unclamped last_ms=t0+5 would see 33min > gap and
+    falsely split."""
+    from datetime import timedelta
+
+    d = {k: str(tmp_path / k) for k in ("input", "sink", "chk")}
+
+    def write(rows):
+        spark.createDataFrame(rows, IN_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d["input"])
+
+    write([("A", 1, T0), ("A", 2, T0 + timedelta(minutes=10))])
+    _drain(spark, d["input"], d["sink"], d["chk"])
+    # batch 2: out-of-order row (t0+5min, admitted by the 1h watermark)
+    # then an on-time row 28min after the true cursor (t0+10min)
+    write([("A", 3, T0 + timedelta(minutes=5)),
+           ("A", 4, T0 + timedelta(minutes=38))])
+    _drain(spark, d["input"], d["sink"], d["chk"])
+    assert _read_sessions(spark, d["sink"]) == []  # nothing closed yet
+
+    # sentinel far ahead -> timeout closes conv A's single session
+    write([("zz", 0, T0 + timedelta(hours=48))])
+    _drain(spark, d["input"], d["sink"], d["chk"])
+    write([("zz", 1, T0 + timedelta(hours=49))])
+    _drain(spark, d["input"], d["sink"], d["chk"])
+    rows = [r for r in _read_sessions(spark, d["sink"]) if r["conv_id"] == "A"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["session_id"], r["n_turns"]) == (1, 4)
+    assert r["session_start"] == T0
+    assert r["session_end"] == T0 + timedelta(minutes=38)
+
+
 def test_streaming_sessionize_matches_batch_operator(spark, tmp_path):
     """Closed streaming sessions agree with the batch sessionize
     operator on the same (key, ts) data — same gap rule, same

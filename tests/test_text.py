@@ -80,3 +80,66 @@ def test_dedup_lines_keeps_first_occurrence_order(spark):
     assert _one(spark, "only", T.dedup_lines("text")) == "only"
     # empty lines are lines too: repeated blanks collapse to one
     assert _one(spark, "a\n\n\na", T.dedup_lines("text")) == "a\n"
+
+
+def test_dedup_lines_cap_makes_quadratic_total(spark):
+    # a 10^5-line doc is ~10^10 array_position comparisons uncapped —
+    # a single-row task stall; past max_lines it must pass through
+    # unchanged (and fast)
+    import time
+
+    big = "\n".join(f"line-{i % 50}" for i in range(100_000))
+    df = spark.createDataFrame([(1, big)], "doc_id int, text string")
+    t0 = time.monotonic()
+    out = df.select(T.dedup_lines("text", max_lines=1000).alias("d")).collect()
+    assert time.monotonic() - t0 < 30
+    assert out[0]["d"] == big  # pass-through above the cap
+    # below the cap the dedup still applies
+    small = "a\nb\na\nc"
+    df2 = spark.createDataFrame([(1, small)], "doc_id int, text string")
+    out2 = df2.select(T.dedup_lines("text", max_lines=1000).alias("d")).collect()
+    assert out2[0]["d"] == "a\nb\nc"
+
+
+def test_enrich_auto_counts_dim_once_per_plan(spark):
+    from pyspark.sql import DataFrame
+
+    import importlib
+
+    # the MODULE, not the function the package __init__ re-exports
+    # under the same name (plain `import ... as` resolves to the latter)
+    E = importlib.import_module("logging_spark.operators.enrich")
+
+    turns = spark.createDataFrame(
+        [("c1", 1, "user", "hi", "tool_01")],
+        "conv_id string, turn_idx int, role string, text string, tool string")
+    lookup = spark.createDataFrame(
+        [("c1", "tool_01", "ns", "pod", "node", "svc")],
+        "conv_id string, tool string, namespace string, pod_name string, "
+        "node_name string, service_name string")
+    # patch the CONCRETE class (Spark 4: pyspark.sql.classic overrides
+    # the pyspark.sql.DataFrame base methods)
+    cls = type(lookup)
+    E._DIM_SIZE_CACHE.clear()
+    calls = {"n": 0}
+    orig = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    cls.count = counting
+    try:
+        E.enrich(turns, lookup).collect()
+        E.enrich(turns, lookup).collect()  # same dim plan -> cache hit
+    finally:
+        cls.count = orig
+    assert calls["n"] == 1
+    # explicit size skips the scan entirely
+    E._DIM_SIZE_CACHE.clear()
+    cls.count = counting
+    try:
+        E.enrich(turns, lookup, dim_rows=1).collect()
+    finally:
+        cls.count = orig
+    assert calls["n"] == 1
