@@ -24,6 +24,8 @@ continuous/incremental form:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,11 +55,59 @@ def streaming_dedup(turns: DataFrame, watermark: str = "1 hour") -> DataFrame:
     latest-by-ts — W1's latest-wins resolution only holds for
     duplicates arriving in the same micro-batch (run_incremental
     applies dedup_latest_wins per batch). Use this guard when replays
-    cross trigger boundaries and first-wins is acceptable; exact
-    latest-wins across batches needs a compaction pass on the sink
-    (dedup-on-read, the batch path's job)."""
+    cross trigger boundaries and first-wins is acceptable; for exact
+    latest-wins across batches use run_incremental(compact=True) or
+    read the sink through read_sink_deduped."""
     return turns.withWatermark("ts", watermark).dropDuplicates(
         ["conv_id", "turn_idx"])
+
+
+# Sink dedup key: a (conv_id, turn_idx) key can legitimately land in
+# SEVERAL sinks (fanout routing), so latest-wins resolution is per
+# (sink, conv_id, turn_idx) — within one sink exactly one row per turn,
+# the newest text by ts.
+SINK_DEDUP_KEYS = ["sink_name", "conv_id", "turn_idx"]
+
+
+def read_sink_deduped(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Dedup-on-read view of the routed sink: exact cross-batch
+    latest-wins without rewriting anything. One window shuffle on the
+    skew-proof composite key; readers that tolerate the scan cost get
+    batch-W1 semantics even between compactions."""
+    from logging_spark.operators.dedup import dedup_latest_wins
+
+    return dedup_latest_wins(spark.read.parquet(sink_dir),
+                             keys=SINK_DEDUP_KEYS)
+
+
+def compact_sink_latest_wins(spark: SparkSession, sink_dir: str) -> None:
+    """Rewrite the routed sink with cross-batch replays resolved
+    latest-by-ts (exact batch-W1 parity): a (conv_id, turn_idx) replayed
+    with a newer ts in a LATER micro-batch ends up as the only row for
+    that turn in its sink, carrying the newer text.
+
+    Crash safety mirrors Catalog.merge_upsert's parquet fallback: the
+    deduped frame lands in a temp sibling directory first, then two
+    renames swap it over sink_dir — the old sink survives on disk until
+    the new copy is fully written (a brief window where the path is
+    absent is the documented residual).
+
+    Scale: one window shuffle on (sink_name, conv_id, turn_idx) — the
+    full composite key, so hot conversations spread across the cluster —
+    plus a partitioned rewrite of the sink. O(sink) per call by design:
+    run it at reconcile cadence (e.g. after every availableNow drain or
+    every Nth), not per micro-batch; between compactions readers needing
+    exact semantics use read_sink_deduped."""
+    import shutil
+
+    tmp = f"{sink_dir}.tmp-{os.getpid()}"
+    old = f"{sink_dir}.old"
+    (read_sink_deduped(spark, sink_dir)
+     .write.mode("overwrite").partitionBy("sink_name").parquet(tmp))
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(sink_dir, old)
+    os.rename(tmp, sink_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def run_incremental(
@@ -70,6 +120,7 @@ def run_incremental(
     cross_batch_dedup: bool = False,
     watermark: str = "1 hour",
     available_now: bool = True,
+    compact: bool = False,
 ) -> None:
     """Drain all unprocessed input files through parse→enrich→route and
     append routed rows to sink_dir partitioned by sink_name. Re-running
@@ -77,7 +128,9 @@ def run_incremental(
     resume, reference server.go:68-76). Duplicates within a micro-batch
     resolve latest-wins (exact W1 parity with the batch pipeline);
     set cross_batch_dedup for the stateful replay guard (first-wins
-    across batches — see streaming_dedup)."""
+    across batches — see streaming_dedup), or compact=True to run a
+    sink-side latest-wins compaction after the drain so cross-batch
+    replays resolve latest-by-ts exactly like batch W1."""
     turns = read_turns_stream(spark, input_dir)
     if cross_batch_dedup:
         turns = streaming_dedup(turns, watermark)
@@ -104,3 +157,5 @@ def run_incremental(
     else:
         q = writer.start()
     q.awaitTermination()
+    if compact and os.path.exists(sink_dir):
+        compact_sink_latest_wins(spark, sink_dir)

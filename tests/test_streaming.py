@@ -105,3 +105,53 @@ def test_cross_batch_dedup_drops_replays(spark, tmp_path):
     dup_turns = (sink.groupBy("sink_name", "conv_id", "turn_idx").count()
                  .where("count > 1").count())
     assert dup_turns == 0
+
+
+def test_compaction_resolves_cross_batch_replays_latest_wins(spark, tmp_path):
+    """compact=True closes the streaming_dedup caveat: a (conv_id,
+    turn_idx) replayed with a NEWER ts in a LATER micro-batch ends with
+    the newer text as the ONLY row for that turn in each sink — exact
+    batch-W1 latest-wins, not first-wins."""
+    import pyspark.sql.functions as SF
+    from logging_spark import synth as SY
+    from logging_spark.operators.dedup import dedup_latest_wins
+    from logging_spark.operators.enrich import enrich as op_enrich
+    from logging_spark.operators.route import route as op_route
+    from logging_spark.operators.rules import load_rules
+    from logging_spark.streaming.incremental import read_sink_deduped
+
+    d = {k: str(tmp_path / k) for k in ("input", "sink", "chk")}
+    lookup = SY.lookup(spark, n_conversations=10)
+    rules = load_rules(SY.rules(spark))
+
+    base = SY.transcripts(spark, n_conversations=10, turns_per_conv=5,
+                          hot_conversations=0, dup_pct=0.0)
+    base.coalesce(1).write.mode("append").parquet(d["input"])
+    run_incremental(spark, d["input"], lookup, rules, d["sink"], d["chk"])
+
+    # later micro-batch replays every turn with a NEWER ts + marker text
+    replay = (base.withColumn("ts", SF.expr("ts + INTERVAL 2 SECONDS"))
+              .withColumn("text", SF.concat(SF.col("text"), SF.lit(" REPLAY"))))
+    replay.coalesce(1).write.mode("append").parquet(d["input"])
+
+    # dedup-on-read view gives exact semantics even without compaction
+    run_incremental(spark, d["input"], lookup, rules, d["sink"], d["chk"])
+    view = read_sink_deduped(spark, d["sink"])
+    assert view.where(~SF.col("text").contains("REPLAY")).count() == 0
+
+    # physical compaction: trigger via a third (empty-of-new-work) drain
+    run_incremental(spark, d["input"], lookup, rules, d["sink"], d["chk"],
+                    compact=True)
+    sink = spark.read.parquet(d["sink"])
+    assert sink.where(~SF.col("text").contains("REPLAY")).count() == 0
+    dup_turns = (sink.groupBy("sink_name", "conv_id", "turn_idx").count()
+                 .where("count > 1").count())
+    assert dup_turns == 0
+
+    # byte-for-byte parity with the batch pipeline over the full input
+    full = spark.read.parquet(d["input"])
+    batch = op_route(op_enrich(dedup_latest_wins(full), lookup), rules)
+    key_cols = ["sink_name", "conv_id", "turn_idx", "text"]
+    s_rows = sorted(map(tuple, sink.select(*key_cols).collect()))
+    b_rows = sorted(map(tuple, batch.select(*key_cols).collect()))
+    assert s_rows == b_rows
