@@ -38,6 +38,13 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_chunks",
     "pipe_tumbling_window",
+    # round-2 operator families — visible round-over-round so perf
+    # regressions in cleaning/clustering/sampling/sharded-ANN show up
+    "docs_clean_e2e",
+    "docs_clean_e2e_fast",
+    "dedup_cluster",
+    "sample_global_shuffle",
+    "sim_topk_sharded",
 ]
 
 
@@ -66,8 +73,12 @@ def run_suite(cpus: int, repeats: int = 3) -> dict:
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(repeats):
         for name in HEADLINE:
-            df = queries[name](spark, SF_DIR)
+            # time the BUILD too: iterative operators (dedup_cluster's
+            # CC rounds) do their real work eagerly at build time via
+            # localCheckpoint — timing only the final noop write would
+            # hide them
             t0 = time.time()
+            df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.time() - t0, 3))
             spark.catalog.clearCache()  # operators cache intermediates; isolate queries

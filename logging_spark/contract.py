@@ -756,28 +756,39 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus_df(spark, sf), seed="bench").select("doc_id", "shuffle_key")
 
     # -- corpus cleaning, end to end ---------------------------------------
-    # The flagship training-data chain as ONE lazy plan: quality filter
-    # -> exact dedup (cheap pass first) -> MinHash/LSH near-dup cluster
-    # + keep-canonical -> redact -> per-doc stats. Narrow stages fuse
-    # into the scan; the only wide dependencies are the exact-dedup
-    # hash partition and LSH's banded self-join — at corpus scale you
-    # would checkpoint `kept` between the two passes.
-    def docs_clean_e2e(spark, sf):
+    # The flagship training-data chain: quality filter -> exact dedup
+    # (cheap pass first) -> MinHash/LSH near-dup cluster +
+    # keep-canonical -> redact -> per-doc stats. `kept` is checkpointed
+    # between the two passes — it feeds BOTH the LSH signature pass and
+    # the final keep-canonical projection, and recomputing the quality
+    # scan + exact-dedup window twice is pure waste at any scale (this
+    # is exactly the inter-pass checkpoint production curation
+    # pipelines take). Only wide deps: the exact-dedup hash partition
+    # and LSH's banded self-join.
+    def _clean_chain(spark, sf, portable):
         c = corpus_df(spark, sf)
         kept = c.where(T.quality_keep("text", min_tokens=20,
                                       min_distinct_ratio_pct=30))
         wmd5 = Window.partitionBy(F.md5("text"))
         kept = (kept.withColumn("_keeper", F.min("doc_id").over(wmd5))
                 .where(F.col("doc_id") == F.col("_keeper")).drop("_keeper"))
+        kept = kept.localCheckpoint(eager=True)
         clusters = duplicate_clusters(lsh_candidate_pairs(
-            kept, num_perm=8, bands=4, w=3, portable=True))
+            kept, num_perm=8, bands=4, w=3, portable=portable))
         cleaned = keep_canonical(kept, clusters)
         return cleaned.select(
             "doc_id",
             T.lang_guess("text").alias("lang"),
             T.token_count("text").alias("n_tokens"),
             F.md5(T.redact("text")).alias("fp"))
-    q["docs_clean_e2e"] = docs_clean_e2e
+
+    q["docs_clean_e2e"] = lambda spark, sf: _clean_chain(spark, sf, True)
+    # rows-only production twin: xxhash64 minhash permutations (~10x
+    # cheaper than the oracle-portable md5) — same chain, same output
+    # columns; near-dup candidates may differ where hash families
+    # disagree on borderline pairs, so no shared oracle (same split as
+    # dedup_minhash_lsh vs _fast)
+    q["docs_clean_e2e_fast"] = lambda spark, sf: _clean_chain(spark, sf, False)
 
     # intra-document line dedup (C4/RefinedWeb-style): the fixture
     # builds multi-line docs (8-token lines) and appends a copy of the

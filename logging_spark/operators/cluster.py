@@ -33,16 +33,31 @@ from pyspark.sql import functions as F
 
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a",
-                       id_b: str = "doc_b", max_iter: int = 25) -> DataFrame:
+                       id_b: str = "doc_b", max_iter: int = 25,
+                       max_driver_edges: int = 2_000_000) -> DataFrame:
     """(doc_id, canonical_id) for every doc appearing in >=1 pair;
     canonical_id = min doc id of its connected component. Docs in no
     pair are implicitly their own cluster (left out, like the pair
-    operators leave out non-duplicates)."""
+    operators leave out non-duplicates).
+
+    Tiered like similarity's top-k dispatch: a pair graph at or under
+    `max_driver_edges` (the common case — LSH emits pairs for the
+    DUPLICATE fraction, not the corpus) collects to the driver for one
+    union-find pass — bounded memory (~30 MB at the 2M default), zero
+    shuffle rounds, identical output. Past the cap, the distributed
+    label-propagation loop below handles graphs of any size."""
     und = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = (und.unionByName(und.select(F.col("b").alias("a"),
-                                        F.col("a").alias("b")))
-             .distinct()
-             .localCheckpoint(eager=True))
+    edges = und.unionByName(und.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b"))).distinct()
+    # ONE bounded job decides the tier AND fetches the small graph:
+    # limit(cap+1) short-circuits scanning past the cap, and when the
+    # graph fits, the collected rows feed union-find directly (no
+    # checkpoint, no separate count)
+    probe = edges.limit(max_driver_edges + 1).collect()
+    if len(probe) <= max_driver_edges:
+        id_type = edges.schema["a"].dataType.simpleString()
+        return _driver_union_find(edges.sparkSession, probe, id_type)
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("a").alias("node")).distinct() \
                   .select("node", F.col("node").alias("label"))
     for _ in range(max_iter):
@@ -52,26 +67,53 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "doc_a",
                .groupBy(F.col("b").alias("node"))
                .agg(F.min("label").alias("nbr_label")))
         step = (labels.join(nbr, "node", "left")
-                .select("node",
+                .select("node", F.col("label").alias("_old"),
                         F.least("label", F.coalesce("nbr_label", "label"))
                         .alias("label")))
         # pointer jumping: follow my label to ITS label (path halving)
         hop = labels.select(F.col("node").alias("label"),
                             F.col("label").alias("hop_label"))
+        new = F.least("label", F.coalesce("hop_label", "label"))
+        # fuse the convergence flag into the step (labels only ever
+        # decrease, so chg = new < old): the probe below is a narrow
+        # scan of the checkpointed blocks, not a labels⨝labels join job
         step = (step.join(hop, "label", "left")
-                .select("node",
-                        F.least("label", F.coalesce("hop_label", "label"))
-                        .alias("label")))
-        prev = labels
-        labels = step.localCheckpoint(eager=True)
-        changed = (labels.withColumnRenamed("label", "new_label")
-                   .join(prev, "node")
-                   .where(F.col("new_label") != F.col("label"))
-                   .limit(1).count())
-        if changed == 0:
+                .select("node", new.alias("label"),
+                        (new < F.col("_old")).alias("chg")))
+        step = step.localCheckpoint(eager=True)
+        labels = step.drop("chg")
+        if step.where("chg").limit(1).count() == 0:
             break
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("canonical_id"))
+
+
+def _driver_union_find(spark, edge_rows, id_type: str) -> DataFrame:
+    """Min-root union-find over a collected (bounded) symmetric edge
+    list; returns the same (doc_id, canonical_id) frame, same types,
+    as the distributed loop."""
+    root: dict = {}
+
+    def find(x):
+        r = x
+        while root.get(r, r) != r:
+            r = root[r]
+        while root.get(x, x) != x:          # path compression
+            root[x], x = r, root[x]
+        return r
+
+    for a, b in edge_rows:
+        if a > b:
+            continue                         # symmetric twin
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            root[hi] = lo                    # min id stays the root
+        root.setdefault(a, find(a))
+        root.setdefault(b, find(b))
+    rows = [(n, find(n)) for n in list(root)]
+    return spark.createDataFrame(
+        rows, f"doc_id {id_type}, canonical_id {id_type}")
 
 
 def keep_canonical(df: DataFrame, clusters: DataFrame,

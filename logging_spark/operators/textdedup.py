@@ -45,14 +45,29 @@ def shingles(text: Column | str, w: int = 3) -> Column:
     return F.array_distinct(F.when(n >= w, sliced).otherwise(whole))
 
 
+# Fast-path permutation family: hash each shingle STRING once
+# (xxhash64), then derive every permutation with integer universal
+# hashing h_i = (a_i*h + b_i) mod M — the standard MinHash formulation
+# (Broder; datasketch does the same). Re-hashing the string per perm
+# costs num_perm full string hashes per shingle; this costs ONE string
+# hash + num_perm multiply-adds. M = 2^31-1 (Mersenne prime) keeps
+# a_i*h < 2^62, so the arithmetic can never overflow ANSI-mode bigint.
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_coeffs(i: int) -> tuple[int, int]:
+    # deterministic LCG-derived coefficients, a_i != 0
+    a = (1103515245 * (i + 1) + 12345) % _MERSENNE or 1
+    b = (69069 * (i + 1) + 362437) % _MERSENNE
+    return a, b
+
+
 def _perm_hash(shingle: Column, i: int, portable: bool) -> Column:
     if portable:
         return F.md5(F.concat(F.lit(f"{i}:"), shingle))
-    # production path: numeric xxhash64 min — one JVM hash per
-    # (perm, shingle), no hex/string materialization. Min over int64 is
-    # unbiased; min over decimal STRINGS (the tempting conv(hex(..)))
-    # is length-biased and ~10x the cost.
-    return F.xxhash64(F.lit(i), shingle)
+    a, b = _perm_coeffs(i)
+    base = F.pmod(F.xxhash64(shingle), F.lit(_MERSENNE))
+    return F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE))
 
 
 def _min_perm(sh: Column, i: int, portable: bool) -> Column:
@@ -81,14 +96,33 @@ def minhash_signature(text: Column | str, num_perm: int = 8,
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_perm: int = 8,
                        w: int = 3, portable: bool = True) -> DataFrame:
-    """Two-step projection: materialize the shingle array once, then
+    """Multi-step projection: materialize the shingle array once, then
     derive all num_perm minima from the bound column. Inlining
     `shingles()` into each perm (the naive one-step select) rebuilds
     the shingle array num_perm times per row — higher-order functions
     are interpreted, not codegen'd, so Catalyst does not CSE them;
-    measured 8x slower at 5k docs."""
+    measured 8x slower at 5k docs. The fast path additionally binds the
+    per-shingle base xxhash64 ONCE (same reason: each perm is then a
+    multiply-add over longs instead of a fresh string hash)."""
     with_sh = df.select(F.col(id_col), shingles(text_col, w).alias("_sh"))
-    sig = F.array(*[_min_perm(F.col("_sh"), i, portable) for i in range(num_perm)])
+    if not portable:
+        with_sh = with_sh.select(
+            F.col(id_col),
+            F.transform("_sh", lambda s: F.pmod(F.xxhash64(s),
+                                                F.lit(_MERSENNE))).alias("_sh"))
+        def perm_min(i: int) -> Column:
+            # NB: the transform lambda must stay SINGLE-argument — a
+            # defaulted second param becomes the array index (see
+            # _min_perm) — so bind (a, b) via this enclosing scope
+            a, b = _perm_coeffs(i)
+            return F.array_min(F.transform(
+                "_sh", lambda h: F.pmod(F.lit(a) * h + F.lit(b),
+                                        F.lit(_MERSENNE))))
+
+        sig = F.array(*[perm_min(i) for i in range(num_perm)])
+    else:
+        sig = F.array(*[_min_perm(F.col("_sh"), i, portable)
+                        for i in range(num_perm)])
     sent = _empty_sentinel(portable)
     sig = F.transform(sig, lambda h: F.coalesce(h, sent))
     return with_sh.select(F.col(id_col), sig.alias("signature"))

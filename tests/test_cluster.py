@@ -47,3 +47,21 @@ def test_keep_canonical(spark):
     kept = {r["doc_id"] for r in keep_canonical(corpus, clusters).collect()}
     # cluster {0,3,5} -> keep 0; untouched docs 1,2,4 stay
     assert kept == {0, 1, 2, 4}
+
+
+import pytest
+
+# every topology must give identical answers on BOTH tiers: the driver
+# union-find fast path (default: small pair graphs) and the distributed
+# label-propagation loop (max_driver_edges=0 forces it)
+@pytest.mark.parametrize("tier", [{}, {"max_driver_edges": 0}],
+                         ids=["driver", "distributed"])
+def test_tiers_agree_on_mixed_topology(spark, tier):
+    pairs = ([(i, i + 1) for i in range(8)]            # chain
+             + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+             + [(100, 200), (50, 40)])                 # pairs (one reversed)
+    got = _clusters(spark, pairs, **tier)
+    want = ({(i, 0) for i in range(9)}
+            | {(i, 20) for i in range(20, 24)}
+            | {(100, 100), (200, 100), (40, 40), (50, 40)})
+    assert got == want
