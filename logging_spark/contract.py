@@ -54,7 +54,10 @@ from logging_spark.operators.sample import (deterministic_sample,
                                             global_shuffle, hash60_sql,
                                             mix_corpora, split_thresholds,
                                             HASH_SPACE)
-from logging_spark.operators.textdedup import (exact_duplicates,
+from logging_spark.operators.pack import pack_chunks
+from logging_spark.operators.textdedup import (contamination_hits,
+                                               decontaminate,
+                                               exact_duplicates,
                                                lsh_candidate_pairs,
                                                ngram_jaccard_pairs, simhash)
 from logging_spark import multimodal as mm
@@ -783,6 +786,38 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(T.redact("text")).alias("fp"))
 
     q["docs_clean_e2e"] = lambda spark, sf: _clean_chain(spark, sf, True)
+
+    # -- benchmark decontamination ------------------------------------------
+    # the GPT-3/PaLM-style pre-training hygiene pass: count distinct
+    # 3-gram shingles each corpus doc shares with a benchmark/eval set
+    # (fixture: every doc with doc_id % 97 == 3 stands in for the eval
+    # set), then drop docs past the hit threshold
+    def _benchmark_df(spark, sf):
+        return _read(spark, sf, "documents").where(
+            F.col("doc_id") % 97 == 3).select("doc_id", "text")
+
+    def docs_contamination_hits(spark, sf):
+        return contamination_hits(corpus_df(spark, sf),
+                                  _benchmark_df(spark, sf), w=3)
+    q["docs_contamination_hits"] = docs_contamination_hits
+
+    def docs_decontaminate(spark, sf):
+        return decontaminate(corpus_df(spark, sf), _benchmark_df(spark, sf),
+                             w=3, min_hits=10).select("doc_id")
+    q["docs_decontaminate"] = docs_decontaminate
+
+    # -- sequence packing ----------------------------------------------------
+    # chunk (32-token windows, 8 overlap) -> greedy per-document packs
+    # of 100 tokens: pack_idx = floor(tokens-before-this-chunk / budget),
+    # a pure prefix sum partitioned by doc (no global sort)
+    def text_pack_chunks(spark, sf):
+        d = _read(spark, sf, "documents")
+        ch = d.select("doc_id", F.explode(
+            T.chunk_tokens("text", chunk=32, overlap=8)).alias("c"))
+        ch = ch.select("doc_id", "c.chunk_idx",
+                       F.size(T.tokens("c.chunk_text")).alias("n_tokens"))
+        return pack_chunks(ch, budget=100)
+    q["text_pack_chunks"] = text_pack_chunks
     # rows-only production twin: xxhash64 minhash permutations (~10x
     # cheaper than the oracle-portable md5) — same chain, same output
     # columns; near-dup candidates may differ where hash families
@@ -1339,6 +1374,43 @@ SELECT k.doc_id,
              '\\b\\d{{6,}}\\b', '<NUM>', 'g')) AS fp
 FROM kept k JOIN ls ON k.doc_id = ls.doc_id
 WHERE k.doc_id NOT IN (SELECT node FROM losers)"""
+
+    # benchmark decontamination: distinct 3-gram shingle hits per doc
+    # against the doc_id % 97 == 3 eval-set fixture (shingles are
+    # distinct per doc on both engines, so count(*) = distinct hits)
+    _DECON_CTES = f"""{CORPUS_CTE},
+bt AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id % 97 = 3),
+bench AS (SELECT DISTINCT unnest({SHINGLES}) AS sh FROM bt),
+ct AS (SELECT doc_id, {TOKS} AS toks FROM corpus),
+inv AS (SELECT doc_id, unnest({SHINGLES}) AS sh FROM ct),
+hits AS (SELECT doc_id, count(*) AS n_hits
+         FROM inv JOIN bench USING (sh) GROUP BY doc_id)"""
+
+    o["docs_contamination_hits"] = f"""
+WITH {_DECON_CTES}
+SELECT doc_id, n_hits FROM hits"""
+
+    o["docs_decontaminate"] = f"""
+WITH {_DECON_CTES}
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hits >= 10)"""
+
+    # sequence packing: same chunk construction as text_chunks, then
+    # pack_idx = floor(per-doc running token count before this chunk /
+    # 100) — an exact integer prefix sum on both engines
+    o["text_pack_chunks"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1 END AS n_chunks
+      FROM t),
+ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+              CAST(len(toks[i*24+1 : i*24+32]) AS INT) AS n_tokens
+       FROM c, unnest(range(0, n_chunks)) AS u(i))
+SELECT doc_id, chunk_idx, n_tokens,
+       CAST(floor((SUM(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_idx
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) / 100) AS INT) AS pack_idx
+FROM ch"""
 
     # multi-line fixture (8-token lines + a repeat of line 1), then
     # order-preserving first-occurrence line dedup: DuckDB's (x, i)

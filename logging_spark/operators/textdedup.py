@@ -362,3 +362,50 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
         .where(F.col("n_copies") > 1)
         .select("keeper_id", "n_copies")
     )
+
+
+def contamination_hits(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    broadcast: bool = True,
+) -> DataFrame:
+    """(id, n_hits): how many distinct w-gram shingles each document
+    shares with a benchmark/eval corpus — the decontamination signal
+    every serious training pipeline computes before training (the
+    GPT-3/PaLM-style n-gram overlap check, public methodology).
+
+    Scale shape: the benchmark side is eval sets (thousands of docs) —
+    its distinct shingle set broadcasts; the corpus side is a narrow
+    explode followed by a broadcast semi-join, so corpus text never
+    shuffles. The only wide dependency is the per-doc hit count,
+    keyed on the uniform doc id. Set broadcast=False if the benchmark
+    outgrows executor memory (falls back to a shuffle join)."""
+    bench_sh = (benchmark.select(F.explode(shingles(text_col, w)).alias("_sh"))
+                .distinct())
+    if broadcast:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = df.select(F.col(id_col), F.explode(shingles(text_col, w)).alias("_sh"))
+    # shingles() is array_distinct per doc, so count(*) IS the distinct
+    # shingle-hit count
+    return (doc_sh.join(bench_sh, "_sh")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    min_hits: int = 10,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Drop every document sharing >= min_hits distinct w-gram shingles
+    with the benchmark corpus. Contaminated ids are a small fraction of
+    the corpus, so the anti-join side broadcasts."""
+    bad = (contamination_hits(df, benchmark, id_col, text_col, w, broadcast)
+           .where(F.col("n_hits") >= min_hits).select(id_col))
+    return df.join(F.broadcast(bad), id_col, "left_anti")

@@ -137,3 +137,27 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     # boilerplate pairs dominate the uncapped result: the cap removes
     # the quadratic term, not the signal
     assert len(capped) < len(uncapped)
+
+
+def test_decontaminate_drops_benchmark_overlap(spark):
+    from logging_spark.operators.textdedup import (contamination_hits,
+                                                   decontaminate)
+
+    mk = " ".join(f"tok{i}" for i in range(30))          # 28 shingles
+    other = " ".join(f"zzz{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, mk),                                        # exact eval copy
+         (2, mk + " extra trailing words here"),         # superset: contaminated
+         (3, other),                                     # disjoint: clean
+         (4, "tok0 tok1 tok2 tok3 tok4")],               # 3 shared shingles < min_hits
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, mk)], "doc_id long, text string")
+
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in contamination_hits(docs, bench, w=3).collect()}
+    assert hits[1] == 28 and hits[2] >= 28 and hits[4] == 3
+    assert 3 not in hits                                 # no shared shingles
+
+    kept = {r["doc_id"] for r in
+            decontaminate(docs, bench, w=3, min_hits=10).collect()}
+    assert kept == {3, 4}
