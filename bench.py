@@ -104,8 +104,40 @@ def run_suite(cpus: int, repeats: int = 3) -> dict:
     return out
 
 
+def _gen_input(here: str, n_conversations: int, turns_per_conv: int) -> str:
+    """Materialize the synthetic transcript + lookup tables to tmpfs
+    parquet ONCE per workload and return the directory.
+
+    The north rule's job is batch-over-an-Iceberg-TABLE: a real run
+    scans committed columnar files, it does not synthesize its input
+    inline. Generating inside the timed window also measured the
+    generator, whose per-row format_string/array allocations made the
+    first map stage GC-bound (219 task-GC-seconds at 16 threads vs 40
+    at 4 — profiled round 3) and polluted the scaling ratio with a
+    component a production job doesn't have. Both legs now scan the
+    SAME files; generation happens here, untimed."""
+    base = f"/dev/shm/bench_input_{n_conversations}x{turns_per_conv}"
+    if (os.path.exists(f"{base}/turns/_SUCCESS")
+            and os.path.exists(f"{base}/lookup/_SUCCESS")):
+        return base
+    subprocess.run([
+        "spark-submit", "--master", "local[32]", "--driver-memory", "16g",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.local.dir=/dev/shm/spark-local",
+        "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+        "--conf", "spark.sql.parquet.compression.codec=zstd",
+        "--py-files", os.path.join(here, "dist/logging_spark.zip"),
+        os.path.join(here, "run_job.py"), "--warehouse", "/dev/shm/unused",
+        "--gen-input", base,
+        "--n-conversations", str(n_conversations),
+        "--turns-per-conv", str(turns_per_conv),
+    ], check=True, capture_output=True)
+    return base
+
+
 def _submit_once(here: str, cpus: int, n_conversations: int,
-                 turns_per_conv: int, tag: str) -> dict:
+                 turns_per_conv: int, tag: str,
+                 input_dir: str | None = None) -> dict:
     import shutil
     # warehouse on tmpfs: the VM's single virtio disk is a sandbox
     # artifact (a real cluster writes sinks to distributed storage that
@@ -145,12 +177,37 @@ def _submit_once(here: str, cpus: int, n_conversations: int,
         # 4-thread leg 24%, and worsened the measured ratio — the
         # cluster harness keeps it because 4 cohabiting JVMs otherwise
         # oversubscribe GC threads 4x, a different failure.
-        "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+        # -Xmn8g: ParallelGC's default young gen (heap/3 ~= 5.3g) made
+        # the hot stages pause-bound at 16 threads (profiled 72-107
+        # task-GC-seconds in the transform stage); a larger eden cuts
+        # collection frequency with the same small live set, and STW
+        # pauses cost the WIDE leg proportionally more (16 idle threads
+        # per pause vs 4). Held identical across legs like every other
+        # JVM flag.
+        "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC -Xmn8g",
         "--conf", "spark.sql.parquet.compression.codec=zstd",
+        # dynamic-partition write path: without concurrent writers each
+        # write task SORTS its rows by partition key first (an
+        # UnsafeExternalSorter materialization that showed up as the
+        # write stage's allocation churn); <=2 (sink,bucket) cells land
+        # per task at 128 write partitions, so 8 writers never spill
+        # back to the sort path (profiled: write-stage CPU 102 -> 74
+        # core-s at 16 threads)
+        "--conf", "spark.sql.maxConcurrentOutputFileWriters=8",
+        # text-like columns are ~unique per row: parquet's dictionary
+        # build (a per-writer byte[] hash map) always fails to 1 MB and
+        # falls back, pure allocation overhead — zstd on plain pages
+        # compresses these fine. Keyed columns (conv_id, role, tool...)
+        # keep dictionaries.
+        "--conf", "spark.hadoop.parquet.enable.dictionary#text=false",
+        "--conf", "spark.hadoop.parquet.enable.dictionary#message=false",
+        "--conf", "spark.hadoop.parquet.enable.dictionary#attrs=false",
         "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
         "--py-files", os.path.join(here, "dist/logging_spark.zip"),
         os.path.join(here, "run_job.py"),
         "--warehouse", wh,
+        *(["--input-parquet", f"{input_dir}/turns",
+           "--lookup-parquet", f"{input_dir}/lookup"] if input_dir else []),
         "--n-conversations", str(n_conversations),
         "--turns-per-conv", str(turns_per_conv),
         # workload held CONSTANT across parallelism levels: bucket and
@@ -173,7 +230,10 @@ def run_scaling(n_conversations: int = 80000, turns_per_conv: int = 100,
     (parse→enrich→route→aggregate incl. partitioned sink writes) via
     spark-submit --py-files at N and 4N parallelism (local[N] vs
     local[4N] — the sandbox proxy for N vs 4N executors) on identical
-    deterministic input. Efficiency = (tput_4N / tput_N) / 4.
+    deterministic input, read from a pre-materialized parquet
+    transcript table (see _gen_input — the north rule's job scans an
+    Iceberg table, it doesn't synthesize input inline).
+    Efficiency = (tput_4N / tput_N) / 4.
 
     Methodology against this VM's 2-3x ambient variance:
     - legs are INTERLEAVED (N, 4N, N, 4N, ...) so a noisy window hits
@@ -192,13 +252,15 @@ def run_scaling(n_conversations: int = 80000, turns_per_conv: int = 100,
     subprocess.run([sys.executable, os.path.join(here, "make_pyfiles.py")],
                    check=True, capture_output=True)
     lo, hi = pair
+    input_dir = _gen_input(here, n_conversations, turns_per_conv)
     samples: dict[int, list[dict]] = {lo: [], hi: []}
     ceilings = []
     for r in range(repeats):
         ceilings.append(_cpu_calibration(pair))
         for cpus in (lo, hi):
             samples[cpus].append(_submit_once(
-                here, cpus, n_conversations, turns_per_conv, f"r{r}"))
+                here, cpus, n_conversations, turns_per_conv, f"r{r}",
+                input_dir=input_dir))
     import statistics
     runs = {}
     for cpus, ss in samples.items():
@@ -311,7 +373,8 @@ def _stop_standalone(procs: list) -> None:
 
 
 def _submit_once_cluster(here: str, total_cores: int, n_conversations: int,
-                         turns_per_conv: int, tag: str) -> dict:
+                         turns_per_conv: int, tag: str,
+                         input_dir: str | None = None) -> dict:
     """One e2e run against the standalone master with a core budget:
     total_cores=8 -> 1 executor (one 'node'), 32 -> 4 executors."""
     import shutil
@@ -346,10 +409,18 @@ def _submit_once_cluster(here: str, total_cores: int, n_conversations: int,
         "--conf", ("spark.driver.extraJavaOptions=-XX:+UseParallelGC "
                    "-XX:ActiveProcessorCount=4"),
         "--conf", "spark.sql.parquet.compression.codec=zstd",
+        # same write-path confs as _submit_once (sort-free dynamic
+        # partition writers; no dictionary build on ~unique text cols)
+        "--conf", "spark.sql.maxConcurrentOutputFileWriters=8",
+        "--conf", "spark.hadoop.parquet.enable.dictionary#text=false",
+        "--conf", "spark.hadoop.parquet.enable.dictionary#message=false",
+        "--conf", "spark.hadoop.parquet.enable.dictionary#attrs=false",
         "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
         "--py-files", os.path.join(here, "dist/logging_spark.zip"),
         os.path.join(here, "run_job.py"),
         "--warehouse", wh,
+        *(["--input-parquet", f"{input_dir}/turns",
+           "--lookup-parquet", f"{input_dir}/lookup"] if input_dir else []),
         "--n-conversations", str(n_conversations),
         "--turns-per-conv", str(turns_per_conv),
         "--num-buckets", "32",
@@ -375,6 +446,7 @@ def run_scaling_cluster(n_conversations: int = 160000,
     subprocess.run([sys.executable, os.path.join(here, "make_pyfiles.py")],
                    check=True, capture_output=True)
     lo, hi = pair
+    input_dir = _gen_input(here, n_conversations, turns_per_conv)
     procs = _start_standalone(n_workers=max(hi // 8, 1))
     samples: dict[int, list[dict]] = {lo: [], hi: []}
     ceilings = []
@@ -383,7 +455,8 @@ def run_scaling_cluster(n_conversations: int = 160000,
             ceilings.append(_cpu_calibration(pair))
             for cores in (lo, hi):
                 samples[cores].append(_submit_once_cluster(
-                    here, cores, n_conversations, turns_per_conv, f"r{r}"))
+                    here, cores, n_conversations, turns_per_conv, f"r{r}",
+                    input_dir=input_dir))
     finally:
         _stop_standalone(procs)
     import statistics

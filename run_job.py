@@ -25,6 +25,15 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--warehouse", required=True)
     p.add_argument("--input-parquet", default=None)
+    p.add_argument("--lookup-parquet", default=None,
+                   help="read the enrichment dimension from parquet instead "
+                        "of generating it inline (pair with --input-parquet)")
+    p.add_argument("--gen-input", default=None, metavar="DIR",
+                   help="materialize the synthetic turns + lookup tables to "
+                        "DIR/turns and DIR/lookup as parquet, then exit — the "
+                        "north-rule job reads an Iceberg/parquet transcript "
+                        "TABLE, so benchmarks pre-generate input once "
+                        "(untimed) and every leg scans the same files")
     p.add_argument("--n-conversations", type=int, default=1000)
     p.add_argument("--turns-per-conv", type=int, default=50)
     p.add_argument("--hot-conversations", type=int, default=3)
@@ -55,6 +64,21 @@ def main(argv: list[str] | None = None) -> int:
     from logging_spark.plans.job import run_pipeline
     from logging_spark.sources.catalog import Catalog
 
+    if args.gen_input:
+        base = args.gen_input.rstrip("/")
+        synth.transcripts(
+            spark,
+            n_conversations=args.n_conversations,
+            turns_per_conv=args.turns_per_conv,
+            hot_conversations=args.hot_conversations,
+            hot_factor=args.hot_factor,
+        ).write.mode("overwrite").parquet(f"{base}/turns")
+        synth.lookup(spark, n_conversations=args.n_conversations) \
+            .write.mode("overwrite").parquet(f"{base}/lookup")
+        n = spark.read.parquet(f"{base}/turns").count()
+        print(json.dumps({"gen_input": base, "n_input_turns": n}))
+        return 0
+
     if args.input_parquet:
         turns = spark.read.parquet(args.input_parquet)
     else:
@@ -65,7 +89,10 @@ def main(argv: list[str] | None = None) -> int:
             hot_conversations=args.hot_conversations,
             hot_factor=args.hot_factor,
         )
-    lookup = synth.lookup(spark, n_conversations=args.n_conversations)
+    if args.lookup_parquet:
+        lookup = spark.read.parquet(args.lookup_parquet)
+    else:
+        lookup = synth.lookup(spark, n_conversations=args.n_conversations)
     rules = synth.rules(spark)
 
     cat = Catalog(spark, args.warehouse)
