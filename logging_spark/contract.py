@@ -49,8 +49,9 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 ivf_topk, lsh_topk,
                                                 plane_signs)
 from logging_spark.operators.cluster import duplicate_clusters, keep_canonical
+from logging_spark.operators.importance import importance_scores
 from logging_spark.operators.sample import (deterministic_sample,
-                                            deterministic_split,
+                                            deterministic_split, domain_cap,
                                             global_shuffle, hash60_sql,
                                             mix_corpora, split_thresholds,
                                             HASH_SPACE)
@@ -703,6 +704,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.col("n").desc(), "ngram").limit(20))
     q["text_top_ngrams"] = text_top_ngrams
 
+    def text_repetition(spark, sf):
+        # Gopher repetition rules (functions/text.py:ngram_repetition):
+        # integer numerators of the top-/duplicated-2-gram character
+        # fractions; callers threshold them against n_chars
+        d = _read(spark, sf, "documents")
+        r = T.ngram_repetition("text", n=2)
+        return d.select(
+            "doc_id",
+            r.getField("n_grams").alias("n_grams"),
+            r.getField("top_cnt").alias("top_cnt"),
+            r.getField("top_gram").alias("top_gram"),
+            r.getField("top_chars").alias("top_chars"),
+            r.getField("dup_chars").alias("dup_chars"),
+        )
+    q["text_repetition"] = text_repetition
+
     q["text_fingerprint"] = lambda spark, sf: _read(spark, sf, "documents").select(
         "doc_id", T.fingerprint("text").alias("fp"))
 
@@ -750,6 +767,23 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mix_corpora({"web": (docs, 0.5), "replay": (dups, 0.9)},
                            seed="bench").select("doc_id", "source")
     q["sample_mix"] = sample_mix
+
+    # per-domain cap: at most k docs per source, unbiased deterministic
+    # pick (window over the domain key — one hash partition, no global
+    # sort)
+    q["sample_domain_cap"] = lambda spark, sf: domain_cap(
+        _read(spark, sf, "documents"), domain_col="source", k=10,
+        id_col="doc_id", seed="cap").select("doc_id", "source")
+
+    # DSIR-style importance scores (operators/importance.py): target =
+    # the src0 slice, background = the whole corpus; fixed-point
+    # integer likelihood ratios so both engines agree bit-for-bit
+    def sample_importance(spark, sf):
+        d = _read(spark, sf, "documents")
+        target = d.where(F.col("source") == "src0").select("doc_id", "text")
+        return importance_scores(d.select("doc_id", "text"), target,
+                                 n=2, buckets=4096, seed="dsir")
+    q["sample_importance"] = sample_importance
 
     # reproducible global permutation: one range-partitioned sort; the
     # value check verifies the permutation KEY per doc (order itself is
@@ -805,6 +839,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decontaminate(corpus_df(spark, sf), _benchmark_df(spark, sf),
                              w=3, min_hits=10).select("doc_id")
     q["docs_decontaminate"] = docs_decontaminate
+
+    # hashed-fingerprint scale path (rows-only: fingerprints use
+    # xxhash64, which DuckDB can't express — the exact operator above
+    # IS the value-checked twin; test_textdedup pins the subset
+    # relation between the two)
+    from logging_spark.operators.textdedup import hashed_decontaminate
+
+    def docs_decontaminate_hashed(spark, sf):
+        return hashed_decontaminate(
+            corpus_df(spark, sf), _benchmark_df(spark, sf),
+            w=3, min_hits=10).select("doc_id")
+    q["docs_decontaminate_hashed"] = docs_decontaminate_hashed
 
     # -- sequence packing ----------------------------------------------------
     # chunk (32-token windows, 8 overlap) -> greedy per-document packs
@@ -1252,6 +1298,35 @@ g AS (SELECT unnest(CASE WHEN len(toks) >= 3 THEN list_transform(
 SELECT ngram, count(*) AS n FROM g GROUP BY ngram
 ORDER BY n DESC, ngram LIMIT 20"""
 
+    # independent plan: Spark counts grams with per-row array
+    # expressions; the oracle unnests to rows and GROUP BYs — same
+    # integers either way. range(1, len) + toks[i:i+1] is DuckDB's
+    # inclusive-slice rendering of 2-grams.
+    o["text_repetition"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN list_transform(
+                  range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+             ELSE [] END AS grams
+      FROM t),
+cnt AS (SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+        GROUP BY doc_id, gram),
+top AS (SELECT doc_id, c AS top_cnt, gram AS top_gram
+        FROM cnt
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, gram DESC) = 1),
+s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS BIGINT) AS dup_chars
+      FROM cnt GROUP BY doc_id)
+SELECT g.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       CAST(top.top_cnt AS BIGINT) AS top_cnt,
+       top.top_gram,
+       CAST(top.top_cnt * length(top.top_gram) AS BIGINT) AS top_chars,
+       COALESCE(s.dup_chars, 0) AS dup_chars
+FROM g LEFT JOIN top USING (doc_id) LEFT JOIN s USING (doc_id)"""
+
     o["text_fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents"
 
     o["text_winnow"] = """
@@ -1458,6 +1533,33 @@ WHERE {hash60_sql("doc_id", "bench:replay")} < {int(0.9 * HASH_SPACE)}
 UNION ALL
 SELECT doc_id, 'web' AS source FROM documents
 WHERE {hash60_sql("doc_id", "bench:web")} < {int(0.5 * HASH_SPACE)}"""
+
+    o["sample_domain_cap"] = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) <= 10"""
+
+    # independent plan again: Spark joins a broadcast weight table onto
+    # the gram stream; the oracle computes everything through one
+    # unnested gram relation
+    o["sample_importance"] = f"""
+WITH t AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, source, unnest(CASE WHEN len(toks) >= 2
+          THEN list_transform(range(1, len(toks)),
+                              i -> array_to_string(toks[i:i+1], ' '))
+          ELSE [] END) AS gram
+      FROM t),
+b AS (SELECT doc_id, source,
+             CAST('0x' || substr(md5('dsir:' || gram), 1, 15) AS BIGINT) % 4096 AS bk
+      FROM g),
+tgt AS (SELECT bk, count(*) AS tc FROM b WHERE source = 'src0' GROUP BY bk),
+bg AS (SELECT bk, count(*) AS bc FROM b GROUP BY bk),
+w AS (SELECT bk, (COALESCE(tc, 0) + 1) * 1000000 // (bc + 1) AS wt
+      FROM bg LEFT JOIN tgt USING (bk))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(wt) AS BIGINT) AS score
+FROM b JOIN w USING (bk) GROUP BY doc_id"""
 
     o["sample_global_shuffle"] = f"""
 WITH {CORPUS_CTE}

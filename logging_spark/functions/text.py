@@ -207,6 +207,58 @@ def dedup_lines(text: Column | str, sep: str = "\n",
         F.array_join(kept, sep))
 
 
+def ngram_repetition(text: Column | str, n: int = 2,
+                     max_tokens: int = 2_000) -> Column:
+    """Gopher-style repetition signals, per document, as one struct:
+
+      n_grams    total word n-grams (with repeats)
+      top_cnt    occurrences of the most frequent n-gram
+      top_gram   that n-gram (ties broken by largest gram, total order)
+      top_chars  top_cnt * length(top_gram) — the numerator of the
+                 'fraction of characters in the most common n-gram'
+                 repetition filter
+      dup_chars  sum of cnt * length(gram) over grams with cnt > 1 —
+                 numerator of 'fraction of characters in duplicated
+                 n-grams'
+
+    Integer-exact (no float division — callers derive ratios), so the
+    DuckDB oracle matches bit-for-bit via an unnest + GROUP BY plan.
+    Pure expressions: counting is a filter scan per DISTINCT gram, so
+    the per-row cost is O(distinct * total) — quadratic in pathological
+    documents, hence `max_tokens`: rows past the cap return NULL
+    (callers treat un-scored as un-filterable) instead of stalling a
+    task. Narrow, no shuffle; the Gopher paper's repetition rules
+    (rule set #2, arXiv:2112.11446 §A.1.1) are this struct plus a
+    threshold comparison."""
+    grams = ngrams(text, n)
+    distinct = F.array_distinct(grams)
+    counted = F.transform(
+        distinct,
+        lambda g: F.struct(
+            F.size(F.filter(grams, lambda y: y == g)).alias("cnt"),
+            g.alias("gram"),
+        ),
+    )
+    top = F.array_max(counted)
+    dup_chars = F.aggregate(
+        counted,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.when(
+            s.getField("cnt") > 1,
+            s.getField("cnt").cast("long") * F.length(s.getField("gram")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.when(token_count(text) > max_tokens, F.lit(None)).otherwise(
+        F.struct(
+            F.size(grams).cast("long").alias("n_grams"),
+            top.getField("cnt").cast("long").alias("top_cnt"),
+            top.getField("gram").alias("top_gram"),
+            (top.getField("cnt").cast("long")
+             * F.length(top.getField("gram")).cast("long")).alias("top_chars"),
+            dup_chars.alias("dup_chars"),
+        ))
+
+
 def rolling_fingerprint(text: Column | str, window: int = 16) -> Column:
     """Winnowing-style document sketch: md5 of each `window`-char
     slide, keep the lexicographic min — robust to small local edits at

@@ -1,0 +1,92 @@
+"""DSIR-flavored importance weighting for data selection.
+
+Data Selection with Importance Resampling (Xie et al., arXiv:2302.03169
+— public methodology) scores every corpus document by how much its
+hashed n-gram distribution looks like a TARGET corpus relative to the
+BACKGROUND corpus, then samples by that weight. This module computes
+the scores with exact integer arithmetic so selection is reproducible
+on any engine/cluster and the DuckDB oracle matches bit-for-bit:
+
+  bucket(gram)  = md5-60bit(seed:gram) mod buckets   (fixed feature dim)
+  weight(b)     = floor((target_count[b]+1) * SCALE / (background_count[b]+1))
+                  — an add-1-smoothed likelihood ratio in fixed point
+  score(doc)    = sum over the doc's grams of weight(bucket(gram))
+
+(The reference paper uses log-ratios; a fixed-point linear ratio keeps
+the ranking monotone per bucket while staying integer-exact, which is
+what makes the selection auditable — the float-log variant is a
+one-line swap where auditability doesn't matter.)
+
+Scale shape: two bucket-count aggregations (output = `buckets` rows,
+constant), a broadcast join of that tiny weight table onto the corpus
+gram stream (narrow), and one per-doc sum keyed on the uniform doc id.
+Document text never shuffles; the only wide deps are count-shuffles of
+(bucket) and (doc_id) keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logging_spark.functions.text import ngrams
+
+SCALE = 1_000_000
+
+
+def gram_bucket(gram: Column, buckets: int, seed: str = "dsir") -> Column:
+    """Hash a gram into [0, buckets): md5-based (engine-portable),
+    60-bit positive so pmod == % on every engine."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed), gram)), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def doc_gram_buckets(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2,
+                     buckets: int = 4096, seed: str = "dsir") -> DataFrame:
+    """(id, bucket) per word n-gram occurrence (repeats kept — DSIR
+    features are counts, not sets)."""
+    return (df.select(F.col(id_col),
+                      F.explode(ngrams(text_col, n)).alias("_g"))
+            .select(F.col(id_col),
+                    gram_bucket(F.col("_g"), buckets, seed).alias("_b")))
+
+
+def bucket_weights(target: DataFrame, background: DataFrame,
+                   text_col: str = "text", n: int = 2,
+                   buckets: int = 4096, seed: str = "dsir") -> DataFrame:
+    """(bucket, weight) — the fixed-point smoothed likelihood ratio
+    table. Only `buckets` rows: broadcast it."""
+    tc = (doc_gram_buckets(target, text_col=text_col, n=n,
+                           buckets=buckets, seed=seed)
+          .groupBy("_b").agg(F.count(F.lit(1)).alias("_tc")))
+    bc = (doc_gram_buckets(background, text_col=text_col, n=n,
+                           buckets=buckets, seed=seed)
+          .groupBy("_b").agg(F.count(F.lit(1)).alias("_bc")))
+    # left join: background buckets only — callers join corpus grams
+    # against this table, and the background is (by default) the corpus
+    # itself, so every probed bucket exists
+    return (bc.join(tc, "_b", "left")
+            .select("_b", F.expr(
+                f"((coalesce(_tc, 0L) + 1L) * {SCALE}L) "
+                f"div (_bc + 1L)").alias("_w")))
+
+
+def importance_scores(corpus: DataFrame, target: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 2, buckets: int = 4096,
+                      seed: str = "dsir") -> DataFrame:
+    """(id, n_grams, score): per-document DSIR importance score against
+    the target distribution, background = the corpus itself. Rank or
+    threshold on `score` (compose with sample.deterministic_sample for
+    the resampling step); docs shorter than n tokens have no features
+    and are absent by definition."""
+    w = bucket_weights(target, corpus, text_col=text_col, n=n,
+                       buckets=buckets, seed=seed)
+    docs = doc_gram_buckets(corpus, id_col=id_col, text_col=text_col,
+                            n=n, buckets=buckets, seed=seed)
+    return (docs.join(F.broadcast(w), "_b")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum("_w").alias("score")))

@@ -116,6 +116,29 @@ def mix_corpora(parts: dict[str, tuple[DataFrame, float]],
     return out
 
 
+def domain_cap(df: DataFrame, domain_col: str = "source", k: int = 100,
+               id_col: str = "doc_id", seed: str = "cap") -> DataFrame:
+    """Keep at most k documents per domain (per-source cap, the
+    CommonCrawl-style guard against one host dominating the mixture).
+    Which k survive is an unbiased deterministic draw: rank documents
+    inside each domain by md5(seed, id) and keep the first k — the same
+    content-hash primitive as deterministic_sample, so membership is
+    reproducible across runs, partitionings and engines (the id
+    tiebreak makes the rank total even under hash collisions).
+
+    Scale shape: one hash-partition + per-group sort on the domain key
+    (a window, not a global sort). A pathological mega-domain is one
+    partition's sort — if a single domain outgrows an executor, cap it
+    in two stages (pre-filter with deterministic_sample at a rate that
+    overshoots k, then window the survivors)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
+        F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))
+
+
 def global_shuffle(df: DataFrame, seed: str = "s", id_col: str = "doc_id",
                    key_col: str = "shuffle_key",
                    num_partitions: int | None = None) -> DataFrame:

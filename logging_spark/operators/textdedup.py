@@ -409,3 +409,59 @@ def decontaminate(
     bad = (contamination_hits(df, benchmark, id_col, text_col, w, broadcast)
            .where(F.col("n_hits") >= min_hits).select(id_col))
     return df.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def hashed_contamination_hits(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    space: int = 1 << 22,
+) -> DataFrame:
+    """contamination_hits' fixed-width scale path: instead of
+    broadcasting the benchmark's shingle STRINGS, broadcast their
+    distinct 64-bit fingerprints folded into a `space`-sized hash space
+    (xxhash64 mod space) and semi-join the corpus's hashed shingles
+    against that integer set. Single-hash-function Bloom semantics
+    without a bitmap: Spark 4 doesn't register bloom_filter_agg /
+    might_contain for SQL, and a broadcast long-set gets the same
+    bound — at most `space` longs (default 4M -> <=32 MB) no matter how
+    large the eval set grows, vs unbounded strings for the exact path.
+
+    Approximate BY DESIGN, in the safe direction only: hashing has no
+    false negatives, so per-doc hit counts can only OVERCOUNT (collision
+    rate ~ distinct_shingles/space). Downstream thresholding therefore
+    drops a SUPERSET of what the exact path drops — conservative for
+    training hygiene. `test_textdedup` pins the superset property
+    against the exact operator.
+
+    Scale shape: identical to contamination_hits (corpus text never
+    shuffles; broadcast semi-join + per-doc count) with a smaller,
+    bounded broadcast."""
+    h = lambda c: F.pmod(F.xxhash64(c), F.lit(space))  # noqa: E731
+    bench_h = (benchmark.select(F.explode(shingles(text_col, w)).alias("_sh"))
+               .select(h(F.col("_sh")).alias("_hb")).distinct())
+    doc_sh = df.select(F.col(id_col),
+                       F.explode(shingles(text_col, w)).alias("_sh"))
+    doc_h = doc_sh.select(F.col(id_col), h(F.col("_sh")).alias("_hb"))
+    return (doc_h.join(F.broadcast(bench_h), "_hb")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def hashed_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    min_hits: int = 10,
+    space: int = 1 << 22,
+) -> DataFrame:
+    """decontaminate via hashed fingerprints: keeps a SUBSET of the
+    exact operator's survivors (collisions only inflate hit counts), so
+    it never ships a document the exact check would have flagged."""
+    bad = (hashed_contamination_hits(df, benchmark, id_col, text_col, w,
+                                     space)
+           .where(F.col("n_hits") >= min_hits).select(id_col))
+    return df.join(F.broadcast(bad), id_col, "left_anti")

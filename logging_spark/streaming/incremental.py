@@ -110,6 +110,34 @@ def compact_sink_latest_wins(spark: SparkSession, sink_dir: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def streaming_tumbling_counts(turns: DataFrame,
+                              window: str = "10 minutes",
+                              watermark: str = "1 hour") -> DataFrame:
+    """Event-time tumbling-window per-role counts over the turn stream —
+    the streaming twin of the batch `pipe_tumbling_window` contract
+    query, built on Spark's watermark + window stateful aggregation.
+
+    Late-data semantics (the part batch can't express): a turn arriving
+    AFTER its window closed but within the watermark horizon still
+    counts toward its window (the aggregate is held in state until the
+    watermark passes window end); a turn older than the watermark is
+    dropped at the source. In append output mode a window emits exactly
+    once, when the watermark passes its end — so downstream sinks see
+    each (window, role) row once, final.
+
+    Scale: state is (windows-in-horizon x roles) rows — bounded by the
+    watermark, independent of stream length; the agg is map-side
+    combined per micro-batch like any hash aggregate."""
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("role"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "role", "n_turns")
+    )
+
+
 def run_incremental(
     spark: SparkSession,
     input_dir: str,

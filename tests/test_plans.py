@@ -89,3 +89,16 @@ def test_route_adds_no_shuffle(spark):
     base = _plan(spark, "pipe_dedup_w1")
     routed = _plan(spark, "pipe_route_fanout")
     assert _n_exchanges(routed) == _n_exchanges(base)
+
+
+def test_text_repetition_is_narrow(spark):
+    # per-row expression tree: any Exchange here means the gram
+    # counting regressed into a shuffle plan
+    plan = _plan(spark, "text_repetition")
+    assert _n_exchanges(plan) == 0, plan[:2000]
+
+
+def test_domain_cap_single_shuffle(spark):
+    # one hash partition on the domain key (window), no global sort
+    plan = _plan(spark, "sample_domain_cap")
+    assert _n_exchanges(plan) == 1, plan[:2000]

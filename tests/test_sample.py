@@ -78,3 +78,48 @@ def test_global_shuffle_reproducible_total_order(spark):
     p3 = [r["doc_id"] for r in
           global_shuffle(df, seed="e2", num_partitions=4).collect()]
     assert p1 != p3                      # new seed: new epoch order
+
+
+def test_domain_cap_limits_and_is_deterministic(spark):
+    from logging_spark.operators.sample import domain_cap
+    df = _corpus(spark).withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 3)))
+    capped = domain_cap(df, domain_col="source", k=50, seed="c1")
+    counts = {r["source"]: r["count"]
+              for r in capped.groupBy("source").count().collect()}
+    assert all(v == 50 for v in counts.values())        # 133+ docs each
+    # partition-invariant membership (pure function of seed+id)
+    again = domain_cap(df.repartition(11), domain_col="source", k=50,
+                       seed="c1")
+    assert _ids(capped) == _ids(again)
+    # different seed draws a different survivor set
+    assert _ids(capped) != _ids(
+        domain_cap(df, domain_col="source", k=50, seed="c2"))
+    # domains under the cap pass through whole
+    small = domain_cap(df.where(F.col("doc_id") < 30),
+                       domain_col="source", k=50, seed="c1")
+    assert small.count() == 30
+
+
+def test_importance_scores_rank_target_like_docs(spark):
+    from logging_spark.operators.importance import importance_scores
+
+    target_text = "alpha beta gamma delta alpha beta"
+    docs = spark.createDataFrame(
+        [(1, target_text),                       # exactly the target
+         (2, "alpha beta gamma unrelated tail"),  # partial overlap
+         (3, "zero overlap with anything here")],
+        "doc_id long, text string")
+    target = spark.createDataFrame([(9, target_text)],
+                                   "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            importance_scores(docs, target, buckets=512).collect()}
+    # per-gram average weight orders by target affinity
+    avg = {d: rows[d]["score"] / rows[d]["n_grams"] for d in rows}
+    assert avg[1] > avg[2] > avg[3]
+    # deterministic under repartitioning
+    rows2 = {r["doc_id"]: r for r in
+             importance_scores(docs.repartition(7), target,
+                               buckets=512).collect()}
+    assert {d: rows2[d]["score"] for d in rows2} == \
+           {d: rows[d]["score"] for d in rows}

@@ -155,3 +155,73 @@ def test_compaction_resolves_cross_batch_replays_latest_wins(spark, tmp_path):
     s_rows = sorted(map(tuple, sink.select(*key_cols).collect()))
     b_rows = sorted(map(tuple, batch.select(*key_cols).collect()))
     assert s_rows == b_rows
+
+
+def test_streaming_tumbling_counts_watermark(spark, tmp_path):
+    """Windowed agg with watermark: a late-but-within-horizon row counts
+    toward its (closed) window; a row older than the watermark is
+    dropped; append mode emits each window exactly once, final."""
+    from logging_spark.streaming.incremental import (read_turns_stream,
+                                                     streaming_tumbling_counts)
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def _file(rows, name):
+        # flat append (one file per call): the file source lists the
+        # input dir non-recursively and orders by modification time,
+        # so call order IS batch order under maxFilesPerTrigger=1
+        del name
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(inp)
+        import time as _t
+        _t.sleep(0.05)  # distinct mtimes -> deterministic file order
+
+    # batch 1: two on-time rows in the 10:00 and 10:10 windows, plus an
+    # 11:00 row that advances the watermark (10m watermark -> 10:50)
+    _file([("c1", 1, "user", "t", None, __import__("datetime").datetime(2024, 1, 1, 10, 1)),
+           ("c1", 2, "user", "t", None, __import__("datetime").datetime(2024, 1, 1, 10, 11)),
+           ("c2", 1, "assistant", "t", None, __import__("datetime").datetime(2024, 1, 1, 11, 0))],
+          "f1")
+    # batch 2: a late row at 10:55 (watermark is 10:50 after batch 1 —
+    # late-but-within-horizon, counted in its 10:50 window) and a 12:00
+    # row advancing the watermark to 11:50
+    _file([("c3", 1, "user", "t", None, __import__("datetime").datetime(2024, 1, 1, 10, 55)),
+           ("c5", 1, "user", "t", None, __import__("datetime").datetime(2024, 1, 1, 12, 0))],
+          "f2")
+    # batch 3: a too-late 10:05 row — its 10:00 window was emitted and
+    # EVICTED when the watermark passed 10:10 (end of batch 1), so the
+    # row must be dropped, not revive the window (measured Spark 4.1
+    # semantics: a late row arriving in the SAME batch that first moves
+    # the watermark past its window still merges before eviction; one
+    # batch later it is gone — hence the row sits two batches after its
+    # window). The 13:00 row advances the final watermark to 12:50.
+    _file([("c4", 1, "user", "t", None, __import__("datetime").datetime(2024, 1, 1, 10, 5)),
+           ("c6", 1, "user", "t", None, __import__("datetime").datetime(2024, 1, 1, 13, 0))],
+          "f3")
+
+    stream = read_turns_stream(spark, inp, max_files_per_trigger=1)
+    agg = streaming_tumbling_counts(stream, window="10 minutes",
+                                    watermark="10 minutes")
+    q = (agg.writeStream.format("memory").queryName("tumble")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(str(r["window_start"]), r["role"]): r["n_turns"]
+           for r in spark.sql("select * from tumble").collect()}
+
+    assert got[("2024-01-01 10:00:00", "user")] == 1
+    assert got[("2024-01-01 10:10:00", "user")] == 1
+    assert got[("2024-01-01 11:00:00", "assistant")] == 1
+    # late-but-within-horizon row landed in its 10:50 window
+    assert got[("2024-01-01 10:50:00", "user")] == 1
+    # 12:00 window flushed by availableNow's final no-data batch
+    # (watermark 12:50 > window end)
+    assert got[("2024-01-01 12:00:00", "user")] == 1
+    # too-late 10:05 row was dropped: the 10:00 window stays at 1 and
+    # was emitted exactly once (append = exactly-once per window)
+    assert sum(1 for (ws, _r) in got if ws == "2024-01-01 10:00:00") == 1
+    # the final 13:00 window can never close (the watermark never
+    # passes the max event time): absent from append output
+    assert not any(ws == "2024-01-01 13:00:00" for (ws, _r) in got)

@@ -143,3 +143,26 @@ def test_enrich_auto_counts_dim_once_per_plan(spark):
     finally:
         cls.count = orig
     assert calls["n"] == 1
+
+
+def test_ngram_repetition_counts(spark):
+    v = _one(spark, "a b a b c", T.ngram_repetition("text", n=2))
+    # grams: "a b","b a","a b","b c"
+    assert v["n_grams"] == 4
+    assert v["top_cnt"] == 2 and v["top_gram"] == "a b"
+    assert v["top_chars"] == 6                  # 2 occurrences x 3 chars
+    assert v["dup_chars"] == 6                  # only "a b" repeats
+
+
+def test_ngram_repetition_tie_and_edges(spark):
+    # all counts 1: largest gram wins the tie (deterministic total order)
+    v = _one(spark, "x y x z", T.ngram_repetition("text", n=2))
+    assert v["top_cnt"] == 1 and v["top_gram"] == "y x"
+    assert v["dup_chars"] == 0
+    # shorter than n tokens: zero grams, null top
+    v = _one(spark, "hello", T.ngram_repetition("text", n=2))
+    assert v["n_grams"] == 0 and v["top_cnt"] is None
+    assert v["dup_chars"] == 0
+    # past the cap: whole struct null (un-scored, not stalled)
+    v = _one(spark, "w " * 50, T.ngram_repetition("text", n=2, max_tokens=10))
+    assert v is None

@@ -161,3 +161,34 @@ def test_decontaminate_drops_benchmark_overlap(spark):
     kept = {r["doc_id"] for r in
             decontaminate(docs, bench, w=3, min_hits=10).collect()}
     assert kept == {3, 4}
+
+
+def test_hashed_decontaminate_matches_exact_superset(spark):
+    from logging_spark.operators.textdedup import (hashed_decontaminate,
+                                                   hashed_contamination_hits,
+                                                   contamination_hits,
+                                                   decontaminate)
+
+    mk = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, mk), (2, mk + " extra trailing words here"),
+         (3, other), (4, "tok0 tok1 tok2 tok3 tok4")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, mk)], "doc_id long, text string")
+
+    # no false negatives: bloom hit counts >= exact hit counts per doc
+    exact = {r["doc_id"]: r["n_hits"]
+             for r in contamination_hits(docs, bench, w=3).collect()}
+    hashed = {r["doc_id"]: r["n_hits"]
+             for r in hashed_contamination_hits(docs, bench, w=3).collect()}
+    for d, n in exact.items():
+        assert hashed.get(d, 0) >= n
+    # survivors are a subset of the exact operator's survivors; at this
+    # tiny scale (4M-slot space, ~60 items) collisions ~ 0 so they coincide
+    kept_exact = {r["doc_id"] for r in
+                  decontaminate(docs, bench, w=3, min_hits=10).collect()}
+    kept_hashed = {r["doc_id"] for r in
+                   hashed_decontaminate(docs, bench, w=3, min_hits=10).collect()}
+    assert kept_hashed <= kept_exact
+    assert kept_hashed == {3, 4}
