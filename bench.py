@@ -45,6 +45,9 @@ HEADLINE = [
     "dedup_cluster",
     "sample_global_shuffle",
     "sim_topk_sharded",
+    # round-3 additions
+    "text_repetition",
+    "sample_importance",
 ]
 
 
@@ -135,6 +138,17 @@ def _gen_input(here: str, n_conversations: int, turns_per_conv: int) -> str:
     return base
 
 
+def _eventlog_confs(cpus: int, tag: str) -> list[str]:
+    base = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if not base:
+        return []
+    d = f"{base}/{cpus}_{tag}"
+    os.makedirs(d, exist_ok=True)
+    return ["--conf", "spark.eventLog.enabled=true",
+            "--conf", f"spark.eventLog.dir={d}",
+            "--conf", "spark.eventLog.compress=false"]
+
+
 def _submit_once(here: str, cpus: int, n_conversations: int,
                  turns_per_conv: int, tag: str,
                  input_dir: str | None = None) -> dict:
@@ -203,6 +217,10 @@ def _submit_once(here: str, cpus: int, n_conversations: int,
         "--conf", "spark.hadoop.parquet.enable.dictionary#message=false",
         "--conf", "spark.hadoop.parquet.enable.dictionary#attrs=false",
         "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
+        # stage-level evidence on demand: set SPARK_GRAFT_EVENTLOG_DIR
+        # to capture per-leg event logs for tools/stage_profile.py
+        # (per-stage core-seconds / GC / parallelism across legs)
+        *(_eventlog_confs(cpus, tag)),
         "--py-files", os.path.join(here, "dist/logging_spark.zip"),
         os.path.join(here, "run_job.py"),
         "--warehouse", wh,

@@ -31,3 +31,37 @@ def test_run_job_with_input_parquet(spark, tmp_path, capsys):
     assert "_unrouted" in sinks
     total_conv = max(s["n_distinct_conv"] for s in sinks.values())
     assert total_conv == 40
+
+
+def test_gen_input_then_table_run_matches_synth_run(spark, tmp_path, capsys):
+    """--gen-input materializes the synthetic tables; a run reading them
+    via --input-parquet/--lookup-parquet produces byte-identical
+    per-sink counts to the inline-synth run (the scaling harness's
+    correctness precondition)."""
+    sys.path.insert(0, "/root/repo")
+    import run_job
+
+    gen = str(tmp_path / "gen")
+    rc = run_job.main([
+        "--warehouse", str(tmp_path / "wh0"),
+        "--gen-input", gen,
+        "--n-conversations", "40", "--turns-per-conv", "10",
+    ])
+    assert rc == 0
+    gen_stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert gen_stats["n_input_turns"] > 400    # dups + hot conversations
+
+    def run(args, snap):
+        rc = run_job.main([
+            "--warehouse", str(tmp_path / f"wh_{snap}"),
+            "--n-conversations", "40", "--turns-per-conv", "10",
+            "--num-buckets", "8", "--snapshot", snap, "--no-warmup", *args,
+        ])
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    via_table = run(["--input-parquet", f"{gen}/turns",
+                     "--lookup-parquet", f"{gen}/lookup"], "t1")
+    via_synth = run([], "s1")
+    assert via_table["per_sink_counts"] == via_synth["per_sink_counts"]
+    assert via_table["n_input_turns"] == via_synth["n_input_turns"]
