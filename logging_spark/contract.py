@@ -49,7 +49,9 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 ivf_topk, lsh_topk,
                                                 plane_signs)
 from logging_spark.operators.cluster import duplicate_clusters, keep_canonical
+from logging_spark.operators.funnel import funnel_counts
 from logging_spark.operators.importance import importance_scores
+from logging_spark.operators.tfidf import tfidf_topk
 from logging_spark.operators.sample import (deterministic_sample,
                                             deterministic_split, domain_cap,
                                             global_shuffle, hash60_sql,
@@ -580,6 +582,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "event_type", "n_events", "n_users"))
     q["pipe_tumbling_window"] = pipe_tumbling_window
 
+    # -- ordered-step funnel (operators/funnel.py): strict min-ts
+    # chaining — step i needs an event strictly after the user's
+    # earliest qualifying step-(i-1) event
+    q["events_funnel"] = lambda spark, sf: funnel_counts(
+        _read(spark, sf, "events"), ["signup", "click", "purchase"])
+
     # -- relational: TPC-H-ish ---------------------------------------------
     def tpch_q1_pricing(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -719,6 +727,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             r.getField("dup_chars").alias("dup_chars"),
         )
     q["text_repetition"] = text_repetition
+
+    # TF-IDF keywords (operators/tfidf.py): fixed-point linear idf so
+    # the per-doc top-5 ranking is integer-exact on both engines
+    q["text_tfidf_topk"] = lambda spark, sf: tfidf_topk(
+        _read(spark, sf, "documents"), k=5)
 
     q["text_fingerprint"] = lambda spark, sf: _read(spark, sf, "documents").select(
         "doc_id", T.fingerprint("text").alias("fp"))
@@ -1201,6 +1214,22 @@ SELECT event_type, quantile_cont(value, 0.5) AS p50,
        quantile_cont(value, 0.95) AS p95, count(*) AS n
 FROM events GROUP BY event_type"""
 
+    # strict min-ts chaining, same semantics as operators/funnel.py:
+    # step i's min ts must be strictly after step i-1's
+    o["events_funnel"] = """
+WITH e AS (SELECT user_id, event_type, ts FROM events
+           WHERE event_type IN ('signup', 'click', 'purchase')),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT CAST(1 AS INT) AS step_idx, 'signup' AS step,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"""
+
     o["agg_grouping_sets"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
        CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
@@ -1326,6 +1355,25 @@ SELECT g.doc_id,
        CAST(top.top_cnt * length(top.top_gram) AS BIGINT) AS top_chars,
        COALESCE(s.dup_chars, 0) AS dup_chars
 FROM g LEFT JOIN top USING (doc_id) LEFT JOIN s USING (doc_id)"""
+
+    # independent plan: Spark joins tf->df and windows per doc; the
+    # oracle rebuilds both counts from an unnested token relation.
+    # Linear fixed-point idf (operators/tfidf.py) keeps score integer-
+    # exact; // and `div` both floor for non-negative operands.
+    o["text_tfidf_topk"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             tf.tf * ((n.n_docs * 1000000) // dfq.df) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score
+FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) <= 5"""
 
     o["text_fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents"
 
