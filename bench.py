@@ -48,6 +48,7 @@ HEADLINE = [
     # round-3 additions
     "text_repetition",
     "sample_importance",
+    "text_tfidf_topk",
 ]
 
 

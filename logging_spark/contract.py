@@ -51,6 +51,8 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
 from logging_spark.operators.cluster import duplicate_clusters, keep_canonical
 from logging_spark.operators.funnel import funnel_counts
 from logging_spark.operators.importance import importance_scores
+from logging_spark.operators.asof import asof_join, interval_join
+from logging_spark.operators.repetition import repetition_signals
 from logging_spark.operators.tfidf import tfidf_topk
 from logging_spark.operators.sample import (deterministic_sample,
                                             deterministic_split, domain_cap,
@@ -588,6 +590,56 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_funnel"] = lambda spark, sf: funnel_counts(
         _read(spark, sf, "events"), ["signup", "click", "purchase"])
 
+    # -- as-of join (operators/asof.py): every non-error event gets the
+    # most recent error at-or-before it for its user; timestamps
+    # surface as epoch-µs longs so both engines hash identical integers
+    def events_asof_last_error(spark, sf):
+        ev = _read(spark, sf, "events")
+        err = (ev.where(F.col("event_type") == "error")
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_id").alias("error_event_id"))
+               .select("user_id", F.col("ts").alias("error_ts"),
+                       "error_event_id"))
+        lft = ev.where(F.col("event_type") != "error").select(
+            "event_id", "user_id", "ts", "event_type")
+        j = asof_join(lft, err, on="user_id", left_ts="ts",
+                      right_ts="error_ts",
+                      payload_cols=["error_ts", "error_event_id"])
+        # events.ts is TIMESTAMP_NTZ; the session tz is pinned UTC
+        # (session.py), so the cast to TIMESTAMP is epoch-faithful.
+        # Events before the user's first error have no match (ASOF LEFT
+        # JOIN): -1 sentinels keep the contract output NULL-free so
+        # row-sorting comparators never see None-vs-int.
+        us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+        return j.select(
+            "event_id", "user_id",
+            us("ts").alias("ts_us"),
+            "event_type",
+            F.coalesce("error_event_id", F.lit(-1)).alias("error_event_id"),
+            F.coalesce(us("ts") - us("error_ts"), F.lit(-1))
+            .alias("us_since_error"),
+        )
+    q["events_asof_last_error"] = events_asof_last_error
+
+    # -- bucketized interval join (operators/asof.py): non-error events
+    # landing inside any [error_ts, error_ts + 10 min) incident window
+    # of the same user, rolled up per incident. Cents-exact value sum.
+    def events_incident_rollup(spark, sf):
+        ev = _read(spark, sf, "events")
+        inc = ev.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("incident_id"), "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"))
+        pts = ev.where(F.col("event_type") != "error").select(
+            "event_id", "user_id", "ts", "value")
+        j = interval_join(pts, inc, on="user_id", ts="ts",
+                          start="start_ts", end="end_ts", bucket_s=600)
+        return (j.groupBy("incident_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.round(F.col("value") * 100).cast("long"))
+                      .alias("value_cents")))
+    q["events_incident_rollup"] = events_incident_rollup
+
     # -- relational: TPC-H-ish ---------------------------------------------
     def tpch_q1_pricing(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -713,19 +765,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_top_ngrams"] = text_top_ngrams
 
     def text_repetition(spark, sf):
-        # Gopher repetition rules (functions/text.py:ngram_repetition):
-        # integer numerators of the top-/duplicated-2-gram character
-        # fractions; callers threshold them against n_chars
-        d = _read(spark, sf, "documents")
-        r = T.ngram_repetition("text", n=2)
-        return d.select(
-            "doc_id",
-            r.getField("n_grams").alias("n_grams"),
-            r.getField("top_cnt").alias("top_cnt"),
-            r.getField("top_gram").alias("top_gram"),
-            r.getField("top_chars").alias("top_chars"),
-            r.getField("dup_chars").alias("dup_chars"),
-        )
+        # Gopher repetition rules: integer numerators of the top-/
+        # duplicated-2-gram character fractions; callers threshold them
+        # against n_chars. Batch path (operators/repetition.py) — the
+        # column-expression twin (functions/text.py:ngram_repetition)
+        # computes identical integers but is interpreted-HOF-bound
+        # (O(distinct×total×tokenize) per row); its equivalence is
+        # pinned by tests/test_text.py on the same fixture corpus.
+        return repetition_signals(_read(spark, sf, "documents"), n=2)
     q["text_repetition"] = text_repetition
 
     # TF-IDF keywords (operators/tfidf.py): fixed-point linear idf so
@@ -1230,6 +1277,35 @@ SELECT CAST(1 AS INT) AS step_idx, 'signup' AS step,
 UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
 UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"""
 
+    # independent derivation: Spark runs the union-tag + last-over-
+    # running-window formulation (operators/asof.py); DuckDB uses its
+    # NATIVE ASOF LEFT JOIN operator — same at-or-before semantics
+    # (l.ts >= r.ts picks the greatest earlier right ts)
+    o["events_asof_last_error"] = """
+WITH err AS (SELECT user_id, ts AS error_ts, max(event_id) AS error_event_id
+             FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+lft AS (SELECT event_id, user_id, ts, event_type FROM events
+        WHERE event_type <> 'error')
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.event_type,
+       COALESCE(r.error_event_id, -1) AS error_event_id,
+       COALESCE(epoch_us(l.ts) - epoch_us(r.error_ts), -1) AS us_since_error
+FROM lft l ASOF LEFT JOIN err r
+  ON l.user_id = r.user_id AND l.ts >= r.error_ts"""
+
+    # independent derivation: Spark bucketizes intervals and equi-joins
+    # on (user, bucket); DuckDB evaluates the raw inequality join
+    o["events_incident_rollup"] = """
+WITH inc AS (SELECT event_id AS incident_id, user_id, ts AS start_ts,
+                    ts + INTERVAL 10 MINUTE AS end_ts
+             FROM events WHERE event_type = 'error'),
+pts AS (SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type <> 'error')
+SELECT i.incident_id, count(*) AS n_events,
+       CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM inc i JOIN pts p
+  ON p.user_id = i.user_id AND p.ts >= i.start_ts AND p.ts < i.end_ts
+GROUP BY 1"""
+
     o["agg_grouping_sets"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
        CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
@@ -1327,10 +1403,12 @@ g AS (SELECT unnest(CASE WHEN len(toks) >= 3 THEN list_transform(
 SELECT ngram, count(*) AS n FROM g GROUP BY ngram
 ORDER BY n DESC, ngram LIMIT 20"""
 
-    # independent plan: Spark counts grams with per-row array
-    # expressions; the oracle unnests to rows and GROUP BYs — same
-    # integers either way. range(1, len) + toks[i:i+1] is DuckDB's
-    # inclusive-slice rendering of 2-grams.
+    # same relational shape as operators/repetition.py but re-derived
+    # in DuckDB (unnest + GROUP BY + QUALIFY), and the column-expression
+    # twin (functions/text.py:ngram_repetition) reaches the same
+    # integers by a genuinely different per-row array plan (pinned
+    # equal in tests/test_text.py). range(1, len) + toks[i:i+1] is
+    # DuckDB's inclusive-slice rendering of 2-grams.
     o["text_repetition"] = f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 g AS (SELECT doc_id,

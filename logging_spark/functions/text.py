@@ -127,14 +127,24 @@ def redact(text: Column | str, rules: list[tuple[str, str]] | None = None) -> Co
 def ngrams(text: Column | str, n: int = 3) -> Column:
     """ALL word n-grams in order (with repeats — unlike
     textdedup.shingles, which distincts per doc for set semantics).
-    Documents shorter than n tokens yield none."""
+    Documents shorter than n tokens yield none.
+
+    Built as a zip_with chain over n shifted slices of the token
+    array, NOT a transform whose lambda re-slices `toks`: higher-order
+    functions are evaluated interpreted, and any expression inside the
+    lambda BODY is re-evaluated per element — a captured `toks` there
+    re-runs the regex split O(tokens) times per row (measured 3.1 s
+    for 5k ~54-token docs vs 0.2 s for the split itself). zip_with's
+    array inputs are children, evaluated once per row, so this stays
+    O(tokens × n)."""
     toks = tokens(text)
     cnt = F.size(toks)
-    sliced = F.transform(
-        F.sequence(F.lit(1), cnt - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(cnt >= n, sliced).otherwise(F.array().cast("array<string>"))
+    m = cnt - F.lit(n - 1)  # gram count when cnt >= n
+    grams = F.slice(toks, 1, m)
+    for k in range(2, n + 1):
+        grams = F.zip_with(grams, F.slice(toks, k, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def quality_keep(text: Column | str,
@@ -229,7 +239,16 @@ def ngram_repetition(text: Column | str, n: int = 2,
     (callers treat un-scored as un-filterable) instead of stalling a
     task. Narrow, no shuffle; the Gopher paper's repetition rules
     (rule set #2, arXiv:2112.11446 §A.1.1) are this struct plus a
-    threshold comparison."""
+    threshold comparison.
+
+    CORPUS-SCALE WARNING: nested higher-order functions never reach
+    codegen — Catalyst evaluates them interpreted and re-evaluates the
+    captured `grams` subtree (regex split included) per lambda probe,
+    so the real cost is closer to O(distinct * total * tokenize) per
+    row (measured: 5k docs of ~50 tokens > 300 s in one task). Use
+    this only inside single-projection chains over SHORT strings;
+    batch scoring goes through `repetition_signals`, the explode +
+    count + agg twin that stays in codegen and map-side-combines."""
     grams = ngrams(text, n)
     distinct = F.array_distinct(grams)
     counted = F.transform(

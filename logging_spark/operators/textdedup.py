@@ -34,15 +34,22 @@ from logging_spark.functions.text import tokens
 
 def shingles(text: Column | str, w: int = 3) -> Column:
     """Distinct w-word shingles (space-joined). Documents shorter than
-    w tokens yield their whole token string as the single shingle."""
+    w tokens yield their whole token string as the single shingle.
+
+    Built as a zip_with chain over w shifted slices (see
+    functions/text.py:ngrams): interpreted HOF lambdas re-evaluate any
+    expression in their BODY per element, so slicing a captured `toks`
+    there re-runs the regex split O(tokens) times per row; zip_with's
+    inputs are children, evaluated once."""
     toks = tokens(text)
     n = F.size(toks)
     whole = F.array(F.array_join(toks, " "))
-    sliced = F.transform(
-        F.sequence(F.lit(1), n - F.lit(w - 1)),
-        lambda i: F.array_join(F.slice(toks, i, w), " "),
-    )
-    return F.array_distinct(F.when(n >= w, sliced).otherwise(whole))
+    m = n - F.lit(w - 1)
+    grams = F.slice(toks, 1, m)
+    for k in range(2, w + 1):
+        grams = F.zip_with(grams, F.slice(toks, k, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.when(n >= w, grams).otherwise(whole))
 
 
 # Fast-path permutation family: hash each shingle STRING once

@@ -91,11 +91,14 @@ def test_route_adds_no_shuffle(spark):
     assert _n_exchanges(routed) == _n_exchanges(base)
 
 
-def test_text_repetition_is_narrow(spark):
-    # per-row expression tree: any Exchange here means the gram
-    # counting regressed into a shuffle plan
+def test_text_repetition_two_combined_shuffles(spark):
+    # batch path (operators/repetition.py): explode -> groupBy(id, gram)
+    # -> groupBy(id), exactly two exchanges, both behind partial hash
+    # aggregates (map-side combine) so shuffle volume is the per-doc
+    # distinct-gram footprint, never the raw exploded gram stream
     plan = _plan(spark, "text_repetition")
-    assert _n_exchanges(plan) == 0, plan[:2000]
+    assert _n_exchanges(plan) == 2, plan[:2000]
+    assert plan.count("partial_") >= 2, plan[:2000]
 
 
 def test_domain_cap_single_shuffle(spark):

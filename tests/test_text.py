@@ -166,3 +166,39 @@ def test_ngram_repetition_tie_and_edges(spark):
     # past the cap: whole struct null (un-scored, not stalled)
     v = _one(spark, "w " * 50, T.ngram_repetition("text", n=2, max_tokens=10))
     assert v is None
+
+
+def test_repetition_signals_matches_expression_twin(spark, sf_dir):
+    # batch operator (operators/repetition.py) must reproduce the
+    # column-expression twin field-for-field: edge cases + a slice of
+    # the fixture corpus (the full corpus through the interpreted-HOF
+    # twin is the measured task-stall this operator exists to avoid)
+    from logging_spark.operators.repetition import repetition_signals
+
+    edge = spark.createDataFrame(
+        [("e1", "a b a b c"), ("e2", "x y x z"), ("e3", "hello"),
+         ("e4", ""), ("e5", "w " * 50)],
+        "doc_id string, text string")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+            .limit(40))
+    corpus = edge.unionByName(docs).localCheckpoint()
+
+    got = {r["doc_id"]: r for r in
+           repetition_signals(corpus, n=2, max_tokens=30).collect()}
+    r = T.ngram_repetition("text", n=2, max_tokens=30)
+    want = {row["doc_id"]: row for row in corpus.select(
+        "doc_id",
+        r.getField("n_grams").alias("n_grams"),
+        r.getField("top_cnt").alias("top_cnt"),
+        r.getField("top_gram").alias("top_gram"),
+        r.getField("top_chars").alias("top_chars"),
+        r.getField("dup_chars").alias("dup_chars"),
+    ).collect()}
+
+    assert set(got) == set(want) and len(got) == 45
+    for k in want:
+        for f in ("n_grams", "top_cnt", "top_gram", "top_chars", "dup_chars"):
+            assert got[k][f] == want[k][f], (k, f, got[k], want[k])
+    # the capped row really is un-scored on both paths
+    assert got["e5"]["n_grams"] is None
