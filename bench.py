@@ -49,6 +49,8 @@ HEADLINE = [
     "text_repetition",
     "sample_importance",
     "text_tfidf_topk",
+    "events_asof_last_error",
+    "events_incident_rollup",
 ]
 
 

@@ -46,9 +46,15 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
     """
     capped = (token_count(text_col) > max_tokens).alias("capped")
     grams = F.when(capped, F.lit(None)).otherwise(ngrams(text_col, n))
-    ex = df.select(
-        F.col(id_col), capped,
-        F.explode_outer(grams).alias("gram"),
+    # materialize BOTH computed columns in their own projection below
+    # the Generate: handing raw expressions to the explode select makes
+    # the post-Generate projection recompute `capped` (a fresh regex
+    # split) per EXPLODED row, not per document — measured 4.3 s vs
+    # 1.4 s on 5k docs × ~53 grams
+    pre = df.select(F.col(id_col), capped, grams.alias("_grams"))
+    ex = pre.select(
+        id_col, "capped",
+        F.explode_outer("_grams").alias("gram"),
     )
     # count(gram) skips NULL, so a doc with no grams keeps one marker
     # row with cnt = 0 through both aggregates
