@@ -52,6 +52,7 @@ from logging_spark.operators.cluster import duplicate_clusters, keep_canonical
 from logging_spark.operators.funnel import funnel_counts
 from logging_spark.operators.importance import importance_scores
 from logging_spark.operators.asof import asof_join, interval_join
+from logging_spark.operators.cohort import cohort_retention
 from logging_spark.operators.repetition import repetition_signals
 from logging_spark.operators.tfidf import tfidf_topk
 from logging_spark.operators.sample import (deterministic_sample,
@@ -639,6 +640,25 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum(F.round(F.col("value") * 100).cast("long"))
                       .alias("value_cents")))
     q["events_incident_rollup"] = events_incident_rollup
+
+    # -- cohort retention (operators/cohort.py): epoch-week cohorts ×
+    # weeks-since-first-activity; distinct pass + one per-user agg
+    q["events_cohort_retention"] = lambda spark, sf: cohort_retention(
+        _read(spark, sf, "events"))
+
+    # per-user event-type pivot: FIXED category list (never a
+    # distinct-value pre-scan — at 10^12 rows the category set is
+    # schema, not data), one map-side-combinable hash aggregate
+    def events_type_pivot(spark, sf):
+        kinds = ["click", "error", "purchase", "signup", "view"]
+        return (_read(spark, sf, "events")
+                .groupBy("user_id")
+                .pivot("event_type", kinds)
+                .agg(F.count(F.lit(1)))
+                .select("user_id",
+                        *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}")
+                          for k in kinds]))
+    q["events_type_pivot"] = events_type_pivot
 
     # -- relational: TPC-H-ish ---------------------------------------------
     def tpch_q1_pricing(spark, sf):
@@ -1276,6 +1296,30 @@ SELECT CAST(1 AS INT) AS step_idx, 'signup' AS step,
        CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
 UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
 UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"""
+
+    # independent derivation: Spark assembles (first week, active-week
+    # set) in one per-user aggregate; the oracle joins a min-week CTE
+    # back to the distinct activity relation. 604800 = epoch-week;
+    # floor-before-cast per the portability rules (epoch() is
+    # fractional in DuckDB)
+    o["events_cohort_retention"] = """
+WITH w AS (SELECT DISTINCT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+           FROM events),
+c AS (SELECT user_id, min(week) AS cohort_period FROM w GROUP BY 1)
+SELECT c.cohort_period, w.week - c.cohort_period AS periods_since,
+       count(*) AS n_users
+FROM w JOIN c USING (user_id)
+GROUP BY 1, 2"""
+
+    o["events_type_pivot"] = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY 1"""
 
     # independent derivation: Spark runs the union-tag + last-over-
     # running-window formulation (operators/asof.py); DuckDB uses its

@@ -1,0 +1,44 @@
+"""Cohort retention over an event stream.
+
+Standard product-analytics rollup (the counterpart of the funnel in
+operators/funnel.py): bucket users into cohorts by their FIRST active
+period, then count how many of each cohort are active k periods later.
+
+Scale shape: ONE per-user hash aggregate assembles (first period,
+active-period set) straight off the scan — collect_set dedups, and its
+partial (map-side) aggregation already collapses each input partition
+to ≤#periods entries per user before the shuffle, so a separate
+distinct pass would only add a second full-volume exchange for
+nothing. Per-user state is bounded by the timeline length (#periods),
+not by event count. The cohort×offset rollup after the explode is a
+second, tiny exchange. Period ids are integer epoch-week indices
+(floor(epoch_seconds / 604800)) rather than engine date_trunc, so the
+DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WEEK_S = 7 * 24 * 3600
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", period_s: int = WEEK_S) -> DataFrame:
+    """(cohort_period, periods_since, n_users): for every cohort
+    (period of first activity) and offset k, the number of its users
+    active exactly k periods after their first. Offset 0 rows equal
+    cohort sizes by construction."""
+    period = F.floor(
+        F.unix_timestamp(F.col(ts_col).cast("timestamp")) / period_s
+    ).cast("long")
+    up = events.select(F.col(user_col).alias("_u"), period.alias("_p"))
+    per_user = up.groupBy("_u").agg(
+        F.min("_p").alias("_p0"),
+        F.collect_set("_p").alias("_ps"))
+    active = per_user.select(
+        "_p0", F.explode("_ps").alias("_p"))
+    return (active.groupBy(F.col("_p0").alias("cohort_period"),
+                           (F.col("_p") - F.col("_p0")).alias("periods_since"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
