@@ -51,6 +51,7 @@ HEADLINE = [
     "text_tfidf_topk",
     "events_asof_last_error",
     "events_incident_rollup",
+    "events_cohort_retention",
 ]
 
 

@@ -789,9 +789,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # duplicated-2-gram character fractions; callers threshold them
         # against n_chars. Batch path (operators/repetition.py) — the
         # column-expression twin (functions/text.py:ngram_repetition)
-        # computes identical integers but is interpreted-HOF-bound
-        # (O(distinct×total×tokenize) per row); its equivalence is
-        # pinned by tests/test_text.py on the same fixture corpus.
+        # computes identical integers but interpreted (O(distinct ×
+        # total) compares per row); equivalence is pinned by
+        # tests/test_text.py on the same fixture corpus.
         return repetition_signals(_read(spark, sf, "documents"), n=2)
     q["text_repetition"] = text_repetition
 

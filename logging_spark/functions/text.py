@@ -24,6 +24,22 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS_EN = ["the", "a", "and", "of", "to", "is", "in", "it"]
 
 
+def let(value: Column, body) -> Column:
+    """Bind `value` ONCE and reference it freely inside `body`.
+
+    Interpreted higher-order functions re-evaluate every expression in
+    a lambda BODY per element, so a lambda that references a captured
+    expression (a regex split, an n-gram build) re-computes it O(array
+    length) times per row — the repo's measured 15×-300× per-row
+    blowups all reduce to this. Lambda VARIABLES, by contrast, are
+    evaluated once as HOF children. `let` turns any expression into a
+    lambda variable: wrap it in a one-element array, transform over
+    it, take element 0. Zero-cost scaffolding (one array of one
+    pointer per row) — the Spark-expression analog of a local binding.
+    """
+    return F.transform(F.array(value), body).getItem(0)
+
+
 def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
     """Whitespace tokens; empty/whitespace-only text -> empty array."""
     text = F.col(text) if isinstance(text, str) else text
@@ -172,19 +188,26 @@ def chunk_tokens(text: Column | str, chunk: int = 32, overlap: int = 8) -> Colum
     overlap (training-example prep). Returns array<struct<chunk_idx,
     chunk_text>>; explode it for one row per chunk. Pure expressions:
     sequence over window starts -> slice -> array_join — no UDF, no
-    shuffle; at corpus scale this is a narrow flatMap."""
-    toks = tokens(text)
-    n = F.size(toks)
+    shuffle; at corpus scale this is a narrow flatMap. The token array
+    is `let`-bound so the per-chunk slice reads a lambda variable —
+    an unbound `toks` here would re-run the tokenizer regex once per
+    CHUNK per row (quadratic in document length)."""
     step = chunk - overlap
-    n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(
-        F.ceil((n - F.lit(chunk)).cast("double") / step).cast("int") + 1)
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_idx"),
-            F.array_join(F.slice(toks, i * step + 1, chunk), " ").alias("chunk_text"),
-        ),
-    )
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(
+            F.ceil((n - F.lit(chunk)).cast("double") / step).cast("int") + 1)
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.array_join(F.slice(toks, i * step + 1, chunk), " ")
+                 .alias("chunk_text"),
+            ),
+        )
+
+    return let(tokens(text), body)
 
 
 def dedup_lines(text: Column | str, sep: str = "\n",
@@ -206,15 +229,23 @@ def dedup_lines(text: Column | str, sep: str = "\n",
 
     Portability: DuckDB's list_filter((x, i) -> ...) + list_position
     express the identical predicate, so the op is oracle-checkable.
+
+    The line array is `let`-bound: array_position probes a lambda
+    variable, so the O(L²) is string comparisons only — unbound, the
+    filter body would ALSO re-split the whole document per line
+    (O(L × doc_chars) regex work on top).
     """
     text = F.col(text) if isinstance(text, str) else text
-    lines = F.split(text, sep)
-    kept = F.filter(
-        lines,
-        lambda x, i: F.array_position(lines, x) == i.cast("long") + 1,
-    )
-    return F.when(F.size(lines) > max_lines, text).otherwise(
-        F.array_join(kept, sep))
+
+    def body(lines: Column) -> Column:
+        kept = F.filter(
+            lines,
+            lambda x, i: F.array_position(lines, x) == i.cast("long") + 1,
+        )
+        return F.when(F.size(lines) > max_lines, text).otherwise(
+            F.array_join(kept, sep))
+
+    return let(F.split(text, sep), body)
 
 
 def ngram_repetition(text: Column | str, n: int = 2,
@@ -241,41 +272,48 @@ def ngram_repetition(text: Column | str, n: int = 2,
     (rule set #2, arXiv:2112.11446 §A.1.1) are this struct plus a
     threshold comparison.
 
-    CORPUS-SCALE WARNING: nested higher-order functions never reach
-    codegen — Catalyst evaluates them interpreted and re-evaluates the
-    captured `grams` subtree (regex split included) per lambda probe,
-    so the real cost is closer to O(distinct * total * tokenize) per
-    row (measured: 5k docs of ~50 tokens > 300 s in one task). Use
-    this only inside single-projection chains over SHORT strings;
-    batch scoring goes through `repetition_signals`, the explode +
-    count + agg twin that stays in codegen and map-side-combines."""
-    grams = ngrams(text, n)
-    distinct = F.array_distinct(grams)
-    counted = F.transform(
-        distinct,
-        lambda g: F.struct(
-            F.size(F.filter(grams, lambda y: y == g)).alias("cnt"),
-            g.alias("gram"),
-        ),
-    )
-    top = F.array_max(counted)
-    dup_chars = F.aggregate(
-        counted,
-        F.lit(0).cast("long"),
-        lambda acc, s: acc + F.when(
-            s.getField("cnt") > 1,
-            s.getField("cnt").cast("long") * F.length(s.getField("gram")),
-        ).otherwise(F.lit(0).cast("long")),
-    )
+    Both the gram array and the per-distinct-gram count table are
+    `let`-bound, so the quadratic is string COMPARISONS only —
+    unbound, every count probe re-built the gram array from the raw
+    text (regex split included), O(distinct × total × tokenize) per
+    row, measured >300 s for one task of 5k ~50-token docs. For batch
+    scoring still prefer `repetition_signals`, the explode + count +
+    agg twin whose aggregates map-side-combine."""
+
+    def with_grams(grams: Column) -> Column:
+        counted_expr = F.transform(
+            F.array_distinct(grams),
+            lambda g: F.struct(
+                F.size(F.filter(grams, lambda y: y == g)).alias("cnt"),
+                g.alias("gram"),
+            ),
+        )
+
+        def with_counted(counted: Column) -> Column:
+            top = F.array_max(counted)
+            dup_chars = F.aggregate(
+                counted,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.when(
+                    s.getField("cnt") > 1,
+                    s.getField("cnt").cast("long")
+                    * F.length(s.getField("gram")),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            return F.struct(
+                F.size(grams).cast("long").alias("n_grams"),
+                top.getField("cnt").cast("long").alias("top_cnt"),
+                top.getField("gram").alias("top_gram"),
+                (top.getField("cnt").cast("long")
+                 * F.length(top.getField("gram")).cast("long"))
+                .alias("top_chars"),
+                dup_chars.alias("dup_chars"),
+            )
+
+        return let(counted_expr, with_counted)
+
     return F.when(token_count(text) > max_tokens, F.lit(None)).otherwise(
-        F.struct(
-            F.size(grams).cast("long").alias("n_grams"),
-            top.getField("cnt").cast("long").alias("top_cnt"),
-            top.getField("gram").alias("top_gram"),
-            (top.getField("cnt").cast("long")
-             * F.length(top.getField("gram")).cast("long")).alias("top_chars"),
-            dup_chars.alias("dup_chars"),
-        ))
+        let(ngrams(text, n), with_grams))
 
 
 def rolling_fingerprint(text: Column | str, window: int = 16) -> Column:

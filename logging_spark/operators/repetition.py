@@ -3,12 +3,11 @@
 Batch twin of `functions.text.ngram_repetition` (same five integer
 outputs per document — see that docstring for the Gopher rule mapping,
 arXiv:2112.11446 §A.1.1). The column-expression version is convenient
-inside single-projection chains over SHORT strings, but nested
-higher-order functions are evaluated interpreted (no codegen) and
-re-evaluate the captured gram-array subtree per lambda probe — measured
->300 s for one task of 5k × ~50-token docs. This operator restates the
-same counting as relational algebra so Catalyst keeps the whole thing
-in whole-stage codegen:
+inside single-projection chains, but even `let`-bound its per-row count
+table is O(distinct × total) string comparisons, interpreted (HOFs
+never reach codegen). This operator restates the same counting as
+relational algebra so Catalyst keeps the whole thing in whole-stage
+codegen:
 
     explode(ngrams)  ->  groupBy(id, gram).count()  ->  groupBy(id).agg
 
