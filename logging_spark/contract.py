@@ -660,6 +660,23 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           for k in kinds]))
     q["events_type_pivot"] = events_type_pivot
 
+    # trailing 7-day per-user stats via a RANGE-frame window (the
+    # windowing mode tumbling/session don't cover): one shuffle on
+    # user_id, frame bounds in integer epoch-seconds so ties and
+    # boundaries are engine-exact; cents-exact money math
+    def events_trailing_7d(spark, sf):
+        ev = _read(spark, sf, "events").select(
+            "event_id", "user_id",
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("_es"),
+            F.round(F.col("value") * 100).cast("long").alias("_cents"))
+        w = (Window.partitionBy("user_id").orderBy("_es")
+             .rangeBetween(-604800, 0))
+        return ev.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_7d"),
+            F.sum("_cents").over(w).alias("cents_7d"))
+    q["events_trailing_7d"] = events_trailing_7d
+
     # -- relational: TPC-H-ish ---------------------------------------------
     def tpch_q1_pricing(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -1296,6 +1313,18 @@ SELECT CAST(1 AS INT) AS step_idx, 'signup' AS step,
        CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
 UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
 UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"""
+
+    o["events_trailing_7d"] = """
+WITH e AS (SELECT event_id, user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_7d
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)"""
 
     # independent derivation: Spark assembles (first week, active-week
     # set) in one per-user aggregate; the oracle joins a min-week CTE

@@ -23,3 +23,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    # alias for property-based tests (hypothesis forbids invoking a
+    # function-scoped fixture per example; session scope is fine)
+    return spark

@@ -86,3 +86,72 @@ def test_asof_and_interval_plans_never_nested_loop(spark):
             .queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "Cartesian" not in plan, (
             name, plan[:1500])
+
+
+# property test: the union-tag + running-window formulation must agree
+# with the obvious quadratic definition on arbitrary small inputs —
+# key collisions, ts ties (left==right), multi-state keys, empty sides
+from hypothesis import given, settings, strategies as st
+
+_keys = st.sampled_from(["a", "b", "c"])
+_tss = st.integers(min_value=0, max_value=20)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    left=st.lists(st.tuples(_keys, _tss), min_size=0, max_size=12),
+    right=st.lists(st.tuples(_keys, _tss), min_size=0, max_size=8,
+                   unique_by=lambda r: (r[0], r[1])),
+)
+def test_asof_join_matches_bruteforce(spark_prop, left, right):
+    spark = spark_prop
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)] or [(0, "zz", 0)],
+        "lid long, k string, t long")
+    rdf = spark.createDataFrame(
+        [(k, t, f"{k}@{t}") for (k, t) in right] or [("zz2", 0, "x")],
+        "k string, rt long, payload string")
+    got = {r["lid"]: r["payload"] for r in asof_join(
+        ldf, rdf, on="k", left_ts="t", right_ts="rt").collect()}
+
+    rows = left or [("zz", 0)]
+    rrows = right or [("zz2", 0)]
+    for i, (k, t) in enumerate(rows):
+        cand = [(rt, f"{rk}@{rt}") for (rk, rt) in rrows
+                if rk == k and rt <= t]
+        want = max(cand)[1] if cand else None
+        assert got[i] == want, (i, k, t, got[i], want)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    events=st.lists(st.tuples(_keys, _tss), min_size=0, max_size=12),
+    ivs=st.lists(st.tuples(_keys, _tss, st.integers(min_value=0, max_value=9)),
+                 min_size=0, max_size=6),
+)
+def test_interval_join_matches_bruteforce(spark_prop, events, ivs):
+    spark = spark_prop
+    edf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(events)] or [(0, "zz", 0)],
+        "eid long, k string, t long")
+    idf = spark.createDataFrame(
+        [(j, k, s, s + ln) for j, (k, s, ln) in enumerate(ivs)]
+        or [(0, "zz2", 0, 0)],
+        "ivid long, k string, s long, e long")
+    # integer "timestamps": drive the bucketizer through raw longs by
+    # casting to timestamp — bucket width 7 deliberately co-prime with
+    # the value range so intervals straddle buckets
+    from pyspark.sql import functions as F
+    e2 = edf.select("eid", "k", F.timestamp_seconds("t").alias("t"))
+    i2 = idf.select("ivid", "k", F.timestamp_seconds("s").alias("s"),
+                    F.timestamp_seconds("e").alias("e"))
+    got = sorted((r["eid"], r["ivid"]) for r in interval_join(
+        e2, i2, on="k", ts="t", start="s", end="e", bucket_s=7).collect())
+
+    evs = events or [("zz", 0)]
+    ivr = [(j, k, s, s + ln) for j, (k, s, ln) in enumerate(ivs)] \
+        or [(0, "zz2", 0, 0)]
+    want = sorted((i, j) for i, (k, t) in enumerate(evs)
+                  for (j, ik, s, e) in ivr
+                  if ik == k and s <= t < e)
+    assert got == want
