@@ -53,6 +53,7 @@ from logging_spark.operators.funnel import funnel_counts
 from logging_spark.operators.importance import importance_scores
 from logging_spark.operators.asof import asof_join, interval_join
 from logging_spark.operators.cohort import cohort_retention
+from logging_spark.operators.heavy import heavy_hitters
 from logging_spark.operators.repetition import repetition_signals
 from logging_spark.operators.tfidf import tfidf_topk
 from logging_spark.operators.sample import (deterministic_sample,
@@ -817,6 +818,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_tfidf_topk"] = lambda spark, sf: tfidf_topk(
         _read(spark, sf, "documents"), k=5)
 
+    # exact heavy-hitter tokens via per-partition Misra-Gries
+    # candidates + exact recount (operators/heavy.py): deterministic
+    # despite the sketch pass — candidates are a guaranteed superset,
+    # the recount trims exactly to the threshold set
+    def text_heavy_tokens(spark, sf):
+        toks = _read(spark, sf, "documents").select(
+            F.explode(T.tokens("text")).alias("tok"))
+        return heavy_hitters(toks, col="tok", phi_ppm=5000)
+    q["text_heavy_tokens"] = text_heavy_tokens
+
     q["text_fingerprint"] = lambda spark, sf: _read(spark, sf, "documents").select(
         "doc_id", T.fingerprint("text").alias("fp"))
 
@@ -1525,6 +1536,17 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
 FROM s
 QUALIFY row_number() OVER (PARTITION BY doc_id
                            ORDER BY score DESC, term) <= 5"""
+
+    # the sketch pass is invisible to the result (superset + exact
+    # recount), so the oracle is the plain aggregate the naive plan
+    # would run; threshold arithmetic mirrored in integer ppm
+    o["text_heavy_tokens"] = f"""
+WITH t AS (SELECT unnest({TOKS}) AS tok FROM documents),
+n AS (SELECT count(*) AS total FROM t)
+SELECT tok AS item, CAST(count(*) AS BIGINT) AS n
+FROM t CROSS JOIN n
+GROUP BY tok, n.total
+HAVING count(*) * 1000000 >= 5000 * n.total"""
 
     o["text_fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents"
 
