@@ -1,0 +1,52 @@
+"""Watermarked stream-stream interval join.
+
+The continuous form of operators/asof.py:interval_join — correlate a
+stream of point events with a stream of interval-opening events
+(incidents, deploys, sessions) of the same key, while both sides are
+still arriving. Reference behavior anchor: the reference correlates
+log records against controller state updates arriving on a second
+watch channel (SURVEY S3; pkg/datasource/datasource.go watch loop);
+this is that correlation with BOTH channels unbounded.
+
+Spark's stream-stream inner join buffers each side in state until the
+other side's watermark passes the join-condition time bound — which is
+why the interval length here is a bounded parameter, not a per-row
+column: an unbounded range would mean unbounded state. With the
+equality key + the two-sided time-range predicate, Spark derives the
+state eviction watermark automatically; state per key is
+O(events within watermark + interval length), independent of stream
+history. The same containment predicate as the batch operator
+([start, start + length)) keeps the two forms row-identical on equal
+input, which tests/test_streaming_join.py pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str = "ts",
+    start: str = "start_ts",
+    length_s: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """points ⨝ intervals where points.ts in [start, start + length_s)
+    and keys match; both inputs are streaming DataFrames. Column names
+    other than `on` must not collide (rename upstream)."""
+    clash = (set(intervals.columns) - {on}) & set(points.columns) - {on}
+    if clash:
+        raise ValueError(f"interval columns collide with points: {sorted(clash)}")
+    p = points.withWatermark(ts, watermark)
+    i = (intervals.withWatermark(start, watermark)
+         .withColumnRenamed(on, "_ikey"))
+    cond = (
+        (p[on] == i["_ikey"])
+        & (p[ts] >= i[start])
+        & (p[ts] < i[start] + F.expr(f"INTERVAL {int(length_s)} SECONDS"))
+    )
+    return p.join(i, cond, "inner").drop("_ikey")

@@ -1,0 +1,65 @@
+"""stream-stream interval join (streaming/joins.py): row-identical to
+the batch interval_join on the same input, drained via availableNow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logging_spark.operators.asof import interval_join
+from logging_spark.streaming.joins import stream_interval_join
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def split_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("sjoin")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pts = ev.where(F.col("event_type") != "error").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    inc = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"), "user_id",
+        F.col("ts").cast("timestamp").alias("start_ts"))
+    p, i = str(base / "points"), str(base / "intervals")
+    pts.coalesce(2).write.parquet(p)
+    inc.coalesce(2).write.parquet(i)
+    return p, i, str(base / "chk")
+
+
+def test_stream_interval_join_matches_batch(spark, split_dirs):
+    p_dir, i_dir, chk = split_dirs
+    pts_s = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp").parquet(p_dir)
+    inc_s = spark.readStream.schema(
+        "incident_id long, user_id long, start_ts timestamp").parquet(i_dir)
+    # generous watermark: this test drains a finite backlog, so nothing
+    # may be dropped as late; production sets it to the real lateness
+    joined = stream_interval_join(pts_s, inc_s, on="user_id",
+                                  ts="ts", start="start_ts",
+                                  length_s=600, watermark="365 days")
+    q = (joined.select("event_id", "incident_id")
+         .writeStream.format("memory").queryName("sj")
+         .option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = sorted((r["event_id"], r["incident_id"])
+                 for r in spark.table("sj").collect())
+
+    pts = spark.read.parquet(p_dir)
+    inc = (spark.read.parquet(i_dir)
+           .withColumn("end_ts",
+                       F.col("start_ts") + F.expr("INTERVAL 600 SECONDS")))
+    want = sorted((r["event_id"], r["incident_id"]) for r in interval_join(
+        pts, inc, on="user_id", ts="ts", start="start_ts", end="end_ts",
+        bucket_s=600).collect())
+    assert got == want and len(got) > 0
+
+
+def test_stream_interval_join_rejects_collisions(spark, split_dirs):
+    p_dir, i_dir, _ = split_dirs
+    s = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp").parquet(p_dir)
+    with pytest.raises(ValueError, match="collide"):
+        stream_interval_join(s, s, on="user_id", ts="ts", start="ts")
