@@ -52,6 +52,7 @@ HEADLINE = [
     "events_asof_last_error",
     "events_incident_rollup",
     "events_cohort_retention",
+    "text_heavy_tokens",
 ]
 
 
