@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from logging_spark import schema as S
-from logging_spark.functions.text import let
+from logging_spark.functions.expr import let
 
 # [LEVEL] component: message-head key=val key=val ...
 _LINE_RE = re.compile(r"^\[(?P<level>[A-Z]+)\]\s+(?P<component>[\w.-]+):\s+(?P<message>\S+)")

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from logging_spark.functions.expr import let
+
 
 def cosine_udf_col(a: Column, b: Column) -> Column:
     """Arrow-vectorized cosine: one einsum per batch. ~20x the
@@ -193,16 +195,23 @@ def sign_bucket(vec: Column, dim: int, table: int, n_planes: int = 16,
     is exact. The quantization perturbs each plane boundary by
     O(1/scale) — statistically irrelevant to LSH recall."""
     q = F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("long"))
-    acc = F.lit(0).cast("long")
-    for p in range(n_planes):
-        signs = plane_signs(dim, table, p)
-        dot = F.aggregate(
-            F.zip_with(q, F.array(*[F.lit(s).cast("long") for s in signs]),
-                       lambda x, y: x * y),
-            F.lit(0).cast("long"), lambda a, x: a + x,
-        )
-        acc = acc + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
-    return acc
+
+    # let-bind the quantized vector: each per-plane zip_with evaluates
+    # its children, so an unbound `q` re-quantizes the vector once per
+    # plane (O(dim × planes) floors instead of O(dim))
+    def fold(qb: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for p in range(n_planes):
+            signs = plane_signs(dim, table, p)
+            dot = F.aggregate(
+                F.zip_with(qb, F.array(*[F.lit(s).cast("long") for s in signs]),
+                           lambda x, y: x * y),
+                F.lit(0).cast("long"), lambda a, x: a + x,
+            )
+            acc = acc + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        return acc
+
+    return let(q, fold)
 
 
 def _topk_select(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
