@@ -795,6 +795,26 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.select("conv_id", "turn_idx", T.redact(aug).alias("redacted"))
     q["text_redact"] = text_redact
 
+    def text_pii_cc(spark, sf):
+        # PII detection with checksum validation (functions/text.py:
+        # luhn_valid): synthesize card-shaped digit runs from md5 hex
+        # (digits-only projection; ~10% pass Luhn) so detection has
+        # real positives AND checksum-failing near-misses to reject.
+        # Same synthesis in the oracle.
+        t = turns_df(spark, sf)
+        dd = F.regexp_replace(F.md5("conv_id"), "[a-f]", "")
+        aug = (t.where(F.length(dd) >= 16)
+               .select("conv_id", "turn_idx",
+                       F.concat(F.col("text"), F.lit(" card="),
+                                F.substring(dd, 1, 16), F.lit(" ref="),
+                                F.substring(dd, 1, 13)).alias("_txt")))
+        ex = aug.select("conv_id", "turn_idx",
+                        F.explode(T.cc_candidates("_txt")).alias("c"))
+        return ex.select("conv_id", "turn_idx",
+                         F.col("c.candidate").alias("candidate"),
+                         F.col("c.luhn_ok").alias("luhn_ok"))
+    q["text_pii_cc"] = text_pii_cc
+
     def text_top_ngrams(spark, sf):
         d = _read(spark, sf, "documents")
         grams = d.select(F.explode(T.ngrams("text", 3)).alias("ngram"))
@@ -1478,6 +1498,30 @@ SELECT conv_id, turn_idx,
            '\b[0-9a-fA-F]{16,}\b', '<HEX>', 'g'),
          '\b\d{6,}\b', '<NUM>', 'g') AS redacted
 FROM turns"""
+
+    # same synthesis + same \b(\d{{13,19}})\b candidate grammar; Luhn
+    # re-derived with DuckDB list lambdas (nested lambda over an index
+    # range referencing the outer candidate var)
+    o["text_pii_cc"] = "WITH " + TURNS_CTE + r""",
+aug AS (SELECT conv_id, turn_idx,
+               concat(text, ' card=', substr(dd, 1, 16),
+                      ' ref=', substr(dd, 1, 13)) AS txt
+        FROM (SELECT conv_id, turn_idx, text,
+                     regexp_replace(md5(conv_id), '[a-f]', '', 'g') AS dd
+              FROM turns)
+        WHERE length(dd) >= 16),
+ex AS (SELECT conv_id, turn_idx,
+              unnest(regexp_extract_all(txt, '\b(\d{13,19})\b', 1)) AS candidate
+       FROM aug)
+SELECT conv_id, turn_idx, candidate,
+       list_sum(list_transform(range(1, length(candidate) + 1),
+         i -> CASE WHEN i % 2 = 1
+              THEN CAST(substr(candidate, CAST(length(candidate) - i + 1 AS INT), 1) AS INT)
+              ELSE CASE WHEN 2 * CAST(substr(candidate, CAST(length(candidate) - i + 1 AS INT), 1) AS INT) > 9
+                   THEN 2 * CAST(substr(candidate, CAST(length(candidate) - i + 1 AS INT), 1) AS INT) - 9
+                   ELSE 2 * CAST(substr(candidate, CAST(length(candidate) - i + 1 AS INT), 1) AS INT) END
+         END)) % 10 = 0 AS luhn_ok
+FROM ex"""
 
     o["text_top_ngrams"] = f"""
 WITH t AS (SELECT {TOKS} AS toks FROM documents),

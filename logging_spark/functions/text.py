@@ -126,6 +126,43 @@ def redact(text: Column | str, rules: list[tuple[str, str]] | None = None) -> Co
     return out
 
 
+def luhn_valid(numstr: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812) over a digit string — TRUE iff the
+    mod-10 check passes. Pure expressions: reversed-position walk via
+    sequence + substr, doubling every second digit from the right.
+    The input is let-bound so the per-digit substr probes a lambda
+    variable. Used to tell real card-shaped numbers from arbitrary
+    digit runs in PII detection — a bare \\d{13,19} regex flags order
+    ids and timestamps; the checksum cuts those false positives ~10×."""
+
+    def body(c: Column) -> Column:
+        n = F.length(c)
+        term = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: (lambda d: F.when(i % 2 == 1, d).otherwise(
+                F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)))(
+                c.substr(n - i + 1, F.lit(1)).cast("int")),
+        )
+        return F.aggregate(term, F.lit(0), lambda a, x: a + x) % 10 == 0
+
+    return let(numstr, body)
+
+
+def cc_candidates(text: Column | str) -> Column:
+    """array<struct<candidate, luhn_ok>>: every standalone 13-19 digit
+    run with its Luhn verdict. Longer runs (20+) never match — the
+    trailing boundary can't fall inside a digit run — so timestamps
+    and hashes aren't even candidates. Detection-only (callers decide
+    mask/drop/report); compose with `redact` for masking."""
+    text = F.col(text) if isinstance(text, str) else text
+    cands = F.regexp_extract_all(text, F.lit(r"\b(\d{13,19})\b"), 1)
+    return F.transform(
+        cands,
+        lambda c: F.struct(c.alias("candidate"),
+                           luhn_valid(c).alias("luhn_ok")),
+    )
+
+
 def ngrams(text: Column | str, n: int = 3) -> Column:
     """ALL word n-grams in order (with repeats — unlike
     textdedup.shingles, which distincts per doc for set semantics).

@@ -202,3 +202,21 @@ def test_repetition_signals_matches_expression_twin(spark, sf_dir):
             assert got[k][f] == want[k][f], (k, f, got[k], want[k])
     # the capped row really is un-scored on both paths
     assert got["e5"]["n_grams"] is None
+
+
+def test_luhn_and_cc_candidates(spark):
+    # 4532015112830366: canonical Luhn-valid test PAN; +1 flips the check
+    rows = spark.createDataFrame(
+        [("pay 4532015112830366 now",),          # valid 16-digit
+         ("ref 4532015112830367 bad",),          # checksum fails
+         ("id 12345678901234567890 long",),      # 20 digits: not a candidate
+         ("short 123456789012 run",),            # 12 digits: not a candidate
+         ("amex-shaped 371449635398431 ok",)],   # valid 15-digit
+        "text string").select(
+            F.explode_outer(T.cc_candidates("text")).alias("c")).collect()
+    got = [(r["c"]["candidate"], r["c"]["luhn_ok"]) if r["c"] else None
+           for r in rows]
+    assert got == [("4532015112830366", True),
+                   ("4532015112830367", False),
+                   None, None,
+                   ("371449635398431", True)]
