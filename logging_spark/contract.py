@@ -64,6 +64,7 @@ from logging_spark.operators.sample import (deterministic_sample,
 from logging_spark.operators.pack import pack_chunks
 from logging_spark.operators.textdedup import (contamination_hits,
                                                decontaminate,
+                                               edit_distance_near_dups,
                                                exact_duplicates,
                                                lsh_candidate_pairs,
                                                ngram_jaccard_pairs, simhash)
@@ -868,6 +869,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
         corpus_df(spark, sf), w=3, min_intersection=30)
 
+    # candidate-then-verify: LSH pairs re-checked by exact Levenshtein
+    # (textdedup.edit_distance_near_dups) — rejects banding collisions
+    q["dedup_edit_distance"] = lambda spark, sf: edit_distance_near_dups(
+        corpus_df(spark, sf), max_dist=20, portable=True)
+
     # cluster assembly over the LSH pair graph: connected components
     # via iterative min-label propagation, canonical = min id. The
     # oracle reaches the same fixpoint with a recursive CTE.
@@ -1630,6 +1636,18 @@ banded AS (
 FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
     o["dedup_minhash_lsh"] = f"WITH {_lsh_ctes}\n{_lsh_pairs}"
+
+    # same candidate CTEs + the exact Levenshtein verifier (identical
+    # Wagner-Fischer in both engines; Spark's |len_a - len_b| pre-filter
+    # is a lower bound, so it never changes the result set)
+    o["dedup_edit_distance"] = f"""WITH {_lsh_ctes},
+pairs AS ({_lsh_pairs})
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+FROM pairs p
+JOIN corpus a ON p.doc_a = a.doc_id
+JOIN corpus b ON p.doc_b = b.doc_id
+WHERE levenshtein(a.text, b.text) <= 20"""
 
     # connected components over the LSH pair graph: reachability to
     # fixpoint in a recursive CTE, canonical = min reachable id. The
