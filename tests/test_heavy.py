@@ -50,3 +50,24 @@ def test_heavy_hitters_no_item_shuffle(spark):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+# property: exactness must hold for ANY multiset and threshold, not
+# just zipf shapes — random collisions, all-unique, all-same, tiny n
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(st.sampled_from([f"k{i}" for i in range(12)]),
+                  min_size=1, max_size=200),
+    phi_ppm=st.sampled_from([20_000, 100_000, 300_000, 700_000]),
+    parts=st.sampled_from([1, 3, 8]),
+)
+def test_heavy_hitters_matches_exact(spark_prop, rows, phi_ppm, parts):
+    spark = spark_prop
+    df = spark.createDataFrame([(r,) for r in rows], "item string") \
+              .repartition(parts)
+    got = {r["item"]: r["n"]
+           for r in heavy_hitters(df, phi_ppm=phi_ppm).collect()}
+    assert got == _exact(rows, phi_ppm), (phi_ppm, parts, rows[:20])
