@@ -192,6 +192,45 @@ class Catalog:
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
 
+    def compact(self, table: str, target_file_bytes: int = 128 << 20,
+                partition_cols: list[str] | None = None) -> int:
+        """Rewrite `table` into ~target-sized files and return the new
+        file count. THE streaming-sink maintenance verb: every
+        availableNow drain / micro-batch appends a few small files, and
+        a month of that turns scans into open-file storms (and, on
+        object stores, LIST storms). Sizing uses the table's actual
+        on-disk bytes (no sampling); with `partition_cols` the rewrite
+        repartitions on them so each hive partition lands contiguous
+        files. Crash-safe exactly like merge_upsert's fallback: write
+        to a temp sibling, two-rename swap, old data live until the new
+        copy is complete. On Iceberg, prefer the engine's own
+        rewrite_data_files action; this verb is the parquet-fallback
+        equivalent."""
+        import shutil
+
+        path = self._path(table)
+        files = [os.path.join(dp, f) for dp, _, fs in os.walk(path)
+                 for f in fs if f.endswith(".parquet")]
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = self.read(table)
+        if partition_cols:
+            out = df.repartition(int(n_out), *partition_cols)
+        else:
+            out = df.repartition(int(n_out))
+        tmp = f"{path}.tmp-{os.getpid()}"
+        old = f"{path}.old"
+        w = out.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return len([os.path.join(dp, f) for dp, _, fs in os.walk(path)
+                    for f in fs if f.endswith(".parquet")])
+
     def drop(self, table: str) -> None:
         if self.iceberg:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(table)}")

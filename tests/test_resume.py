@@ -138,3 +138,29 @@ def test_merge_upsert_latest_wins_order_col(spark, tmp_path_factory):
     cat.merge_upsert(upd, "cfg.vals", keys=["k"], order_col="ts")
     rows = cat.read("cfg.vals").collect()
     assert len(rows) == 1 and rows[0]["v"] == "new" and rows[0]["ts"] == 9
+
+
+def test_compact_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from logging_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("sink"),
+        F.md5(F.col("id").cast("string")).alias("text"))
+    # simulate a micro-batch-riddled sink: 40 tiny appends
+    for i in range(40):
+        cat.append(df.where(F.col("id") % 40 == i).coalesce(1), "sink_tbl")
+    import os
+    path = cat._path("sink_tbl")
+    before = sum(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs)
+    assert before >= 40
+    pre = sorted(r["id"] for r in cat.read("sink_tbl").collect())
+
+    n_after = cat.compact("sink_tbl", target_file_bytes=10 << 20)
+    assert n_after < before / 10
+    # byte-for-byte the same table
+    post = sorted(r["id"] for r in cat.read("sink_tbl").collect())
+    assert post == pre
+    # no debris from the swap
+    assert not os.path.exists(path + ".old")
