@@ -143,7 +143,12 @@ def luhn_valid(numstr: Column) -> Column:
                 F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)))(
                 c.substr(n - i + 1, F.lit(1)).cast("int")),
         )
-        return F.aggregate(term, F.lit(0), lambda a, x: a + x) % 10 == 0
+        # n >= 1 guard: sequence(1, 0) would DESCEND ([1, 0] — Spark
+        # picks step -1 when start > stop), not return empty
+        return F.when(
+            n > 0,
+            F.aggregate(term, F.lit(0), lambda a, x: a + x) % 10 == 0,
+        ).otherwise(F.lit(False))
 
     return let(numstr, body)
 

@@ -54,7 +54,10 @@ def asof_join(
     unique per (on, right_ts) — pre-aggregate otherwise; with
     duplicates the carried row is the last in (ts) order within the
     key, which is not total. Left rows with no prior right row get
-    NULL payload (ASOF LEFT JOIN semantics).
+    NULL payload (ASOF LEFT JOIN semantics). NULL timestamps sort
+    FIRST (Spark window default): a NULL-ts right row acts as an
+    earlier-than-everything state, a NULL-ts left row sees only such
+    states — filter NULL event times upstream if that's not intended.
     """
     payload_cols = payload_cols or [
         c for c in right.columns if c not in (on, right_ts)]

@@ -75,7 +75,11 @@ def heavy_hitters(df: DataFrame, col: str = "item",
     candidate broadcast and the total.
     """
     k = (1_000_000 + phi_ppm - 1) // phi_ppm  # counters per partition
-    items = df.select(F.col(col).alias("item"))
+    # NULL rows are neither countable items nor part of the total
+    # (pandas value_counts would silently skip them while len() counted
+    # them toward n_p, skewing the threshold)
+    items = df.select(F.col(col).alias("item")) \
+              .where(F.col("item").isNotNull())
     summ = items.mapInPandas(
         lambda it: _mg_partition(it, k),
         schema="candidate string, n_part long").localCheckpoint()
