@@ -697,6 +697,51 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["tpch_q1_pricing"] = tpch_q1_pricing
 
+    def tpch_q5_local_supplier_volume(spark, sf):
+        # TPC-H Q5 shape: 6-table star+snowflake join — Catalyst gets
+        # the dims broadcast and the join order; we only declare it.
+        # Decimal money math, double only at the very end (oracle rule)
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        one = F.lit(1).cast("decimal(18,2)")
+        cu = _read(spark, sf, "customer")
+        o = _read(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")))
+        li = _read(spark, sf, "lineitem")
+        su = _read(spark, sf, "supplier")
+        na = _read(spark, sf, "nation")
+        re = _read(spark, sf, "region").where(F.col("r_name") == "ASIA")
+        j = (cu.join(o, cu["c_custkey"] == o["o_custkey"])
+             .join(li, li["l_orderkey"] == o["o_orderkey"])
+             .join(su, (li["l_suppkey"] == su["s_suppkey"])
+                   & (cu["c_nationkey"] == su["s_nationkey"]))
+             .join(na, su["s_nationkey"] == na["n_nationkey"])
+             .join(re, na["n_regionkey"] == re["r_regionkey"]))
+        return (j.groupBy("n_name")
+                .agg(F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+                      .cast("double").alias("revenue")))
+    q["tpch_q5_local_supplier_volume"] = tpch_q5_local_supplier_volume
+
+    def tpch_q18_large_orders(spark, sf):
+        # TPC-H Q18 shape: HAVING-filtered aggregate feeding a
+        # semi-join back onto the fact — the "large customers" audit.
+        # Quantities are integral; the sum stays decimal-exact and
+        # surfaces as a long (x100) to dodge double-hash drift.
+        li = _read(spark, sf, "lineitem")
+        big = (li.groupBy("l_orderkey")
+               .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+               .where(F.col("_q") > 300))
+        o = _read(spark, sf, "orders")
+        cu = _read(spark, sf, "customer")
+        j = (big.join(o, big["l_orderkey"] == o["o_orderkey"])
+             .join(cu, o["o_custkey"] == cu["c_custkey"]))
+        return j.select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+             .alias("o_orderdate_s"),
+            (F.col("_q") * 100).cast("long").alias("qty_x100"))
+    q["tpch_q18_large_orders"] = tpch_q18_large_orders
+
     def tpch_q3_top_revenue(spark, sf):
         cu = _read(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
         o = _read(spark, sf, "orders")
@@ -1329,6 +1374,33 @@ JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey
 ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+
+    o["tpch_q5_local_supplier_volume"] = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name"""
+
+    o["tpch_q18_large_orders"] = """
+WITH big AS (SELECT l_orderkey,
+                    sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+             FROM lineitem GROUP BY 1
+             HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+       CAST(q * 100 AS BIGINT) AS qty_x100
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey"""
 
     o["agg_exact_quantiles"] = """
 SELECT event_type, quantile_cont(value, 0.5) AS p50,
