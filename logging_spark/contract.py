@@ -52,6 +52,7 @@ from logging_spark.operators.cluster import duplicate_clusters, keep_canonical
 from logging_spark.operators.funnel import funnel_counts
 from logging_spark.operators.importance import importance_scores
 from logging_spark.operators.asof import asof_join, interval_join
+from logging_spark.operators.anomaly import spike_flags
 from logging_spark.operators.cohort import cohort_retention
 from logging_spark.operators.heavy import heavy_hitters
 from logging_spark.operators.repetition import repetition_signals
@@ -642,6 +643,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum(F.round(F.col("value") * 100).cast("long"))
                       .alias("value_cents")))
     q["events_incident_rollup"] = events_incident_rollup
+
+    # -- error-spike anomaly flags (operators/anomaly.py): Hampel
+    # median/MAD rule over per-user weekly error counts
+    def events_error_spikes(spark, sf):
+        err = _read(spark, sf, "events").where(
+            F.col("event_type") == "error")
+        return spike_flags(err, key_col="user_id", k_mad=3)
+    q["events_error_spikes"] = events_error_spikes
 
     # -- cohort retention (operators/cohort.py): epoch-week cohorts ×
     # weeks-since-first-activity; distinct pass + one per-user agg
@@ -1434,6 +1443,21 @@ SELECT event_id,
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY es
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)"""
+
+    # Spark's percentile() and DuckDB's quantile_cont share the linear-
+    # interpolation definition (bitwise-matched by agg_exact_quantiles)
+    o["events_error_spikes"] = """
+WITH c AS (SELECT user_id AS key,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS period,
+                  count(*) AS n
+           FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+m AS (SELECT *, quantile_cont(CAST(n AS DOUBLE), 0.5)
+                  OVER (PARTITION BY key) AS med FROM c),
+d AS (SELECT *, quantile_cont(abs(n - med), 0.5)
+                  OVER (PARTITION BY key) AS mad FROM m)
+SELECT key, period, CAST(n AS BIGINT) AS n, med, mad,
+       (n - med) > 3 * mad AS is_spike
+FROM d"""
 
     # independent derivation: Spark assembles (first week, active-week
     # set) in one per-user aggregate; the oracle joins a min-week CTE
