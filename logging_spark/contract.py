@@ -53,6 +53,7 @@ from logging_spark.operators.funnel import funnel_counts
 from logging_spark.operators.importance import importance_scores
 from logging_spark.operators.asof import asof_join, interval_join
 from logging_spark.operators.anomaly import spike_flags
+from logging_spark.operators.profile import profile_columns
 from logging_spark.operators.cohort import cohort_retention
 from logging_spark.operators.heavy import heavy_hitters
 from logging_spark.operators.repetition import repetition_signals
@@ -643,6 +644,32 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum(F.round(F.col("value") * 100).cast("long"))
                       .alias("value_cents")))
     q["events_incident_rollup"] = events_incident_rollup
+
+    # -- column profiling (operators/profile.py): the per-snapshot
+    # data-quality audit — one Expand pass, every null + distinct count
+    q["events_profile"] = lambda spark, sf: profile_columns(
+        _read(spark, sf, "events"),
+        ["event_id", "user_id", "event_type", "value"])
+
+    # conversion latency: per-user first signup -> first LATER purchase,
+    # delta quantiles in seconds (percentile ≡ quantile_cont bitwise)
+    def events_conversion_latency(spark, sf):
+        ev = _read(spark, sf, "events")
+        es = lambda c: F.unix_timestamp(F.col(c).cast("timestamp"))  # noqa: E731
+        s0 = (ev.where(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min(es("ts")).alias("t0")))
+        pu = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", es("ts").alias("tp"))
+        conv = (pu.join(s0, "user_id").where(F.col("tp") >= F.col("t0"))
+                .groupBy("user_id")
+                .agg(F.min("tp").alias("t1"), F.first("t0").alias("t0")))
+        d = (F.col("t1") - F.col("t0")).cast("double")
+        return conv.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.percentile(d, F.lit(0.25)).alias("p25_s"),
+            F.percentile(d, F.lit(0.5)).alias("p50_s"),
+            F.percentile(d, F.lit(0.9)).alias("p90_s"))
+    q["events_conversion_latency"] = events_conversion_latency
 
     # -- error-spike anomaly flags (operators/anomaly.py): Hampel
     # median/MAD rule over per-user weekly error counts
@@ -1443,6 +1470,40 @@ SELECT event_id,
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY es
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)"""
+
+    o["events_profile"] = """
+SELECT col_name, n_rows, n_null, n_distinct FROM (
+  SELECT 'event_id' AS col_name, count(*) AS n_rows,
+         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+  UNION ALL
+  SELECT 'user_id', count(*),
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'event_type', count(*),
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'value', count(*),
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT value) AS BIGINT) FROM events)"""
+
+    o["events_conversion_latency"] = """
+WITH s0 AS (SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+            FROM events WHERE event_type = 'signup' GROUP BY 1),
+conv AS (SELECT p.user_id,
+                min(CAST(floor(epoch(p.ts)) AS BIGINT)) AS t1,
+                min(s0.t0) AS t0
+         FROM events p JOIN s0 USING (user_id)
+         WHERE p.event_type = 'purchase'
+           AND CAST(floor(epoch(p.ts)) AS BIGINT) >= s0.t0
+         GROUP BY 1)
+SELECT count(*) AS n_converted,
+       quantile_cont(CAST(t1 - t0 AS DOUBLE), 0.25) AS p25_s,
+       quantile_cont(CAST(t1 - t0 AS DOUBLE), 0.5) AS p50_s,
+       quantile_cont(CAST(t1 - t0 AS DOUBLE), 0.9) AS p90_s
+FROM conv"""
 
     # Spark's percentile() and DuckDB's quantile_cont share the linear-
     # interpolation definition (bitwise-matched by agg_exact_quantiles)
