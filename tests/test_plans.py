@@ -105,3 +105,13 @@ def test_domain_cap_single_shuffle(spark):
     # one hash partition on the domain key (window), no global sort
     plan = _plan(spark, "sample_domain_cap")
     assert _n_exchanges(plan) == 1, plan[:2000]
+
+
+def test_q5_dims_broadcast_and_filter_pushdown(spark):
+    # the 6-table snowflake must resolve to broadcast joins on the dim
+    # chain with the region predicate pushed into its scan — a shuffle
+    # join against a 5-row region table means the optimizer story broke
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "PushedFilters" in plan and "EqualTo(r_name,ASIA)" in plan, \
+        plan[:2000]
