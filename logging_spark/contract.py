@@ -68,6 +68,7 @@ from logging_spark.operators.textdedup import (contamination_hits,
                                                decontaminate,
                                                edit_distance_near_dups,
                                                exact_duplicates,
+                                               jaccard_threshold_pairs,
                                                lsh_candidate_pairs,
                                                ngram_jaccard_pairs, simhash)
 from logging_spark import multimodal as mm
@@ -949,6 +950,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
         corpus_df(spark, sf), w=3, min_intersection=30)
+
+    # prefix-filtered set-similarity join (textdedup.
+    # jaccard_threshold_pairs): the oracle computes the SAME result
+    # from the naive every-sharing-pair plan — an algorithm-
+    # equivalence check that the prefix filter is lossless
+    q["dedup_jaccard_threshold"] = lambda spark, sf: jaccard_threshold_pairs(
+        corpus_df(spark, sf), t_pct=50, w=3)
 
     # candidate-then-verify: LSH pairs re-checked by exact Levenshtein
     # (textdedup.edit_distance_near_dups) — rejects banding collisions
@@ -2005,6 +2013,27 @@ FROM b JOIN w USING (bk) GROUP BY doc_id"""
 WITH {CORPUS_CTE}
 SELECT doc_id, md5('bench:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
 FROM corpus"""
+
+    # NAIVE plan on purpose: every sharing pair, exact Jaccard, no
+    # prefix filter — value-equality with the Spark query proves the
+    # prefix filter drops no qualifying pair
+    o["dedup_jaccard_threshold"] = f"""
+WITH {CORPUS_CTE},
+sh AS (SELECT doc_id, {SHINGLES} AS sh
+       FROM (SELECT doc_id, {TOKS} AS toks FROM corpus)),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       sa.n_sh + sb.n_sh - inter AS uni
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 100 >= 50 * (sa.n_sh + sb.n_sh - inter)"""
 
     o["dedup_ngram_jaccard"] = f"""
 WITH {CORPUS_CTE},

@@ -192,3 +192,33 @@ def test_hashed_decontaminate_matches_exact_superset(spark):
                    hashed_decontaminate(docs, bench, w=3, min_hits=10).collect()}
     assert kept_hashed <= kept_exact
     assert kept_hashed == {3, 4}
+
+
+def test_jaccard_threshold_prefix_filter(spark):
+    from logging_spark.operators.textdedup import (jaccard_threshold_pairs,
+                                                   shingles)
+    from pyspark.sql import functions as F
+
+    # near-dup pair (1,2): differ by one appended token; (3) disjoint;
+    # (4) shares only the corpus's most COMMON shingle with (1) — the
+    # prefix filter must still judge correctly via rare-first ordering
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " iota"),
+         (3, "one two three four five six seven"),
+         (4, "alpha beta gamma completely different tail here")],
+        "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["uni"])
+           for r in jaccard_threshold_pairs(docs, t_pct=50, w=3).collect()}
+    # sets: |1|=6, |2|=7, inter=6 -> J=6/7 >= 0.5 ; (1,4) inter=1 -> no
+    assert set(got) == {(1, 2)} and got[(1, 2)] == (6, 7)
+
+    # the point of the filter: the prefix index is a strict subset of
+    # the full inverted index
+    sh = docs.select("doc_id", shingles("text", 3).alias("s"))
+    full = sh.select(F.explode("s")).count()
+    t = 50
+    plen = (F.size("s") - ((F.size("s") * t + 99) / 100).cast("long") + 1)
+    pref = sh.select(F.least(plen, F.size("s")).alias("p")) \
+             .agg(F.sum("p")).collect()[0][0]
+    assert pref < full
