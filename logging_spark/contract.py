@@ -50,7 +50,8 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 plane_signs)
 from logging_spark.operators.cluster import duplicate_clusters, keep_canonical
 from logging_spark.operators.funnel import funnel_counts
-from logging_spark.operators.importance import importance_scores
+from logging_spark.operators.importance import (importance_scores,
+                                                importance_weighted_sample)
 from logging_spark.operators.asof import asof_join, interval_join
 from logging_spark.operators.anomaly import spike_flags
 from logging_spark.operators.profile import profile_columns
@@ -1007,6 +1008,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return importance_scores(d.select("doc_id", "text"), target,
                                  n=2, buckets=4096, seed="dsir")
     q["sample_importance"] = sample_importance
+
+    # the DSIR RESAMPLING step: deterministic Bernoulli keep with
+    # inclusion probability ∝ importance score (integer-exact)
+    def sample_importance_weighted(spark, sf):
+        d = _read(spark, sf, "documents")
+        target = d.where(F.col("source") == "src0").select("doc_id", "text")
+        return importance_weighted_sample(
+            d.select("doc_id", "text"), target, rate_ppm=250_000,
+            n=2, buckets=4096, seed="dsir", sample_seed="dsir-rs")
+    q["sample_importance_weighted"] = sample_importance_weighted
 
     # reproducible global permutation: one range-partitioned sort; the
     # value check verifies the permutation KEY per doc (order itself is
@@ -2008,6 +2019,29 @@ w AS (SELECT bk, (COALESCE(tc, 0) + 1) * 1000000 // (bc + 1) AS wt
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(wt) AS BIGINT) AS score
 FROM b JOIN w USING (bk) GROUP BY doc_id"""
+
+    o["sample_importance_weighted"] = f"""
+WITH t AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, source, unnest(CASE WHEN len(toks) >= 2
+          THEN list_transform(range(1, len(toks)),
+                              i -> array_to_string(toks[i:i+1], ' '))
+          ELSE [] END) AS gram
+      FROM t),
+b AS (SELECT doc_id, source,
+             CAST('0x' || substr(md5('dsir:' || gram), 1, 15) AS BIGINT) % 4096 AS bk
+      FROM g),
+tgt AS (SELECT bk, count(*) AS tc FROM b WHERE source = 'src0' GROUP BY bk),
+bg AS (SELECT bk, count(*) AS bc FROM b GROUP BY bk),
+w AS (SELECT bk, (COALESCE(tc, 0) + 1) * 1000000 // (bc + 1) AS wt
+      FROM bg LEFT JOIN tgt USING (bk)),
+s AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
+      FROM b JOIN w USING (bk) GROUP BY doc_id),
+tot AS (SELECT CAST(sum(score) AS BIGINT) AS W,
+               CAST(count(*) AS BIGINT) AS n FROM s)
+SELECT doc_id, score
+FROM s CROSS JOIN tot
+WHERE (CAST('0x' || substr(md5('dsir-rs:' || CAST(doc_id AS VARCHAR)), 1, 15)
+       AS BIGINT) % 1000000) * W < score * 250000 * n"""
 
     o["sample_global_shuffle"] = f"""
 WITH {CORPUS_CTE}

@@ -90,3 +90,43 @@ def importance_scores(corpus: DataFrame, target: DataFrame,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_grams"),
                  F.sum("_w").alias("score")))
+
+
+def importance_weighted_sample(
+    corpus: DataFrame,
+    target: DataFrame,
+    rate_ppm: int = 250_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 4096,
+    seed: str = "dsir",
+    sample_seed: str = "dsir-rs",
+) -> DataFrame:
+    """(id, score): the DSIR RESAMPLING step — keep each document with
+    probability proportional to its importance score, expected keep
+    rate = rate_ppm/10⁶. Deterministic Bernoulli via the repo's md5
+    threshold trick: u = md5(seed:id) mod 10⁶, keep iff
+    u · ΣW < score · rate_ppm · n — pure integer comparison, so
+    membership is a function of (seed, id, corpus) reproducible on any
+    engine, and docs with score ≥ mean/rate are always kept (the
+    implicit probability cap). The score total rides a 1-row broadcast.
+
+    Overflow headroom: u < 10⁶ and fixture-scale ΣW keep every product
+    under 2⁶³ (ANSI mode would error, not wrap, if violated); at
+    10⁹+ docs cast the comparison operands to decimal(38,0) — same
+    integers, wider lanes."""
+    scored = importance_scores(corpus, target, id_col=id_col,
+                               text_col=text_col, n=n, buckets=buckets,
+                               seed=seed)
+    tot = scored.agg(F.sum("score").alias("_W"),
+                     F.count(F.lit(1)).alias("_n"))
+    u = F.pmod(
+        F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit(sample_seed), F.col(id_col).cast("string"))), 1, 15),
+            16, 10).cast("long"),
+        F.lit(1_000_000))
+    return (scored.crossJoin(F.broadcast(tot))
+            .where(u * F.col("_W")
+                   < F.col("score") * F.lit(rate_ppm) * F.col("_n"))
+            .select(id_col, "score"))
