@@ -544,7 +544,9 @@ def jaccard_threshold_pairs(
     """
     sh = df.select(F.col(id_col).alias("_id"),
                    shingles(text_col, w).alias("_sh"))
-    sh = sh.withColumn("_n", F.size("_sh"))
+    # three consumers (inverted index + both verify sides) — without a
+    # checkpoint each would rebuild every shingle array from raw text
+    sh = sh.withColumn("_n", F.size("_sh")).localCheckpoint(eager=False)
     ex = sh.select("_id", "_n", F.explode("_sh").alias("_s"))
     freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     from pyspark.sql import Window
