@@ -55,6 +55,7 @@ from logging_spark.operators.importance import (importance_scores,
 from logging_spark.operators.asof import asof_join, interval_join
 from logging_spark.operators.anomaly import spike_flags
 from logging_spark.operators.profile import profile_columns
+from logging_spark.operators.sequence import sequence_pattern_matches
 from logging_spark.operators.cohort import cohort_retention
 from logging_spark.operators.heavy import heavy_hitters
 from logging_spark.operators.repetition import repetition_signals
@@ -646,6 +647,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum(F.round(F.col("value") * 100).cast("long"))
                       .alias("value_cents")))
     q["events_incident_rollup"] = events_incident_rollup
+
+    # -- sequence pattern matching (operators/sequence.py): regex over
+    # per-user coded event histories — MATCH_RECOGNIZE-lite; this
+    # pattern is the signup→click→purchase funnel as a regex
+    EVENT_ALPHABET = {"signup": "S", "click": "C", "purchase": "P",
+                      "view": "V", "error": "E"}
+
+    def events_sequence_match(spark, sf):
+        return sequence_pattern_matches(
+            _read(spark, sf, "events"), r"S.*C.*P", EVENT_ALPHABET)
+    q["events_sequence_match"] = events_sequence_match
 
     # -- column profiling (operators/profile.py): the per-snapshot
     # data-quality audit — one Expand pass, every null + distinct count
@@ -1489,6 +1501,18 @@ SELECT event_id,
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY es
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)"""
+
+    # string_agg ORDER BY (ts, event_id) is the oracle's total order;
+    # DuckDB regexp_matches is unanchored like Spark rlike
+    o["events_sequence_match"] = """
+WITH s AS (SELECT user_id AS key,
+                  string_agg(CASE event_type WHEN 'signup' THEN 'S'
+                             WHEN 'click' THEN 'C' WHEN 'purchase' THEN 'P'
+                             WHEN 'view' THEN 'V' WHEN 'error' THEN 'E'
+                             ELSE '?' END, ''
+                             ORDER BY ts, event_id) AS seq
+           FROM events GROUP BY 1)
+SELECT key, seq FROM s WHERE regexp_matches(seq, 'S.*C.*P')"""
 
     o["events_profile"] = """
 SELECT col_name, n_rows, n_null, n_distinct FROM (
