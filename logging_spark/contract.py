@@ -70,7 +70,9 @@ from logging_spark.operators.textdedup import (contamination_hits,
                                                decontaminate,
                                                edit_distance_near_dups,
                                                exact_duplicates,
+                                               fingerprint_index,
                                                jaccard_threshold_pairs,
+                                               novel_documents,
                                                lsh_candidate_pairs,
                                                ngram_jaccard_pairs, simhash)
 from logging_spark import multimodal as mm
@@ -963,6 +965,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
         corpus_df(spark, sf), w=3, min_intersection=30)
+
+    # incremental-ingestion dedup: a new batch anti-joined against the
+    # accumulated fingerprint index (fixture: docs with doc_id % 3 == 0
+    # stand in for the prior snapshot)
+    def docs_incremental_novel(spark, sf):
+        d = _read(spark, sf, "documents")
+        seen = fingerprint_index(d.where(F.col("doc_id") % 3 == 0))
+        return novel_documents(d, seen).select("doc_id")
+    q["docs_incremental_novel"] = docs_incremental_novel
+
+    # C4-style normalization, and the near-dup class it exposes:
+    # exact-dedup AFTER normalize catches case/punct-only duplicates
+    def text_normalize(spark, sf):
+        d = _read(spark, sf, "documents")
+        return d.select("doc_id", T.normalize("text").alias("norm"))
+    q["text_normalize"] = text_normalize
 
     # prefix-filtered set-similarity join (textdedup.
     # jaccard_threshold_pairs): the oracle computes the SAME result
@@ -2071,6 +2089,17 @@ WHERE (CAST('0x' || substr(md5('dsir-rs:' || CAST(doc_id AS VARCHAR)), 1, 15)
 WITH {CORPUS_CTE}
 SELECT doc_id, md5('bench:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
 FROM corpus"""
+
+    o["docs_incremental_novel"] = """
+SELECT d.doc_id FROM documents d
+WHERE md5(d.text) NOT IN (
+  SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 3 = 0)"""
+
+    o["text_normalize"] = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+FROM documents"""
 
     # NAIVE plan on purpose: every sharing pair, exact Jaccard, no
     # prefix filter — value-equality with the Spark query proves the

@@ -355,3 +355,16 @@ def rolling_fingerprint(text: Column | str, window: int = 16) -> Column:
         lambda i: F.md5(text.substr(i, F.lit(window))),
     )
     return F.array_min(hashes)
+
+
+def normalize(text: Column | str) -> Column:
+    """C4-style text normalization: lowercase, strip everything but
+    word characters and whitespace, collapse whitespace runs, trim.
+    The canonical pre-fingerprint cleanup — exact-dedup after
+    normalize catches case/punctuation-only near-dups that raw md5
+    misses. Pure codegen regexp chain, oracle-portable."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.lower(t)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

@@ -576,3 +576,27 @@ def jaccard_threshold_pairs(
                                     - F.col("inter")).cast("long"))
                 .where(F.col("inter") * 100 >= F.lit(t_pct) * F.col("uni")))
     return verified.select("doc_a", "doc_b", "inter", "uni")
+
+
+def fingerprint_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fp): distinct md5 content fingerprints — the seen-set a
+    continuously-ingesting corpus carries between snapshots. Store it
+    with catalog.append; at 100 TB it is a few GB of 32-char strings
+    (or xxhash64 longs for the fast twin)."""
+    return docs.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+
+
+def novel_documents(batch: DataFrame, seen: DataFrame,
+                    text_col: str = "text") -> DataFrame:
+    """Rows of `batch` whose content fingerprint is NOT in `seen` —
+    the incremental-ingestion dedup verb: every new crawl/batch is
+    anti-joined against the accumulated index instead of re-deduping
+    the whole corpus. LEFT ANTI on the fingerprint: broadcasts while
+    the index is small, shuffles on the uniform hash key past that —
+    either way the batch's text bodies never shuffle (the fingerprint
+    is computed in place and dropped after)."""
+    fp = F.md5(F.col(text_col))
+    return (batch.withColumn("_fp", fp)
+            .join(seen.select(F.col("fp").alias("_fp")).distinct(),
+                  "_fp", "left_anti")
+            .drop("_fp"))
