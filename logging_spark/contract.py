@@ -661,6 +661,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "events"), r"S.*C.*P", EVENT_ALPHABET)
     q["events_sequence_match"] = events_sequence_match
 
+    # event transition matrix: Markov bigram counts over each user's
+    # (ts, event_id)-ordered stream — one window shuffle + one agg
+    def events_transitions(spark, sf):
+        ev = _read(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (ev.withColumn("_next", F.lead("event_type").over(w))
+                .where(F.col("_next").isNotNull())
+                .groupBy(F.col("event_type").alias("from_type"),
+                         F.col("_next").alias("to_type"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    q["events_transitions"] = events_transitions
+
     # -- column profiling (operators/profile.py): the per-snapshot
     # data-quality audit — one Expand pass, every null + distinct count
     q["events_profile"] = lambda spark, sf: profile_columns(
@@ -1531,6 +1543,14 @@ WITH s AS (SELECT user_id AS key,
                              ORDER BY ts, event_id) AS seq
            FROM events GROUP BY 1)
 SELECT key, seq FROM s WHERE regexp_matches(seq, 'S.*C.*P')"""
+
+    o["events_transitions"] = """
+WITH s AS (SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"""
 
     o["events_profile"] = """
 SELECT col_name, n_rows, n_null, n_distinct FROM (
