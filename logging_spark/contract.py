@@ -66,6 +66,7 @@ from logging_spark.operators.sample import (deterministic_sample,
                                             mix_corpora, split_thresholds,
                                             HASH_SPACE)
 from logging_spark.operators.pack import pack_chunks
+from logging_spark.operators.passages import global_passage_dedup
 from logging_spark.operators.textdedup import (contamination_hits,
                                                decontaminate,
                                                edit_distance_near_dups,
@@ -986,6 +987,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seen = fingerprint_index(d.where(F.col("doc_id") % 3 == 0))
         return novel_documents(d, seen).select("doc_id")
     q["docs_incremental_novel"] = docs_incremental_novel
+
+    # cross-corpus duplicate-passage removal (C4 / Lee et al.): chunk
+    # every doc into 20-token windows, drop every occurrence of a
+    # repeated window except in the lowest-doc_id document, reassemble.
+    # Only (hash, doc, idx) triples ride the wide stages.
+    def docs_passage_dedup(spark, sf):
+        return global_passage_dedup(_read(spark, sf, "documents"),
+                                    window_tokens=20)
+    q["docs_passage_dedup"] = docs_passage_dedup
 
     # C4-style normalization, and the near-dup class it exposes:
     # exact-dedup AFTER normalize catches case/punct-only duplicates
@@ -2120,6 +2130,30 @@ SELECT doc_id,
        trim(regexp_replace(regexp_replace(lower(text),
             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
 FROM documents"""
+
+    # independent derivation of the passage dedup: lateral unnest of
+    # chunk indices + 1-based inclusive list slices; same first-doc-
+    # wins keeper rule; docs with zero kept chunks survive as ''
+    o["docs_passage_dedup"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+occ AS (SELECT doc_id, i AS idx,
+               md5(array_to_string(toks[i*20+1 : i*20+20], ' ')) AS h
+        FROM t, unnest(generate_series(0,
+                 CAST(ceil(len(toks)/20.0) AS INT)-1)) AS u(i)),
+keep AS (SELECT h, min(doc_id) AS keeper FROM occ GROUP BY 1),
+kept AS (SELECT occ.doc_id, occ.idx FROM occ JOIN keep USING (h)
+         WHERE occ.doc_id = keep.keeper),
+ka AS (SELECT t2.doc_id,
+              CAST(count(*) AS BIGINT) AS n_kept,
+              string_agg(array_to_string(
+                  t2.toks[kept.idx*20+1 : kept.idx*20+20], ' '),
+                  ' ' ORDER BY kept.idx) AS text_kept
+       FROM kept JOIN t AS t2 USING (doc_id) GROUP BY 1)
+SELECT t.doc_id,
+       CAST(ceil(len(t.toks)/20.0) AS BIGINT) AS n_chunks,
+       COALESCE(ka.n_kept, 0) AS n_kept,
+       COALESCE(ka.text_kept, '') AS text_kept
+FROM t LEFT JOIN ka USING (doc_id)"""
 
     # NAIVE plan on purpose: every sharing pair, exact Jaccard, no
     # prefix filter — value-equality with the Spark query proves the
