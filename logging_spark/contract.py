@@ -60,7 +60,8 @@ from logging_spark.operators.cohort import cohort_retention
 from logging_spark.operators.heavy import heavy_hitters
 from logging_spark.operators.repetition import repetition_signals
 from logging_spark.operators.tfidf import tfidf_topk
-from logging_spark.operators.sample import (deterministic_sample,
+from logging_spark.operators.sample import (budget_head,
+                                            deterministic_sample,
                                             deterministic_split, domain_cap,
                                             global_shuffle, hash60_sql,
                                             mix_corpora, split_thresholds,
@@ -987,6 +988,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seen = fingerprint_index(d.where(F.col("doc_id") % 3 == 0))
         return novel_documents(d, seen).select("doc_id")
     q["docs_incremental_novel"] = docs_incremental_novel
+
+    # token-budget head selection: highest-quality docs (distinct-token
+    # count desc, doc_id tiebreak = total order) until the cumulative
+    # ws-token budget is spent. Spark side is the distributed two-phase
+    # prefix sum (range sort + partition offsets + Arrow cumsum), NOT a
+    # single-partition window; the oracle is the naive global window —
+    # value equality proves the distributed prefix sum exact.
+    def docs_token_budget(spark, sf):
+        scored = _read(spark, sf, "documents").select(
+            "doc_id", T.token_count("text").alias("n_tokens"),
+            T.distinct_token_count("text").alias("n_distinct_tokens"))
+        return budget_head(
+            scored, "n_tokens",
+            [F.col("n_distinct_tokens").desc(), F.col("doc_id")],
+            budget=5000, cum_col="cum_tokens", num_partitions=8)
+    q["docs_token_budget"] = docs_token_budget
 
     # cross-corpus duplicate-passage removal (C4 / Lee et al.): chunk
     # every doc into 20-token windows, drop every occurrence of a
@@ -2130,6 +2147,21 @@ SELECT doc_id,
        trim(regexp_replace(regexp_replace(lower(text),
             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
 FROM documents"""
+
+    o["docs_token_budget"] = f"""
+WITH s AS (SELECT doc_id,
+                  CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct({TOKS})) AS BIGINT)
+                      AS n_distinct_tokens
+           FROM documents),
+c AS (SELECT *,
+             CAST(sum(n_tokens) OVER (
+                  ORDER BY n_distinct_tokens DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM s)
+SELECT doc_id, n_tokens, n_distinct_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 5000"""
 
     # independent derivation of the passage dedup: lateral unnest of
     # chunk indices + 1-based inclusive list slices; same first-doc-

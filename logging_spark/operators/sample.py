@@ -155,3 +155,69 @@ def global_shuffle(df: DataFrame, seed: str = "s", id_col: str = "doc_id",
     parted = (keyed.repartitionByRange(num_partitions, key_col)
               if num_partitions else keyed.repartitionByRange(key_col))
     return parted.sortWithinPartitions(key_col)
+
+
+def budget_head(df: DataFrame, amount_col: str, order_cols: list,
+                budget: int, cum_col: str = "cum_amount",
+                num_partitions: int | None = None) -> DataFrame:
+    """Greedy prefix selection under a global budget: order the corpus
+    by `order_cols` (must be a TOTAL order — add a unique id as the
+    last key) and keep rows while the running total of `amount_col`
+    (inclusive of the current row) stays <= budget. The canonical
+    pretraining use: "take the highest-quality documents until the
+    token budget is spent".
+
+    The naive Spark spelling — sum() OVER (ORDER BY ...) with no
+    partitionBy — funnels the corpus through ONE task. This is the
+    distributed two-phase prefix sum instead:
+      1. range-partition + sort on the order keys (the same physical
+         shape as ORDER BY), localCheckpoint to pin the sampled range
+         boundaries so both downstream actions see identical
+         partitions;
+      2. per-partition totals (one shuffle-free aggregate; collects
+         exactly one row per partition) -> exclusive prefix offsets
+         on the driver;
+      3. prune every partition whose offset already exceeds the
+         budget (narrow spark_partition_id filter — at a 1000-way
+         sort only the partitions holding the prefix are scanned);
+      4. an Arrow-batched cumsum kernel seeded with the partition's
+         offset; stops consuming its partition once the budget is
+         crossed.
+
+    `amount_col` must be a non-negative integer column (tokens,
+    bytes); the emitted `cum_col` is the exact inclusive running
+    total, independent of partitioning.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    parted = (df.repartitionByRange(num_partitions, *order_cols)
+              if num_partitions else df.repartitionByRange(*order_cols))
+    d = parted.sortWithinPartitions(*order_cols).localCheckpoint()
+
+    totals = (d.groupBy(F.spark_partition_id().alias("_pid"))
+              .agg(F.sum(F.col(amount_col)).alias("_t")).collect())
+    offsets: dict[int, int] = {}
+    run = 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = run
+        run += int(row["_t"])
+    live = [pid for pid, off in offsets.items() if off <= budget]
+    max_pid = max(live) if live else -1
+
+    schema = StructType(d.schema.fields + [StructField(cum_col, LongType())])
+    amount, bud = amount_col, int(budget)
+
+    def kernel(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        total = offsets.get(pid, 0)
+        for pdf in batches:
+            cum = pdf[amount].cumsum().astype("int64") + total
+            total = int(cum.iloc[-1]) if len(cum) else total
+            pdf = pdf.assign(**{cum_col: cum})
+            yield pdf[pdf[cum_col] <= bud]
+            if total > bud:
+                return  # rest of this partition is past the budget
+
+    pruned = d.where(F.spark_partition_id() <= F.lit(max_pid))
+    return pruned.mapInPandas(kernel, schema)
