@@ -596,6 +596,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "event_type", "n_events", "n_users"))
     q["pipe_tumbling_window"] = pipe_tumbling_window
 
+    # hopping (sliding) window: 6-hour windows every hour — each event
+    # lands in 6 overlapping windows. Spark's window(slide=...) does
+    # the 6-way expansion inside the Expand operator (no self-join);
+    # the oracle makes the same expansion explicit with a lateral
+    # generate_series unnest. countDistinct is exact per window.
+    def events_sliding_window(spark, sf):
+        ev = _read(spark, sf, "events")
+        return (ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.countDistinct("user_id").alias("n_users"))
+                .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00")
+                        .alias("window_start"),
+                        "n_events", "n_users"))
+    q["events_sliding_window"] = events_sliding_window
+
     # -- ordered-step funnel (operators/funnel.py): strict min-ts
     # chaining — step i needs an event strictly after the user's
     # earliest qualifying step-(i-1) event
@@ -807,6 +822,112 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .alias("o_orderdate_s"),
             (F.col("_q") * 100).cast("long").alias("qty_x100"))
     q["tpch_q18_large_orders"] = tpch_q18_large_orders
+
+    # TPC-H Q4 shape (EXISTS -> left-semi join): orders placed in 1997
+    # having at least one returned lineitem shipped in 1997, counted
+    # per priority. The semi join never duplicates orders no matter
+    # how many lineitems match.
+    def tpch_q4_priority_semijoin(spark, sf):
+        ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+        o = _read(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("o_orderdate") < ts("1998-01-01 00:00:00")))
+        li = _read(spark, sf, "lineitem").where(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1998-01-01 00:00:00")))
+        return (o.join(li, o["o_orderkey"] == li["l_orderkey"],
+                       "left_semi")
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+    q["tpch_q4_priority_semijoin"] = tpch_q4_priority_semijoin
+
+    # TPC-H Q13 shape (left outer join + two-level aggregate): how many
+    # customers placed exactly k orders since 2001? The LEFT join keeps
+    # zero-order customers, count(o_orderkey) counts only matches.
+    def tpch_q13_order_distribution(spark, sf):
+        cu = _read(spark, sf, "customer")
+        o = _read(spark, sf, "orders").where(
+            F.col("o_orderdate")
+            >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
+        per_cust = (cu.join(o, cu["c_custkey"] == o["o_custkey"], "left")
+                    .groupBy("c_custkey")
+                    .agg(F.count("o_orderkey").alias("c_count")))
+        return (per_cust.groupBy("c_count")
+                .agg(F.count(F.lit(1)).alias("custdist")))
+    q["tpch_q13_order_distribution"] = tpch_q13_order_distribution
+
+    # TPC-H Q16 flavor (NOT EXISTS -> left-anti join): parts with no
+    # sale since 2001, rolled up per brand. The anti side is itself a
+    # join (lineitem⨝orders date-restricted) — Catalyst prunes it to
+    # the two key columns before the anti join.
+    def tpch_parts_unsold_2001(spark, sf):
+        pa = _read(spark, sf, "part")
+        o = _read(spark, sf, "orders").where(
+            F.col("o_orderdate")
+            >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
+        li = _read(spark, sf, "lineitem")
+        sold = li.join(o, li["l_orderkey"] == o["o_orderkey"]) \
+                 .select("l_partkey")
+        return (pa.join(sold, pa["p_partkey"] == sold["l_partkey"],
+                        "left_anti")
+                .groupBy("p_brand")
+                .agg(F.count(F.lit(1)).alias("n_parts"),
+                     F.min(F.round(F.col("p_retailprice") * 100)
+                           .cast("long")).alias("min_price_cents"),
+                     F.max(F.round(F.col("p_retailprice") * 100)
+                           .cast("long")).alias("max_price_cents")))
+    q["tpch_parts_unsold_2001"] = tpch_parts_unsold_2001
+
+    # TPC-H Q19 shape (OR-of-ANDs across both join sides): disjunctive
+    # brand/size/quantity predicates that can't be pushed below the
+    # join as a whole — the plan keeps the part-side IN-list pushable
+    # while the mixed terms evaluate post-join.
+    def tpch_q19_or_predicates(spark, sf):
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        one = F.lit(1).cast("decimal(18,2)")
+        li = _read(spark, sf, "lineitem")
+        pa = _read(spark, sf, "part")
+        j = li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        cond = (
+            ((F.col("p_brand") == "Brand#12")
+             & F.col("p_size").between(1, 15)
+             & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#23")
+               & F.col("p_size").between(1, 25)
+               & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#34")
+               & F.col("p_size").between(1, 35)
+               & F.col("l_quantity").between(20, 30)))
+        return (j.where(cond)
+                .agg(F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+                      .cast("double").alias("revenue"),
+                     F.count(F.lit(1)).alias("n_items")))
+    q["tpch_q19_or_predicates"] = tpch_q19_or_predicates
+
+    # TPC-H Q22 shape (scalar subquery + anti join): customers richer
+    # than the positive-balance average with no order since 2001. The
+    # threshold is integer-exact (cents, decimal division, floor) so
+    # the filter can't flip on engine float rounding; the single-row
+    # average broadcasts as a cross join.
+    def tpch_q22_dormant_customers(spark, sf):
+        cu = _read(spark, sf, "customer").withColumn(
+            "_cents", F.round(F.col("c_acctbal") * 100).cast("long"))
+        thr = (cu.where(F.col("_cents") > 0)
+               .agg(F.floor(F.sum(F.col("_cents").cast("decimal(38,6)"))
+                            / F.count(F.lit(1)))
+                    .cast("long").alias("_thr")))
+        o = _read(spark, sf, "orders").where(
+            F.col("o_orderdate")
+            >= F.lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
+        dormant = (cu.crossJoin(F.broadcast(thr))
+                   .where(F.col("_cents") > F.col("_thr"))
+                   .join(o, cu["c_custkey"] == o["o_custkey"],
+                         "left_anti"))
+        return (dormant.groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_custs"),
+                     F.sum("_cents").alias("sum_cents")))
+    q["tpch_q22_dormant_customers"] = tpch_q22_dormant_customers
 
     def tpch_q3_top_revenue(spark, sf):
         cu = _read(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -1475,6 +1596,18 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2"""
 
+    o["events_sliding_window"] = """
+WITH hits AS (
+  SELECT e.user_id, w
+  FROM events e,
+       unnest(generate_series(date_trunc('hour', e.ts) - INTERVAL 5 HOUR,
+                              date_trunc('hour', e.ts),
+                              INTERVAL 1 HOUR)) AS g(w))
+SELECT strftime(w, '%Y-%m-%d %H:00') AS window_start,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM hits GROUP BY 1"""
+
     o["tpch_q1_pricing"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1525,6 +1658,68 @@ SELECT c_name, c_custkey, o_orderkey,
        CAST(q * 100 AS BIGINT) AS qty_x100
 FROM big JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey"""
+
+    o["tpch_q4_priority_semijoin"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_returnflag = 'R'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01')
+GROUP BY o_orderpriority"""
+
+    o["tpch_q13_order_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey
+   AND o_orderdate >= TIMESTAMP '2001-01-01'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count"""
+
+    o["tpch_parts_unsold_2001"] = """
+SELECT p_brand, count(*) AS n_parts,
+       CAST(min(round(p_retailprice * 100)) AS BIGINT) AS min_price_cents,
+       CAST(max(round(p_retailprice * 100)) AS BIGINT) AS max_price_cents
+FROM part
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_partkey = p_partkey
+    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY p_brand"""
+
+    o["tpch_q19_or_predicates"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)"""
+
+    o["tpch_q22_dormant_customers"] = """
+WITH cents AS (SELECT c_custkey, c_mktsegment,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS c_cents
+               FROM customer),
+thr AS (SELECT CAST(floor(sum(CAST(c_cents AS DECIMAL(38,6))) / count(*))
+               AS BIGINT) AS t
+        FROM cents WHERE c_cents > 0)
+SELECT c_mktsegment, count(*) AS n_custs,
+       CAST(sum(c_cents) AS BIGINT) AS sum_cents
+FROM cents, thr
+WHERE c_cents > thr.t
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_mktsegment"""
 
     o["agg_exact_quantiles"] = """
 SELECT event_type, quantile_cont(value, 0.5) AS p50,

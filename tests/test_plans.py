@@ -115,3 +115,40 @@ def test_q5_dims_broadcast_and_filter_pushdown(spark):
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
     assert "PushedFilters" in plan and "EqualTo(r_name,ASIA)" in plan, \
         plan[:2000]
+
+
+def test_q4_semi_join_no_duplication(spark):
+    plan = _plan(spark, "tpch_q4_priority_semijoin")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # both date filters reach the scans
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_parts_unsold_is_anti_join(spark):
+    plan = _plan(spark, "tpch_parts_unsold_2001")
+    assert "LeftAnti" in plan
+    # the anti side is pruned to keys before the join: lineitem scan
+    # must not read quantities/prices
+    li_reads = [ln for ln in plan.splitlines()
+                if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert li_reads and all("l_extendedprice" not in ln for ln in li_reads)
+
+
+def test_q19_broadcasts_part_and_prunes(spark):
+    plan = _plan(spark, "tpch_q19_or_predicates")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # lineitem scan reads only the join/predicate/measure columns
+    li_reads = [ln for ln in plan.splitlines()
+                if "ReadSchema" in ln and "l_partkey" in ln]
+    assert li_reads and all("l_shipdate" not in ln for ln in li_reads)
+
+
+def test_budget_head_has_no_global_window(spark):
+    # the distributed prefix sum must not degenerate into a
+    # single-partition window
+    plan = _plan(spark, "docs_token_budget")
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
