@@ -743,6 +743,55 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           for k in kinds]))
     q["events_type_pivot"] = events_type_pivot
 
+    # unpivot/melt round-trip: widen to the fixed per-type count
+    # columns, then melt back to long form. The oracle derives the
+    # SAME frame independently (user × kind grid with zero-filled
+    # counts) — proving pivot∘unpivot is the densified long form,
+    # not just a syntactic inverse.
+    def events_type_unpivot(spark, sf):
+        kinds = ["click", "error", "purchase", "signup", "view"]
+        wide = events_type_pivot(spark, sf)
+        return (wide.unpivot("user_id",
+                             [f"n_{k}" for k in kinds], "kind", "n")
+                .select("user_id",
+                        F.expr("substring(kind, 3)").alias("kind"),
+                        F.col("n").cast("long").alias("n")))
+    q["events_type_unpivot"] = events_type_unpivot
+
+    # regular-grid densification + LOCF (operators/timeseries.py):
+    # per-type hourly buckets over each type's own span, missing hours
+    # zero-count, last observed cents sum carried forward; -1 sentinel
+    # for the (empty) leading-null region keeps the output NULL-free
+    def events_hourly_gapfill(spark, sf):
+        from logging_spark.operators.timeseries import (gapfill_hourly,
+                                                        hourly_buckets,
+                                                        locf)
+        ev = _read(spark, sf, "events")
+        b = hourly_buckets(
+            ev, "event_type", "ts",
+            [F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("long"))
+              .alias("sum_cents")])
+        g = gapfill_hourly(b, "event_type", zero_cols=["n_events"])
+        g = locf(g, "event_type", "hour", "sum_cents", "cents_locf")
+        return g.select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.coalesce("cents_locf", F.lit(-1)).alias("cents_locf"))
+    q["events_hourly_gapfill"] = events_hourly_gapfill
+
+    # ntile bucketing: exact quartile assignment per type under a
+    # total order (value, event_id) — SQL-standard ceil distribution
+    # is engine-identical once the order is unambiguous
+    def events_value_ntile(spark, sf):
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value"), F.col("event_id"))
+        return (_read(spark, sf, "events")
+                .select("event_id", "event_type",
+                        F.ntile(4).over(w).alias("quartile")))
+    q["events_value_ntile"] = events_value_ntile
+
     # trailing 7-day per-user stats via a RANGE-frame window (the
     # windowing mode tumbling/session don't cover): one shuffle on
     # user_id, frame bounds in integer epoch-seconds so ties and
@@ -1595,6 +1644,45 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
        event_type, count(*) AS n_events,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2"""
+
+    o["events_type_unpivot"] = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+k AS (SELECT unnest(['click','error','purchase','signup','view']) AS kind)
+SELECT u.user_id, k.kind,
+       CAST(count(e.event_id) AS BIGINT) AS n
+FROM u CROSS JOIN k
+LEFT JOIN events e ON e.user_id = u.user_id AND e.event_type = k.kind
+GROUP BY u.user_id, k.kind"""
+
+    o["events_hourly_gapfill"] = """
+WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                      AS sum_cents
+           FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, min(h) AS lo, max(h) AS hi
+         FROM b GROUP BY 1),
+grid AS (SELECT s.event_type, g.h
+         FROM span s,
+              unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR))
+                  AS g(h)),
+j AS (SELECT grid.event_type, grid.h,
+             COALESCE(b.n_events, 0) AS n_events,
+             b.sum_cents
+      FROM grid LEFT JOIN b USING (event_type, h))
+SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
+       n_events,
+       COALESCE(last_value(sum_cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+           AS cents_locf
+FROM j"""
+
+    o["events_value_ntile"] = """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS INT) AS quartile
+FROM events"""
 
     o["events_sliding_window"] = """
 WITH hits AS (

@@ -1,0 +1,62 @@
+"""Regular-grid time-series operators: gap filling and LOCF.
+
+Log/metric series are sparse — hours with zero events simply have no
+row — but downstream consumers (rate alerting, charting, forecasting
+features) need a REGULAR grid. `gapfill_hourly` densifies each key's
+series over its own [min, max] hour span, and `locf` carries the last
+observation forward across the filled gaps (the standard monotone
+imputation for metrics like "last reported value").
+
+Scale shape: the grid is generated per key with sequence() + explode —
+a narrow flatMap whose output is (span_hours) rows per key, never a
+cross join against a global calendar dimension. The left join back to
+the observed buckets is an equi-join on (key, hour); LOCF is one
+window per key (a single hash partition + sort — same wide dep the
+per-key aggregate already paid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_buckets(df: DataFrame, key_col: str, ts_col: str,
+                   aggs: list[Column]) -> DataFrame:
+    """Observed (key, hour) buckets with the caller's aggregates."""
+    return (df.groupBy(F.col(key_col),
+                       F.date_trunc("hour", F.col(ts_col)).alias("hour"))
+            .agg(*aggs))
+
+
+def gapfill_hourly(buckets: DataFrame, key_col: str,
+                   zero_cols: list[str] | None = None) -> DataFrame:
+    """Densify per-key hourly buckets over each key's own span.
+
+    Missing hours appear with NULL aggregate columns, except
+    `zero_cols` which are coalesced to 0 (counts / sums where absence
+    means zero). Expects a `hour` timestamp column from
+    hourly_buckets.
+    """
+    grid = (buckets.groupBy(key_col)
+            .agg(F.min("hour").alias("_lo"), F.max("hour").alias("_hi"))
+            .select(key_col,
+                    F.explode(F.sequence(
+                        "_lo", "_hi", F.expr("INTERVAL 1 HOUR")))
+                    .alias("hour")))
+    out = grid.join(buckets, [key_col, "hour"], "left")
+    for c in zero_cols or []:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
+
+
+def locf(df: DataFrame, key_col: str, order_col: str, value_col: str,
+         out_col: str | None = None) -> Column | DataFrame:
+    """Last-observation-carried-forward within each key, in order.
+    Leading rows before the first observation stay NULL (there is
+    nothing to carry) — callers needing a dense column coalesce a
+    sentinel or seed value."""
+    w = (Window.partitionBy(key_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(out_col or f"{value_col}_locf",
+                         F.last(value_col, ignorenulls=True).over(w))

@@ -1,0 +1,54 @@
+"""gapfill_hourly + locf: regular-grid densification."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from logging_spark.operators.timeseries import (gapfill_hourly,
+                                                hourly_buckets, locf)
+
+
+def _events(spark):
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 10), 100),
+        ("a", datetime(2024, 1, 1, 0, 50), 50),
+        # hour 1 and 2 missing for a
+        ("a", datetime(2024, 1, 1, 3, 5), 70),
+        ("b", datetime(2024, 1, 1, 5, 0), 10),  # single-bucket key
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v long")
+
+
+def test_gapfill_densifies_each_key_span(spark):
+    b = hourly_buckets(_events(spark), "k", "ts",
+                       [F.count(F.lit(1)).alias("n"),
+                        F.sum("v").alias("s")])
+    g = gapfill_hourly(b, "k", zero_cols=["n"])
+    rows = {(r["k"], r["hour"].hour): (r["n"], r["s"])
+            for r in g.collect()}
+    # a spans hours 0..3 inclusive -> 4 rows; b exactly 1
+    assert len(rows) == 5
+    assert rows[("a", 0)] == (2, 150)
+    assert rows[("a", 1)] == (0, None)
+    assert rows[("a", 2)] == (0, None)
+    assert rows[("a", 3)] == (1, 70)
+    assert rows[("b", 5)] == (1, 10)
+
+
+def test_locf_carries_forward_within_key_only(spark):
+    b = hourly_buckets(_events(spark), "k", "ts",
+                       [F.sum("v").alias("s")])
+    g = locf(gapfill_hourly(b, "k"), "k", "hour", "s", "s_locf")
+    rows = {(r["k"], r["hour"].hour): r["s_locf"] for r in g.collect()}
+    assert rows[("a", 1)] == 150 and rows[("a", 2)] == 150
+    assert rows[("a", 3)] == 70
+    assert rows[("b", 5)] == 10
+
+
+def test_locf_leading_nulls_stay_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 5), ("a", 3, None)],
+        "k string, t long, v long")
+    out = {r["t"]: r["v_locf"]
+           for r in locf(df, "k", "t", "v").collect()}
+    assert out == {1: None, 2: 5, 3: 5}
