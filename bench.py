@@ -53,6 +53,12 @@ HEADLINE = [
     "events_incident_rollup",
     "events_cohort_retention",
     "text_heavy_tokens",
+    # round-3 late additions: passage dedup (explode+agg+rebuild),
+    # distributed prefix sum, hopping-window expand, OR-of-ANDs join
+    "docs_passage_dedup",
+    "docs_token_budget",
+    "events_sliding_window",
+    "tpch_q19_or_predicates",
 ]
 
 
