@@ -67,6 +67,7 @@ from logging_spark.operators.sample import (budget_head,
                                             mix_corpora, split_thresholds,
                                             HASH_SPACE)
 from logging_spark.operators.pack import pack_chunks
+from logging_spark.operators.pagerank import pagerank_integer
 from logging_spark.operators.passages import global_passage_dedup
 from logging_spark.operators.textdedup import (contamination_hits,
                                                decontaminate,
@@ -1213,6 +1214,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_keep_canonical"] = lambda spark, sf: keep_canonical(
         corpus_df(spark, sf), dedup_clusters_df(spark, sf)).select("doc_id")
 
+    # fixed-point integer PageRank over the same LSH pair graph
+    # (operators/pagerank.py): centrality inside near-dup families,
+    # 3 rounds, all-integer arithmetic so the oracle's unrolled
+    # iterations reproduce every rank bit-exactly
+    def docs_pagerank(spark, sf):
+        return (pagerank_integer(lsh_pairs_portable(spark, sf),
+                                 iterations=3)
+                .withColumnRenamed("node", "doc_id"))
+    q["docs_pagerank"] = docs_pagerank
+
     # -- deterministic sampling / splitting / mixing ------------------------
     # integer-exact md5 thresholds (operators/sample.py): membership is
     # a pure function of (seed, id), reproducible on any engine
@@ -2230,6 +2241,35 @@ losers AS (
   HAVING least(node, min(r)) <> node)
 SELECT doc_id FROM corpus
 WHERE doc_id NOT IN (SELECT node FROM losers)"""
+
+    # unrolled 3-iteration integer PageRank over the same pair graph;
+    # `//` (DuckDB) and `div` (Spark) are both exact integer division
+    # on the all-positive ranks, so every intermediate is identical
+    _pr_rounds = ""
+    _prev = "r0"
+    for _t in (1, 2, 3):
+        _pr_rounds += f""",
+m{_t} AS (SELECT und.d AS node, sum({_prev}.pr // deg.deg) AS sc
+         FROM und JOIN {_prev} ON und.s = {_prev}.node
+                  JOIN deg ON und.s = deg.s
+         GROUP BY 1),
+r{_t} AS (SELECT node,
+                CAST(150000 + ((85 * sc) // 100) AS BIGINT) AS pr
+         FROM m{_t})"""
+        _prev = f"r{_t}"
+    # AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs by
+    # default — und/deg feed 2 joins per unrolled round, so without
+    # materialization the banded LSH self-join re-runs ~8x (53 s vs
+    # 0.8 s at sf0.001, measured)
+    o["docs_pagerank"] = f"""WITH {_lsh_ctes},
+pairs AS MATERIALIZED ({_lsh_pairs}),
+und AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+deg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS deg
+                     FROM und GROUP BY 1),
+r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg){_pr_rounds}
+SELECT r3.node AS doc_id, r3.pr AS pr, deg.deg AS deg
+FROM r3 JOIN deg ON r3.node = deg.s"""
 
     # the full cleaning chain: quality -> exact dedup -> LSH clusters
     # over the SURVIVORS -> keep canonical -> lang/tokens/redacted-fp
