@@ -51,7 +51,7 @@ def gapfill_hourly(buckets: DataFrame, key_col: str,
 
 
 def locf(df: DataFrame, key_col: str, order_col: str, value_col: str,
-         out_col: str | None = None) -> Column | DataFrame:
+         out_col: str | None = None) -> DataFrame:
     """Last-observation-carried-forward within each key, in order.
     Leading rows before the first observation stay NULL (there is
     nothing to carry) — callers needing a dense column coalesce a
