@@ -65,6 +65,7 @@ from logging_spark.operators.sample import (budget_head,
                                             deterministic_split, domain_cap,
                                             global_shuffle, hash60_sql,
                                             mix_corpora, split_thresholds,
+                                            stratified_balance,
                                             HASH_SPACE)
 from logging_spark.operators.pack import pack_chunks
 from logging_spark.operators.pagerank import pagerank_integer
@@ -1249,6 +1250,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(spark, sf, "documents"), domain_col="source", k=10,
         id_col="doc_id", seed="cap").select("doc_id", "source")
 
+    # class balance: every lang downsampled to the SMALLEST lang's
+    # count (data-derived cap, broadcast single-row min), deterministic
+    # md5 pick — one window shuffle, one tiny count agg
+    q["sample_stratified_balance"] = lambda spark, sf: stratified_balance(
+        _read(spark, sf, "documents"), group_col="lang",
+        id_col="doc_id", seed="bal").select("doc_id", "lang")
+
     # DSIR-style importance scores (operators/importance.py): target =
     # the src0 slice, background = the whole corpus; fixed-point
     # integer likelihood ratios so both engines agree bit-for-bit
@@ -2177,9 +2185,13 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1"""
     def _lsh_body(src: str) -> str:
         """sh/sigs/banded CTE chain over any (doc_id, text) source —
         the oracle twin of lsh_candidate_pairs' banded projection."""
-        return f"""sh AS (SELECT doc_id, {SHINGLES} AS sh
+        # AS MATERIALIZED: sigs references sh 8x (one per permutation)
+        # and banded_raw references sigs 4x — DuckDB inlines CTEs by
+        # default, re-running the shingle build per reference (the
+        # docs_pagerank lesson, measured 53 s -> 0.8 s there)
+        return f"""sh AS MATERIALIZED (SELECT doc_id, {SHINGLES} AS sh
        FROM (SELECT doc_id, {TOKS} AS toks FROM {src})),
-sigs AS (SELECT doc_id, [
+sigs AS MATERIALIZED (SELECT doc_id, [
     {sig_entries}] AS sig FROM sh),
 banded_raw AS (
 {band_rows}),
@@ -2410,6 +2422,14 @@ SELECT doc_id, source FROM documents
 QUALIFY row_number() OVER (
   PARTITION BY source
   ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) <= 10"""
+
+    o["sample_stratified_balance"] = """
+WITH k AS (SELECT min(n) AS k FROM (
+             SELECT count(*) AS n FROM documents GROUP BY lang))
+SELECT doc_id, lang FROM documents, k
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id) <= k.k"""
 
     # independent plan again: Spark joins a broadcast weight table onto
     # the gram stream; the oracle computes everything through one

@@ -221,3 +221,35 @@ def budget_head(df: DataFrame, amount_col: str, order_cols: list,
 
     pruned = d.where(F.spark_partition_id() <= F.lit(max_pid))
     return pruned.mapInPandas(kernel, schema)
+
+
+def stratified_balance(df: DataFrame, group_col: str,
+                       id_col: str = "doc_id", seed: str = "s",
+                       k: int | None = None) -> DataFrame:
+    """Equalize class sizes: keep at most k rows per group (default:
+    the SMALLEST group's size, i.e. perfect balance) picked by the
+    deterministic md5 rank — the classifier-training counterpart of
+    domain_cap, where the cap is data-derived instead of fixed.
+
+    Scale shape: one tiny per-group count aggregate (|groups| rows,
+    broadcast back as a single min scalar when k is data-derived) +
+    one window shuffle on the group key. Same mega-group caveat as
+    domain_cap: pre-thin with deterministic_sample if one class
+    outgrows an executor's sort.
+    """
+    from pyspark.sql import Window
+
+    if k is None:
+        kcol = (df.groupBy(group_col)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(F.min("_n").alias("_k")))
+        out = df.crossJoin(F.broadcast(kcol))
+    else:
+        out = df.withColumn("_k", F.lit(int(k)))
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat_ws(":", F.lit(seed),
+                          F.col(id_col).cast("string"))),
+        F.col(id_col))
+    return (out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= F.col("_k"))
+            .drop("_rn", "_k"))

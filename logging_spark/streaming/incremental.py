@@ -138,6 +138,28 @@ def streaming_tumbling_counts(turns: DataFrame,
     )
 
 
+def streaming_sliding_counts(turns: DataFrame,
+                             window: str = "30 minutes",
+                             slide: str = "10 minutes",
+                             watermark: str = "1 hour") -> DataFrame:
+    """Hopping-window per-role counts — the streaming twin of the
+    batch `events_sliding_window` contract query. Each event lands in
+    window/slide overlapping windows; Spark's Expand does the fan-out
+    inside the stateful aggregate, so state is (windows-in-horizon x
+    overlap x roles) rows — still watermark-bounded, just `overlap`
+    times the tumbling footprint. Append mode emits each window once,
+    final, when the watermark passes its end."""
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"),
+                 F.col("role"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "role", "n_turns")
+    )
+
+
 def run_incremental(
     spark: SparkSession,
     input_dir: str,

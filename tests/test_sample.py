@@ -123,3 +123,35 @@ def test_importance_scores_rank_target_like_docs(spark):
                                buckets=512).collect()}
     assert {d: rows2[d]["score"] for d in rows2} == \
            {d: rows[d]["score"] for d in rows}
+
+
+def test_stratified_balance_equalizes_to_min_class(spark):
+    from logging_spark.operators.sample import stratified_balance
+    rows = ([(i, "big") for i in range(20)]
+            + [(100 + i, "mid") for i in range(7)]
+            + [(200 + i, "small") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_balance(df, "lang", seed="x")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 3, "mid": 3, "small": 3}
+    # deterministic: same seed -> same membership, any partitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               stratified_balance(df.repartition(7), "lang",
+                                  seed="x").collect())
+    assert a == b
+    # different seed -> (almost surely) different big-class pick
+    c = sorted(r["doc_id"] for r in
+               stratified_balance(df, "lang", seed="y").collect())
+    assert a != c
+
+
+def test_stratified_balance_fixed_k(spark):
+    from logging_spark.operators.sample import stratified_balance
+    rows = [(i, "a") for i in range(10)] + [(50 + i, "b") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_balance(df, "lang", seed="x", k=5)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 5, "b": 2}  # k caps, short groups untouched

@@ -225,3 +225,55 @@ def test_streaming_tumbling_counts_watermark(spark, tmp_path):
     # the final 13:00 window can never close (the watermark never
     # passes the max event time): absent from append output
     assert not any(ws == "2024-01-01 13:00:00" for (ws, _r) in got)
+
+
+def test_streaming_sliding_counts_match_batch(spark, tmp_path):
+    """Hopping-window streaming agg is row-identical to the batch
+    F.window(slide=...) over the same data, for every window the
+    watermark closed. A +2h sentinel row advances the watermark past
+    all real windows; its own (never-closable) windows are the only
+    rows append mode withholds."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from logging_spark.streaming.incremental import (
+        read_turns_stream, streaming_sliding_counts)
+
+    inp = str(tmp_path / "in_slide")
+    os.makedirs(inp)
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    rows = [
+        ("c1", 1, "user", "t", None, datetime(2024, 1, 1, 10, 1)),
+        ("c1", 2, "assistant", "t", None, datetime(2024, 1, 1, 10, 5)),
+        ("c2", 1, "user", "t", None, datetime(2024, 1, 1, 10, 11)),
+        ("c2", 2, "user", "t", None, datetime(2024, 1, 1, 10, 21)),
+        ("c3", 1, "assistant", "t", None, datetime(2024, 1, 1, 10, 25)),
+        ("cz", 1, "user", "t", None, datetime(2024, 1, 1, 13, 0)),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("append").parquet(inp)
+
+    stream = read_turns_stream(spark, inp, max_files_per_trigger=1)
+    agg = streaming_sliding_counts(stream, window="20 minutes",
+                                   slide="10 minutes",
+                                   watermark="10 minutes")
+    q = (agg.writeStream.format("memory").queryName("slide")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(str(r["window_start"]), r["role"]): r["n_turns"]
+           for r in spark.sql("select * from slide").collect()}
+
+    wm_final = datetime(2024, 1, 1, 12, 50)  # max ts - 10m watermark
+    batch = (df.groupBy(F.window("ts", "20 minutes", "10 minutes")
+                        .alias("win"), "role")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .where(F.col("win.end") <= F.lit(wm_final)))
+    want = {(str(r["win"]["start"]), r["role"]): r["n"]
+            for r in batch.collect()}
+
+    assert got == want
+    # sanity: overlap means the 10:01 row shows up in two windows
+    assert ("2024-01-01 09:50:00", "user") in got
+    assert ("2024-01-01 10:00:00", "user") in got
