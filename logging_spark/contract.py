@@ -995,6 +995,136 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rev.orderBy(F.col("revenue").desc(), "o_orderkey").limit(10)
     q["tpch_q3_top_revenue"] = tpch_q3_top_revenue
 
+    # TPC-H Q7 shape (volume shipping between nation pairs): the fact
+    # table reaches TWO copies of the nation dim through different
+    # paths (supplier side, customer side). Nation/supplier broadcast;
+    # the nation restriction is applied to the integer keys BEFORE the
+    # joins so only matching suppliers/customers ever shuffle.
+    def tpch_q7_nation_volume(spark, sf):
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        one = F.lit(1).cast("decimal(18,2)")
+        ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+        li = _read(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= ts("1999-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("2001-01-01 00:00:00")))
+        su = _read(spark, sf, "supplier").where(
+            F.col("s_nationkey").isin(1, 2))
+        cu = _read(spark, sf, "customer").where(
+            F.col("c_nationkey").isin(3, 4))
+        o = _read(spark, sf, "orders")
+        n1 = _read(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("_snk"),
+            F.col("n_name").alias("supp_nation"))
+        n2 = _read(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("_cnk"),
+            F.col("n_name").alias("cust_nation"))
+        j = (li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+             .join(o, li["l_orderkey"] == o["o_orderkey"])
+             .join(cu, o["o_custkey"] == cu["c_custkey"])
+             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_snk"))
+             .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cnk")))
+        return (j.groupBy("supp_nation", "cust_nation",
+                          F.year("l_shipdate").alias("l_year"))
+                .agg(F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+                      .cast("double").alias("revenue"),
+                     F.count(F.lit(1)).alias("n_items")))
+    q["tpch_q7_nation_volume"] = tpch_q7_nation_volume
+
+    # TPC-H Q10 shape (returned-item revenue ranking): 3-way join,
+    # per-customer decimal-exact revenue surfaced as x10000 longs so
+    # the ordered top-20 ties deterministically on (revenue, custkey).
+    def tpch_q10_returned_revenue(spark, sf):
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        one = F.lit(1).cast("decimal(18,2)")
+        ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+        li = _read(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+        o = _read(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= ts("1999-01-01 00:00:00"))
+            & (F.col("o_orderdate") < ts("1999-07-01 00:00:00")))
+        cu = _read(spark, sf, "customer")
+        j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .join(cu, o["o_custkey"] == cu["c_custkey"]))
+        rev = (j.groupBy("c_custkey", "c_name")
+               .agg((F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+                     * 10000).cast("long").alias("rev_x10000"),
+                    F.count(F.lit(1)).alias("n_items")))
+        return rev.orderBy(F.col("rev_x10000").desc(), "c_custkey").limit(20)
+    q["tpch_q10_returned_revenue"] = tpch_q10_returned_revenue
+
+    # TPC-H Q14 shape (promo revenue share): conditional aggregate over
+    # a broadcast dim join, ratio in integer basis points (x10000-cent
+    # longs, integral DIV) so no engine's decimal-division rounding can
+    # flip the result.
+    def tpch_q14_promo_share(spark, sf):
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        one = F.lit(1).cast("decimal(18,2)")
+        ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+        li = _read(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= ts("2000-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("2000-04-01 00:00:00")))
+        pa = _read(spark, sf, "part")
+        j = li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        rev = dec("l_extendedprice") * (one - dec("l_discount"))
+        sums = j.agg(
+            (F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                   .otherwise(F.lit(0).cast("decimal(18,2)"))) * 10000)
+            .cast("long").alias("promo_x10000"),
+            (F.sum(rev) * 10000).cast("long").alias("total_x10000"),
+            F.count(F.lit(1)).alias("n_items"))
+        return sums.withColumn(
+            "promo_share_bps",
+            F.expr("CAST((promo_x10000 * 10000) DIV total_x10000 AS BIGINT)"))
+    q["tpch_q14_promo_share"] = tpch_q14_promo_share
+
+    # TPC-H Q17 shape (correlated avg subquery -> groupBy + join-back):
+    # revenue from small-quantity lineitems, where "small" is relative
+    # to the part's own average quantity. The avg comparison is done
+    # integer-exact by cross-multiplying (5*qty*cnt < sum_qty) instead
+    # of dividing.
+    def tpch_q17_small_qty_revenue(spark, sf):
+        li = _read(spark, sf, "lineitem").withColumn(
+            "_qty", F.floor("l_quantity").cast("long"))
+        pa = _read(spark, sf, "part").where(
+            F.col("p_brand").isin("Brand#12", "Brand#23"))
+        lib = li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        stats = (lib.groupBy(F.col("l_partkey").alias("_pk"))
+                 .agg(F.sum("_qty").alias("_sum_q"),
+                      F.count(F.lit(1)).alias("_cnt")))
+        small = (lib.join(stats, lib["l_partkey"] == stats["_pk"])
+                 .where(F.col("_qty") * F.col("_cnt") * 5 < F.col("_sum_q")))
+        return (small.groupBy("p_brand")
+                .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                      * 100).cast("long").alias("total_cents"),
+                     F.count(F.lit(1)).alias("n_items")))
+    q["tpch_q17_small_qty_revenue"] = tpch_q17_small_qty_revenue
+
+    # TPC-H Q21 shape (EXISTS + NOT EXISTS on the same fact): suppliers
+    # who were the ONLY supplier with a returned line on a multi-
+    # supplier order. One distinct pair frame feeds a left-semi (some
+    # other supplier shipped the order) and a left-anti (no other
+    # supplier had a return) — both non-equi on the supplier key.
+    def tpch_q21_lone_fault_supplier(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        pairs = li.select("l_orderkey", "l_suppkey").distinct()
+        ret = (li.where(F.col("l_returnflag") == "R")
+               .select("l_orderkey", "l_suppkey").distinct())
+        other = pairs.select(F.col("l_orderkey").alias("_ok"),
+                             F.col("l_suppkey").alias("_sk"))
+        multi = ret.join(
+            other, (ret["l_orderkey"] == other["_ok"])
+            & (ret["l_suppkey"] != other["_sk"]), "left_semi")
+        oret = ret.select(F.col("l_orderkey").alias("_rok"),
+                          F.col("l_suppkey").alias("_rsk"))
+        lone = multi.join(
+            oret, (multi["l_orderkey"] == oret["_rok"])
+            & (multi["l_suppkey"] != oret["_rsk"]), "left_anti")
+        su = _read(spark, sf, "supplier")
+        return (lone.join(F.broadcast(su),
+                          lone["l_suppkey"] == su["s_suppkey"])
+                .groupBy("s_name")
+                .agg(F.count(F.lit(1)).alias("numwait")))
+    q["tpch_q21_lone_fault_supplier"] = tpch_q21_lone_fault_supplier
+
     def agg_exact_quantiles(spark, sf):
         # percentile() (exact, interpolated) matches DuckDB's
         # quantile_cont bitwise — verified, no rounding needed
@@ -1827,6 +1957,92 @@ WHERE c_cents > thr.t
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2001-01-01')
 GROUP BY c_mktsegment"""
+
+    o["tpch_q7_nation_volume"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_shipdate <  TIMESTAMP '2001-01-01'
+  AND s_nationkey IN (1, 2) AND c_nationkey IN (3, 4)
+GROUP BY 1, 2, 3"""
+
+    o["tpch_q10_returned_revenue"] = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            * 10000 AS BIGINT) AS rev_x10000,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1999-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-07-01'
+GROUP BY c_custkey, c_name
+ORDER BY rev_x10000 DESC, c_custkey
+LIMIT 20"""
+
+    o["tpch_q14_promo_share"] = """
+WITH sums AS (
+  SELECT
+    CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT)
+      AS promo_x10000,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+         * 10000 AS BIGINT) AS total_x10000,
+    count(*) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+    AND l_shipdate <  TIMESTAMP '2000-04-01')
+SELECT promo_x10000, total_x10000, n_items,
+       CAST((promo_x10000 * 10000) // total_x10000 AS BIGINT)
+         AS promo_share_bps
+FROM sums"""
+
+    o["tpch_q17_small_qty_revenue"] = """
+WITH lib AS (
+  SELECT l_partkey, p_brand, l_extendedprice,
+         CAST(floor(l_quantity) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN ('Brand#12', 'Brand#23')),
+stats AS (
+  SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS sum_q,
+         count(*) AS cnt
+  FROM lib GROUP BY 1)
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS total_cents,
+       count(*) AS n_items
+FROM lib JOIN stats ON l_partkey = pk
+WHERE qty * cnt * 5 < sum_q
+GROUP BY p_brand"""
+
+    o["tpch_q21_lone_fault_supplier"] = """
+WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+ret AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_returnflag = 'R')
+SELECT s_name, count(*) AS numwait
+FROM ret r JOIN supplier ON r.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM pairs p
+              WHERE p.l_orderkey = r.l_orderkey
+                AND p.l_suppkey <> r.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM ret r2
+                  WHERE r2.l_orderkey = r.l_orderkey
+                    AND r2.l_suppkey <> r.l_suppkey)
+GROUP BY s_name"""
 
     o["agg_exact_quantiles"] = """
 SELECT event_type, quantile_cont(value, 0.5) AS p50,
