@@ -57,6 +57,8 @@ from logging_spark.operators.anomaly import spike_flags
 from logging_spark.operators.profile import profile_columns
 from logging_spark.operators.sequence import sequence_pattern_matches
 from logging_spark.operators.cohort import cohort_retention
+from logging_spark.operators.scd import scd2
+from logging_spark.operators.diff import snapshot_diff
 from logging_spark.operators.heavy import heavy_hitters
 from logging_spark.operators.repetition import repetition_signals
 from logging_spark.operators.tfidf import tfidf_topk
@@ -691,6 +693,36 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.col("_next").alias("to_type"))
                 .agg(F.count(F.lit(1)).alias("n")))
     q["events_transitions"] = events_transitions
+
+    # -- SCD2 history (operators/scd.py): each user's event_type as a
+    # tracked attribute — consecutive duplicates collapse, every change
+    # opens a [valid_from, valid_to) microsecond interval, the last
+    # interval stays open (sentinel -1, is_current=1). Both window
+    # passes reuse one (user_id, ts) sort.
+    def events_scd2(spark, sf):
+        ev = _read(spark, sf, "events")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        return scd2(ev, key="user_id", attr="event_type", ts=us,
+                    tiebreak=["event_id"])
+    q["events_scd2"] = events_scd2
+
+    # -- snapshot diff / CDC (operators/diff.py): per-user activity
+    # stats at two as-of dates, keyed full-outer hash diff. Monotone
+    # event log => no 'removed' rows; 'added' = first-seen users,
+    # 'changed' = users active between the two as-of points.
+    def events_snapshot_diff(spark, sf):
+        ev = _read(spark, sf, "events")
+
+        def snap(until: str) -> DataFrame:
+            return (ev.where(F.col("ts") < F.lit(until).cast("timestamp_ntz"))
+                    .groupBy("user_id")
+                    .agg(F.count(F.lit(1)).alias("n_events"),
+                         F.sum(F.round(F.col("value") * 100).cast("long"))
+                          .alias("sum_cents")))
+        return snapshot_diff(
+            snap("2024-01-20 00:00:00"), snap("2024-01-28 00:00:00"),
+            keys=["user_id"], compare=["n_events", "sum_cents"])
+    q["events_snapshot_diff"] = events_snapshot_diff
 
     # -- column profiling (operators/profile.py): the per-snapshot
     # data-quality audit — one Expand pass, every null + distinct count
@@ -2096,6 +2128,49 @@ WITH s AS (SELECT event_type,
            FROM events)
 SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
 FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"""
+
+    o["events_scd2"] = """
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+chg AS (
+  SELECT user_id, event_type, us FROM ordered
+  WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type, us AS valid_from,
+       coalesce(lead(us) OVER w, -1) AS valid_to,
+       CAST(row_number() OVER w AS INT) AS version,
+       CAST(CASE WHEN lead(us) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_type)"""
+
+    o["events_snapshot_diff"] = """
+WITH snap_a AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id),
+snap_b AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events WHERE ts < TIMESTAMP '2024-01-28' GROUP BY user_id),
+hashed AS (
+  SELECT a.user_id AS ok, b.user_id AS nk,
+         md5(concat_ws(chr(31), coalesce(CAST(a.n_events AS VARCHAR), ''),
+                       coalesce(CAST(a.sum_cents AS VARCHAR), ''))) AS oh,
+         md5(concat_ws(chr(31), coalesce(CAST(b.n_events AS VARCHAR), ''),
+                       coalesce(CAST(b.sum_cents AS VARCHAR), ''))) AS nh
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.user_id = b.user_id)
+SELECT coalesce(ok, nk) AS user_id,
+       CASE WHEN ok IS NULL THEN 'added'
+            WHEN nk IS NULL THEN 'removed'
+            WHEN oh <> nh THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       coalesce(CASE WHEN ok IS NULL THEN NULL ELSE oh END, '') AS old_hash,
+       coalesce(CASE WHEN nk IS NULL THEN NULL ELSE nh END, '') AS new_hash
+FROM hashed
+WHERE NOT (ok IS NOT NULL AND nk IS NOT NULL AND oh = nh)"""
 
     o["events_profile"] = """
 SELECT col_name, n_rows, n_null, n_distinct FROM (

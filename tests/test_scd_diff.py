@@ -1,0 +1,80 @@
+"""Edge cases for operators/scd.py and operators/diff.py the parquet
+fixture can't exercise: consecutive-duplicate collapse, single-state
+keys, 'removed' diff rows, and unchanged-row suppression."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from logging_spark.operators.diff import snapshot_diff  # noqa: E402
+from logging_spark.operators.scd import OPEN_SENTINEL, scd2  # noqa: E402
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, "k string, state string, us long")
+
+
+def test_scd2_collapses_consecutive_duplicates(spark):
+    log = _log(spark, [
+        ("a", "up", 10), ("a", "up", 20), ("a", "down", 30),
+        ("a", "down", 40), ("a", "up", 50),
+    ])
+    out = scd2(log, key="k", attr="state", ts=F.col("us")).collect()
+    ivs = sorted([(r.state, r.valid_from, r.valid_to, r.version,
+                   r.is_current) for r in out])
+    assert ivs == [
+        ("down", 30, 50, 2, 0),
+        ("up", 10, 30, 1, 0),
+        ("up", 50, OPEN_SENTINEL, 3, 1),
+    ]
+
+
+def test_scd2_single_state_key_is_one_open_interval(spark):
+    log = _log(spark, [("b", "steady", 5), ("b", "steady", 99)])
+    out = scd2(log, key="k", attr="state", ts=F.col("us")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.valid_from, r.valid_to, r.version, r.is_current) == (
+        5, OPEN_SENTINEL, 1, 1)
+
+
+def test_scd2_intervals_tile_per_key(spark):
+    log = _log(spark, [
+        ("c", "x", 1), ("c", "y", 2), ("c", "z", 3), ("d", "x", 7),
+    ])
+    out = scd2(log, key="k", attr="state", ts=F.col("us"))
+    rows = sorted(out.where(F.col("k") == "c").collect(),
+                  key=lambda r: r.version)
+    # each interval's valid_to is the next interval's valid_from
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.valid_to == nxt.valid_from
+    assert rows[-1].valid_to == OPEN_SENTINEL
+    assert sum(r.is_current for r in rows) == 1
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long")
+
+
+def test_snapshot_diff_all_statuses(spark):
+    old = _snap(spark, [(1, 10), (2, 20), (3, 30)])
+    new = _snap(spark, [(2, 21), (3, 30), (4, 40)])
+    out = {r.k: r for r in snapshot_diff(
+        old, new, keys=["k"], compare=["v"]).collect()}
+    assert out[1].status == "removed" and out[1].new_hash == ""
+    assert out[2].status == "changed"
+    assert out[2].old_hash != out[2].new_hash
+    assert out[4].status == "added" and out[4].old_hash == ""
+    assert 3 not in out  # unchanged suppressed by default
+
+
+def test_snapshot_diff_keep_unchanged(spark):
+    old = _snap(spark, [(1, 10)])
+    new = _snap(spark, [(1, 10)])
+    out = snapshot_diff(old, new, keys=["k"], compare=["v"],
+                        keep_unchanged=True).collect()
+    assert len(out) == 1 and out[0].status == "unchanged"
+    assert out[0].old_hash == out[0].new_hash != ""
