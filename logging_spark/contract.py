@@ -59,6 +59,8 @@ from logging_spark.operators.sequence import sequence_pattern_matches
 from logging_spark.operators.cohort import cohort_retention
 from logging_spark.operators.scd import scd2
 from logging_spark.operators.diff import snapshot_diff
+from logging_spark.operators.dq import dq_checks, table_fingerprint
+from logging_spark.operators.winsorize import winsorized_stats
 from logging_spark.operators.heavy import heavy_hitters
 from logging_spark.operators.repetition import repetition_signals
 from logging_spark.operators.tfidf import tfidf_topk
@@ -723,6 +725,46 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             snap("2024-01-20 00:00:00"), snap("2024-01-28 00:00:00"),
             keys=["user_id"], compare=["n_events", "sum_cents"])
     q["events_snapshot_diff"] = events_snapshot_diff
+
+    # -- data-quality expectations (operators/dq.py): one row per
+    # check; all row-local checks share a single aggregate pass, the
+    # uniqueness check shuffles keys only, the FK check is an anti
+    # join against the pruned orders key. The 0.05 discount ceiling is
+    # deliberately tight so n_violations is non-zero.
+    def dq_lineitem_checks(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        o = _read(spark, sf, "orders")
+        return dq_checks(
+            li,
+            not_null=["l_orderkey", "l_quantity"],
+            ranges={"l_discount": (0.0, 0.05), "l_quantity": (1.0, 50.0)},
+            accepted={"l_returnflag": ["A", "N", "R"]},
+            unique=[["l_orderkey", "l_linenumber"]],
+            foreign_keys=[("l_orderkey", o, "o_orderkey")])
+    q["dq_lineitem_checks"] = dq_lineitem_checks
+
+    # -- winsorized aggregation (operators/winsorize.py): per-type
+    # exact-percentile clip bounds broadcast back onto the facts;
+    # integer-cent sums so no double-summation drift.
+    def events_winsorized(spark, sf):
+        return winsorized_stats(_read(spark, sf, "events"),
+                                value="value", group="event_type",
+                                lo_p=0.05, hi_p=0.95)
+    q["events_winsorized"] = events_winsorized
+
+    # -- table fingerprint (operators/dq.py): commutative bit_xor of
+    # 60-bit md5 row hashes per returnflag — the cross-run content
+    # checksum. Canonicalization is integer-exact (cents / floored
+    # quantities), never raw doubles.
+    def audit_fingerprint(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        return table_fingerprint(
+            li,
+            cols=[F.col("l_orderkey"), F.col("l_linenumber"),
+                  F.floor("l_quantity").cast("long"),
+                  F.round(F.col("l_extendedprice") * 100).cast("long")],
+            group_by=["l_returnflag"])
+    q["audit_fingerprint"] = audit_fingerprint
 
     # -- column profiling (operators/profile.py): the per-snapshot
     # data-quality audit — one Expand pass, every null + distinct count
@@ -2171,6 +2213,79 @@ SELECT coalesce(ok, nk) AS user_id,
        coalesce(CASE WHEN nk IS NULL THEN NULL ELSE nh END, '') AS new_hash
 FROM hashed
 WHERE NOT (ok IS NOT NULL AND nk IS NOT NULL AND oh = nh)"""
+
+    o["dq_lineitem_checks"] = """
+WITH raw AS (
+  SELECT 'not_null:l_orderkey' AS check_name, count(*) AS n_checked,
+         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'not_null:l_quantity', count(*),
+         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'range:l_discount', count(*),
+         CAST(sum(CASE WHEN l_discount IS NOT NULL
+                        AND (l_discount < 0.0 OR l_discount > 0.05)
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'range:l_quantity', count(*),
+         CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                        AND (l_quantity < 1.0 OR l_quantity > 50.0)
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'accepted:l_returnflag', count(*),
+         CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                        AND l_returnflag NOT IN ('A', 'N', 'R')
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'unique:l_orderkey,l_linenumber',
+         CAST(sum(c) AS BIGINT), CAST(sum(c - 1) AS BIGINT)
+  FROM (SELECT count(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+  UNION ALL
+  SELECT 'fk:l_orderkey->o_orderkey',
+         count(*),
+         CAST(sum(CASE WHEN NOT EXISTS
+                       (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem WHERE l_orderkey IS NOT NULL)
+SELECT check_name, n_checked, n_violations,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM raw"""
+
+    o["events_winsorized"] = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       CAST(sum(CAST(round(least(greatest(value, lo), hi) * 100) AS BIGINT))
+            AS BIGINT) AS sum_cents_winsorized,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       count(*) AS n
+FROM events e JOIN b USING (event_type)
+WHERE value IS NOT NULL
+GROUP BY e.event_type"""
+
+    _fp_row = ("concat_ws(chr(31), coalesce(CAST(l_orderkey AS VARCHAR), ''),"
+               " coalesce(CAST(l_linenumber AS VARCHAR), ''),"
+               " coalesce(CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR), ''),"
+               " coalesce(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+               " AS VARCHAR), ''))")
+    o["audit_fingerprint"] = f"""
+SELECT l_returnflag,
+       bit_xor({hash60_sql(_fp_row, 'fp')}) AS fingerprint,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag"""
 
     o["events_profile"] = """
 SELECT col_name, n_rows, n_null, n_distinct FROM (

@@ -1,0 +1,145 @@
+"""Declarative data-quality expectations + order-insensitive table
+fingerprints.
+
+A pipeline that commits per-sink tables (plans/job.py) needs an audit
+surface: assert schema-level invariants on every snapshot and produce
+a cheap content fingerprint that downstream consumers can compare
+across runs without re-reading the data.
+
+`dq_checks` evaluates a declarative check set and returns ONE ROW PER
+CHECK (check_name, n_checked, n_violations, passed):
+
+- all row-local checks (not_null / range / accepted values) fold into
+  a SINGLE aggregate pass over the table — adding a check adds one
+  conditional-sum expression, never a scan;
+- uniqueness is a groupBy on the key with sum(count-1) — one shuffle
+  of the key columns only;
+- foreign keys are a left-anti join against the (column-pruned)
+  dimension key — broadcast when the dim is small.
+
+`table_fingerprint` is a commutative checksum: bit_xor over 60-bit
+md5 row hashes (+ row count). XOR is order- and partitioning-
+insensitive, never overflows, and streams through a map-side partial
+aggregate — at 100 TB the exchange carries one long per partition per
+group. The same construction runs in DuckDB (hash60_sql + bit_xor),
+so fingerprints are engine-portable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logging_spark.operators.sample import hash60
+
+_SEP = chr(31)
+
+_SCHEMA = ("check_name", "n_checked", "n_violations", "passed")
+
+
+def _finish(df: DataFrame) -> DataFrame:
+    return df.select(
+        "check_name",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.when(F.col("n_violations") == 0, F.lit(1)).otherwise(F.lit(0))
+         .cast("int").alias("passed"))
+
+
+def dq_checks(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    ranges: dict[str, tuple[float, float]] | None = None,
+    accepted: dict[str, Sequence[str]] | None = None,
+    unique: Sequence[Sequence[str]] = (),
+    foreign_keys: Sequence[tuple[str, DataFrame, str]] = (),
+) -> DataFrame:
+    """Evaluate expectations; one output row per check.
+
+    ``ranges`` bounds are inclusive; NULLs never violate a range or
+    accepted-values check (declare ``not_null`` separately so each
+    failure mode is its own row). ``foreign_keys`` entries are
+    (fk_col, dim_df, pk_col); NULL fks are skipped (SQL semantics).
+    """
+    parts: list[DataFrame] = []
+
+    # every row-local check is one conditional sum in a single pass
+    viols: list[Column] = []
+    names: list[str] = []
+    for c in not_null:
+        names.append(f"not_null:{c}")
+        viols.append(F.sum(
+            F.when(F.col(c).isNull(), 1).otherwise(0)))
+    for c, (lo, hi) in (ranges or {}).items():
+        names.append(f"range:{c}")
+        viols.append(F.sum(
+            F.when(F.col(c).isNotNull()
+                   & ~F.col(c).between(lo, hi), 1).otherwise(0)))
+    for c, vals in (accepted or {}).items():
+        names.append(f"accepted:{c}")
+        viols.append(F.sum(
+            F.when(F.col(c).isNotNull()
+                   & ~F.col(c).isin(*vals), 1).otherwise(0)))
+    if names:
+        base = df.agg(F.count(F.lit(1)).alias("_n"),
+                      *[v.alias(f"_v{i}") for i, v in enumerate(viols)])
+        stack = ", ".join(f"'{n}', _v{i}" for i, n in enumerate(names))
+        parts.append(base.selectExpr(
+            "_n",
+            f"stack({len(names)}, {stack}) AS (check_name, n_violations)"
+        ).select("check_name", F.col("_n").alias("n_checked"),
+                 "n_violations"))
+
+    for cols in unique:
+        name = "unique:" + ",".join(cols)
+        per_key = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_c"))
+        parts.append(per_key.agg(
+            F.lit(name).alias("check_name"),
+            F.sum("_c").alias("n_checked"),
+            F.sum(F.col("_c") - 1).alias("n_violations")))
+
+    for fk, dim, pk in foreign_keys:
+        name = f"fk:{fk}->{pk}"
+        fks = df.select(fk).where(F.col(fk).isNotNull())
+        orphans = (fks.join(dim.select(F.col(pk).alias("_pk")),
+                            F.col(fk) == F.col("_pk"), "left_anti")
+                   .agg(F.count(F.lit(1)).alias("n_violations")))
+        checked = fks.agg(F.count(F.lit(1)).alias("n_checked"))
+        parts.append(checked.crossJoin(orphans).select(
+            F.lit(name).alias("check_name"), "n_checked", "n_violations"))
+
+    if not parts:
+        raise ValueError("dq_checks: no checks declared")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _finish(out)
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: Sequence[Column | str],
+    group_by: Sequence[str] = (),
+    seed: str = "fp",
+) -> DataFrame:
+    """Commutative content checksum: (group cols?, fingerprint, n_rows).
+
+    ``cols`` are the canonicalized row rendering — pass integer-exact
+    expressions (cents, micros) rather than raw doubles so the string
+    form is engine-portable. Identical multisets of rows produce the
+    same fingerprint under any ordering or partitioning; XOR does hide
+    rows duplicated an even number of times, which is why n_rows rides
+    along.
+    """
+    rendered = [F.coalesce(
+        (F.col(c) if isinstance(c, str) else c).cast("string"), F.lit(""))
+        for c in cols]
+    h = hash60(F.concat_ws(_SEP, *rendered), seed)
+    hashed = df.select(*group_by, h.alias("_h"))
+    aggs = [F.expr("bit_xor(_h)").alias("fingerprint"),
+            F.count(F.lit(1)).alias("n_rows")]
+    if group_by:
+        return hashed.groupBy(*group_by).agg(*aggs)
+    return hashed.agg(*aggs)
