@@ -37,7 +37,7 @@ from logging_spark.operators.aggregate import (assemble_conversations,
                                                per_sink_counts,
                                                per_sink_role_rollup,
                                                resume_points)
-from logging_spark.operators.dedup import dedup_latest_wins
+from logging_spark.operators.dedup import debounce, dedup_latest_wins
 from logging_spark.operators.enrich import enrich
 from logging_spark.operators.route import route
 from logging_spark.operators.rules import Rule
@@ -765,6 +765,57 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   F.round(F.col("l_extendedprice") * 100).cast("long")],
             group_by=["l_returnflag"])
     q["audit_fingerprint"] = audit_fingerprint
+
+    # -- time-tolerance dedup (operators/dedup.py debounce): events
+    # within 30 min of the previous raw event per user are chatter.
+    # Rolled up per type so the contract output is partition-stable.
+    def events_debounce(spark, sf):
+        ev = _read(spark, sf, "events")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        flagged = debounce(ev, keys=["user_id"], ts_us=us,
+                           tolerance_us=1800 * 1_000_000,
+                           tiebreak=["event_id"], keep_flag="kept")
+        return (flagged.groupBy("event_type")
+                .agg(F.sum("kept").cast("long").alias("n_kept"),
+                     F.sum(1 - F.col("kept")).cast("long")
+                      .alias("n_dropped")))
+    q["events_debounce"] = events_debounce
+
+    # -- corpus overlap audit (INTERSECT/EXCEPT shape, done as ONE
+    # full-outer join on the text hash instead of four set-op jobs):
+    # originals (doc_id < 10000) vs the re-crawled copies the corpus
+    # fixture injects. At 100 TB this is one shuffle of 32-byte
+    # hashes — the texts never move.
+    def docs_source_overlap(spark, sf):
+        c = corpus_df(spark, sf)
+        def side(pred, flag):
+            return (c.where(pred).select(F.md5("text").alias("h"))
+                    .distinct().withColumn(flag, F.lit(1)))
+        a = side(F.col("doc_id") < 10000, "_a")
+        b = side(F.col("doc_id") >= 10000, "_b")
+        j = a.join(b, "h", "full_outer")
+        both = F.coalesce(F.col("_a"), F.lit(0)) * F.coalesce(F.col("_b"), F.lit(0))
+        return j.agg(
+            F.sum(F.coalesce(F.col("_a"), F.lit(0))).cast("long").alias("n_a"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0))).cast("long").alias("n_b"),
+            F.sum(both).cast("long").alias("n_common"),
+            F.sum(F.coalesce(F.col("_a"), F.lit(0)) - both).cast("long")
+             .alias("n_only_a"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0)) - both).cast("long")
+             .alias("n_only_b"))
+    q["docs_source_overlap"] = docs_source_overlap
+
+    # -- equi-width histogram: value binned at width 20, capped at bin
+    # 19 — a pure projection + one agg, the plan any dashboard
+    # histogram should compile to.
+    def events_value_histogram(spark, sf):
+        ev = _read(spark, sf, "events")
+        b = F.least(F.floor(F.col("value") / 20.0), F.lit(19)).cast("int")
+        return (ev.where(F.col("value").isNotNull())
+                .groupBy("event_type", b.alias("bin"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("bin_lo", (F.col("bin") * 20).cast("long")))
+    q["events_value_histogram"] = events_value_histogram
 
     # -- column profiling (operators/profile.py): the per-snapshot
     # data-quality audit — one Expand pass, every null + distinct count
@@ -2275,6 +2326,41 @@ SELECT e.event_type,
 FROM events e JOIN b USING (event_type)
 WHERE value IS NOT NULL
 GROUP BY e.event_type"""
+
+    o["events_debounce"] = """
+WITH l AS (
+  SELECT event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS kept
+  FROM events)
+SELECT event_type, CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(1 - kept) AS BIGINT) AS n_dropped
+FROM l GROUP BY event_type"""
+
+    o["docs_source_overlap"] = "WITH " + CORPUS_CTE + """,
+a AS (SELECT DISTINCT md5(text) AS h FROM corpus WHERE doc_id < 10000),
+b AS (SELECT DISTINCT md5(text) AS h FROM corpus WHERE doc_id >= 10000),
+j AS (SELECT CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS fa,
+             CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS fb
+      FROM a FULL OUTER JOIN b ON a.h = b.h)
+SELECT CAST(sum(fa) AS BIGINT) AS n_a, CAST(sum(fb) AS BIGINT) AS n_b,
+       CAST(sum(fa * fb) AS BIGINT) AS n_common,
+       CAST(sum(fa - fa * fb) AS BIGINT) AS n_only_a,
+       CAST(sum(fb - fa * fb) AS BIGINT) AS n_only_b
+FROM j"""
+
+    o["events_value_histogram"] = """
+SELECT event_type,
+       CAST(least(floor(value / 20.0), 19) AS INT) AS bin,
+       count(*) AS n,
+       CAST(CAST(least(floor(value / 20.0), 19) AS INT) * 20 AS BIGINT)
+         AS bin_lo
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2"""
 
     _fp_row = ("concat_ws(chr(31), coalesce(CAST(l_orderkey AS VARCHAR), ''),"
                " coalesce(CAST(l_linenumber AS VARCHAR), ''),"

@@ -36,3 +36,36 @@ def dedup_latest_wins(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def debounce(
+    df: DataFrame,
+    keys: list[str],
+    ts_us,
+    tolerance_us: int,
+    tiebreak: list[str] = (),
+    keep_flag: str | None = None,
+) -> DataFrame:
+    """Time-tolerance dedup: within each key, a row arriving within
+    ``tolerance_us`` of the PREVIOUS RAW row is a duplicate (sensor
+    chatter, double-click, at-least-once replay with clock skew).
+
+    Deliberately lag-based (previous raw row, not previous survivor):
+    one window pass, no iteration, and the common burst pattern —
+    many repeats inside one tolerance window — collapses to its first
+    row either way. ``ts_us`` is a bigint microsecond expression.
+
+    With ``keep_flag`` set, returns all rows annotated with a 0/1
+    column of that name; otherwise returns survivors only. Same
+    single-shuffle profile as dedup_latest_wins: the window partitions
+    on the full key list.
+    """
+    order = [F.col("_ts_us").asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag("_ts_us").over(w)
+    keep = prev.isNull() | (F.col("_ts_us") - prev > tolerance_us)
+    out = (df.withColumn("_ts_us", ts_us)
+           .withColumn("_keep", keep.cast("int")))
+    if keep_flag is not None:
+        return out.withColumnRenamed("_keep", keep_flag).drop("_ts_us")
+    return out.where(F.col("_keep") == 1).drop("_keep", "_ts_us")

@@ -71,6 +71,24 @@ def test_snapshot_diff_all_statuses(spark):
     assert 3 not in out  # unchanged suppressed by default
 
 
+def test_debounce_collapses_burst_to_first_row(spark):
+    from logging_spark.operators.dedup import debounce
+    rows = [("u", 1, 0), ("u", 2, 100), ("u", 3, 150),  # burst
+            ("u", 4, 2000),                              # clear of burst
+            ("v", 5, 10)]
+    df = spark.createDataFrame(rows, "k string, id long, us long")
+    out = debounce(df, keys=["k"], ts_us=F.col("us"), tolerance_us=500,
+                   tiebreak=["id"])
+    kept = sorted(r.id for r in out.collect())
+    # lag-based: row 2 within 500 of row 1 -> dropped; row 3 within
+    # 500 of raw row 2 -> dropped; row 4 is 1850 past row 3 -> kept
+    assert kept == [1, 4, 5]
+    flagged = debounce(df, keys=["k"], ts_us=F.col("us"),
+                       tolerance_us=500, tiebreak=["id"],
+                       keep_flag="kept")
+    assert flagged.count() == 5 and "us" in flagged.columns
+
+
 def test_snapshot_diff_keep_unchanged(spark):
     old = _snap(spark, [(1, 10)])
     new = _snap(spark, [(1, 10)])
