@@ -1,0 +1,83 @@
+"""Multi-dimensional clustered layout (Z-order) for data skipping.
+
+A 100 TB table filtered by BOTH `user_id` and `ts` can't be helped by
+sorting on either alone: min/max footer stats on the second column
+degenerate to the full range in every file. Interleaving the bits of
+both columns (Morton / Z-order, the technique behind Delta's OPTIMIZE
+ZORDER and Iceberg's sort orders) keeps rows close in BOTH dimensions
+close in the file order, so per-file min/max ranges stay narrow on
+every participating column and the scan planner can prune files for
+predicates on any of them.
+
+Everything here is pure Spark expressions:
+
+- each column is affinely quantized to ``bits`` bits using its global
+  min/max (one tiny aggregate, broadcast as literals);
+- the z-value is a fold of shift/mask expressions — whole-stage
+  codegen, no UDF;
+- the write is repartitionByRange(z) + sortWithinPartitions(z), i.e.
+  exactly one range shuffle, the same cost as any global sort write.
+
+Skipping is verified from the parquet footers in tests (per-file
+min/max width shrinks on BOTH dimensions vs an unclustered write).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Map col into [0, 2^bits) by affine min/max scaling (long math,
+    guarded against a constant column)."""
+    span = F.greatest(hi - lo, F.lit(1).cast("double"))
+    scaled = ((col.cast("double") - lo) / span) * float((1 << bits) - 1)
+    return F.least(F.greatest(F.floor(scaled).cast("long"), F.lit(0)),
+                   F.lit((1 << bits) - 1))
+
+
+def z_value(quantized: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of each quantized column:
+    bit i of column j lands at position i * n_cols + j."""
+    n = len(quantized)
+    terms: list[Column] = []
+    for j, q in enumerate(quantized):
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)),
+                            i * n + j))
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def zorder_frame(df: DataFrame, cols: list[str], bits: int = 12,
+                 num_files: int = 8) -> DataFrame:
+    """Return ``df`` range-partitioned and sorted by the z-value of
+    ``cols`` (numeric/timestamp-castable), ready to write."""
+    stats = df.agg(*[f(F.col(c).cast("double")).alias(f"_{k}_{c}")
+                     for c in cols
+                     for k, f in (("lo", F.min), ("hi", F.max))]).collect()[0]
+    qs = [_quantize(F.col(c).cast("double"),
+                    F.lit(float(stats[f"_lo_{c}"])),
+                    F.lit(float(stats[f"_hi_{c}"])), bits)
+          for c in cols]
+    z = z_value(qs, bits).alias("_z")
+    return (df.withColumn("_z", z)
+            .repartitionByRange(num_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z"))
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   bits: int = 12, num_files: int = 8) -> None:
+    """Write ``df`` as parquet clustered on the z-order of ``cols``.
+
+    The min/max aggregate is the only driver-side action (2 doubles
+    per column); the write itself is one range exchange. File count is
+    explicit — at cluster scale pick ``num_files`` from the target
+    file size (e.g. total_bytes / 512 MB), not the core count.
+    """
+    zorder_frame(df, cols, bits=bits, num_files=num_files) \
+        .write.mode("overwrite").parquet(path)
