@@ -59,6 +59,12 @@ HEADLINE = [
     "docs_token_budget",
     "events_sliding_window",
     "tpch_q19_or_predicates",
+    # round-3 final additions: multi-exists fact self-join, audit
+    # fingerprint (xor agg), CDC diff, SCD2 double-window
+    "tpch_q21_lone_fault_supplier",
+    "audit_fingerprint",
+    "events_snapshot_diff",
+    "events_scd2",
 ]
 
 

@@ -2224,12 +2224,12 @@ FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"""
 
     o["events_scd2"] = """
 WITH ordered AS (
-  SELECT user_id, event_type, epoch_us(ts) AS us,
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev
   FROM events),
 chg AS (
-  SELECT user_id, event_type, us FROM ordered
+  SELECT user_id, event_type, us, event_id FROM ordered
   WHERE prev IS NULL OR prev <> event_type)
 SELECT user_id, event_type, us AS valid_from,
        coalesce(lead(us) OVER w, -1) AS valid_to,
@@ -2237,7 +2237,7 @@ SELECT user_id, event_type, us AS valid_from,
        CAST(CASE WHEN lead(us) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
          AS is_current
 FROM chg
-WINDOW w AS (PARTITION BY user_id ORDER BY us, event_type)"""
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)"""
 
     o["events_snapshot_diff"] = """
 WITH snap_a AS (

@@ -38,11 +38,18 @@ def snapshot_diff(
     keys: list[str],
     compare: list[str],
     keep_unchanged: bool = False,
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """Keyed diff of two snapshots.
 
     Output: key columns + ``status`` ('added'|'removed'|'changed'
     [|'unchanged']) + ``old_hash``/``new_hash`` ('' when absent).
+
+    Keys are compared with plain equality by default (snapshot keys
+    are primary keys — non-null by contract), which lets the join
+    reuse any existing hash partitioning on the key; ``null_safe_keys``
+    switches to ``<=>`` at the cost of a re-shuffle on the coalesced
+    key (Spark plans null-safe joins on wrapped keys).
     """
     o = row_hash(old, compare).select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
@@ -52,7 +59,8 @@ def snapshot_diff(
         F.col("_h").alias("_nh"))
     cond = None
     for k in keys:
-        c = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        a, b = F.col(f"_ok_{k}"), F.col(f"_nk_{k}")
+        c = a.eqNullSafe(b) if null_safe_keys else (a == b)
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
     status = (

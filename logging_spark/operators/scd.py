@@ -54,8 +54,10 @@ def scd2(
         # an interval; later rows only when the attribute moved
         .where(~F.col(attr).eqNullSafe(F.col("_prev")))
     )
-    w_iv = Window.partitionBy(key).orderBy(F.col("valid_from").asc(),
-                                           F.col(attr).asc())
+    # identical partitioning AND ordering to w_log so Catalyst plans
+    # ONE Exchange + ONE Sort for both window passes (plan-tested)
+    w_iv = Window.partitionBy(key).orderBy(
+        F.col("valid_from").asc(), *[F.col(c).asc() for c in tb])
     nxt = F.lead("valid_from").over(w_iv)
     return changed.select(
         key, attr, "valid_from",

@@ -71,6 +71,27 @@ def test_snapshot_diff_all_statuses(spark):
     assert 3 not in out  # unchanged suppressed by default
 
 
+def test_scd2_plan_shares_one_sort(spark):
+    # both window passes (change filter + interval close) must compile
+    # to ONE Exchange + ONE Sort — identical partitioning and ordering
+    df = _log(spark, [("a", "x", 1)]).withColumnRenamed("us", "t")
+    out = scd2(df, key="k", attr="state", ts=F.col("t"), tiebreak=["t"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange ") == 1
+    assert plan.count("Sort ") == 1
+
+
+def test_snapshot_diff_join_reuses_agg_partitioning(spark):
+    # default plain-equality keys: the full-outer join must NOT add
+    # exchanges beyond the two per-side aggregates
+    base = spark.createDataFrame([(1, 2)], "k long, v long")
+    old = base.groupBy("k").agg(F.sum("v").alias("s"))
+    new = base.groupBy("k").agg(F.max("v").alias("s"))
+    out = snapshot_diff(old, new, keys=["k"], compare=["s"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange ") == 2
+
+
 def test_debounce_collapses_burst_to_first_row(spark):
     from logging_spark.operators.dedup import debounce
     rows = [("u", 1, 0), ("u", 2, 100), ("u", 3, 150),  # burst
