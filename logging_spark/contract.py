@@ -48,7 +48,8 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 embedding_near_duplicates,
                                                 ivf_topk, lsh_topk,
                                                 plane_signs)
-from logging_spark.operators.cluster import duplicate_clusters, keep_canonical
+from logging_spark.operators.cluster import (duplicate_clusters,
+                                             graph_summary, keep_canonical)
 from logging_spark.operators.funnel import funnel_counts
 from logging_spark.operators.importance import (importance_scores,
                                                 importance_weighted_sample)
@@ -816,6 +817,46 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .withColumn("bin_lo", (F.col("bin") * 20).cast("long")))
     q["events_value_histogram"] = events_value_histogram
+
+    # -- duplicate-graph structure (operators/cluster.py
+    # graph_summary): exact triangle count via oriented wedge-close —
+    # the dedup-graph health check (near-cliques vs chain bridges).
+    def docs_triangle_stats(spark, sf):
+        return graph_summary(lsh_pairs_portable(spark, sf))
+    q["docs_triangle_stats"] = docs_triangle_stats
+
+    # -- percent-of-total window: per-segment revenue share in integer
+    # basis points (window total + integral DIV, no float division).
+    # The window runs over the 5-row AGGREGATED frame, not the facts.
+    def dim_revenue_share(spark, sf):
+        o = _read(spark, sf, "orders")
+        cu = _read(spark, sf, "customer")
+        seg = (o.join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+               .groupBy("c_mktsegment")
+               .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     * 100).cast("long").alias("rev_cents"),
+                    F.count(F.lit(1)).alias("n_orders")))
+        w = Window.partitionBy()
+        return seg.withColumn(
+            "share_bps",
+            F.expr("CAST((rev_cents * 10000) DIV "
+                   "(sum(rev_cents) OVER ()) AS BIGINT)"))
+    q["dim_revenue_share"] = dim_revenue_share
+
+    # -- cumulative distinct users: running distinct count WITHOUT
+    # distinct-state — each user collapses to a first-touch day (one
+    # per-user agg), then a running sum over the tiny per-day frame.
+    def events_cumulative_users(spark, sf):
+        ev = _read(spark, sf, "events")
+        ft = (ev.groupBy("user_id")
+              .agg(F.expr("CAST(unix_timestamp(min(CAST(ts AS timestamp)))"
+                          " DIV 86400 AS BIGINT)").alias("day")))
+        daily = ft.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+        w = (Window.orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return daily.withColumn(
+            "running_users", F.sum("n_new").over(w).cast("long"))
+    q["events_cumulative_users"] = events_cumulative_users
 
     # -- column profiling (operators/profile.py): the per-snapshot
     # data-quality audit — one Expand pass, every null + distinct count
@@ -2353,6 +2394,31 @@ SELECT CAST(sum(fa) AS BIGINT) AS n_a, CAST(sum(fb) AS BIGINT) AS n_b,
        CAST(sum(fb - fa * fb) AS BIGINT) AS n_only_b
 FROM j"""
 
+    o["dim_revenue_share"] = """
+WITH seg AS (
+  SELECT c_mktsegment,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents,
+         count(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment)
+SELECT c_mktsegment, rev_cents, n_orders,
+       CAST((rev_cents * 10000) // (sum(rev_cents) OVER ()) AS BIGINT)
+         AS share_bps
+FROM seg"""
+
+    o["events_cumulative_users"] = """
+WITH ft AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) // 86400 AS day
+  FROM events GROUP BY user_id),
+daily AS (SELECT day, count(*) AS n_new FROM ft GROUP BY day)
+SELECT day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_users
+FROM daily"""
+
     o["events_value_histogram"] = """
 SELECT event_type,
        CAST(least(floor(value / 20.0), 19) AS INT) AS bin,
@@ -2765,6 +2831,19 @@ r{_t} AS (SELECT node,
     # default — und/deg feed 2 joins per unrolled round, so without
     # materialization the banded LSH self-join re-runs ~8x (53 s vs
     # 0.8 s at sf0.001, measured)
+    o["docs_triangle_stats"] = f"""WITH {_lsh_ctes},
+pairs AS MATERIALIZED ({_lsh_pairs}),
+nodes AS (SELECT DISTINCT n FROM (
+  SELECT doc_a AS n FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM pairs) AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles"""
+
     o["docs_pagerank"] = f"""WITH {_lsh_ctes},
 pairs AS MATERIALIZED ({_lsh_pairs}),
 und AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs

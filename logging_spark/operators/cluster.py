@@ -116,6 +116,36 @@ def _driver_union_find(spark, edge_rows, id_type: str) -> DataFrame:
         rows, f"doc_id {id_type}, canonical_id {id_type}")
 
 
+def graph_summary(pairs: DataFrame, id_a: str = "doc_a",
+                  id_b: str = "doc_b") -> DataFrame:
+    """One-row structural summary of the duplicate-pair graph:
+    (n_nodes, n_edges, n_triangles). Triangle density separates
+    near-clique duplicate families (LSH behaving) from chain-like
+    false-positive bridges (threshold too loose) — the standard
+    dedup-graph health check.
+
+    Exact triangle counting via the classic wedge-close formulation
+    (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11 — public): pairs are already oriented
+    (a < b), so each triangle a<b<c is counted exactly once as
+    wedge (a,b)+(b,c) closed by edge (a,c). Two equi-joins on node
+    ids; the heaviest wedge fan-out is deg², bounded upstream by the
+    LSH `max_bucket` cap. No driver-side state; the three counts
+    combine via single-row cross joins."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")) \
+             .distinct()
+    nodes = (e.select(F.col("a").alias("n"))
+             .unionByName(e.select(F.col("b").alias("n"))).distinct()
+             .agg(F.count(F.lit(1)).alias("n_nodes")))
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    wedges = e.join(e.select(F.col("a").alias("b"), F.col("b").alias("c")),
+                    "b")
+    tri = (wedges.join(e.select(F.col("a"), F.col("b").alias("c")),
+                       ["a", "c"], "left_semi")
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return nodes.crossJoin(edges).crossJoin(tri)
+
+
 def keep_canonical(df: DataFrame, clusters: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Filter a corpus to one representative per duplicate cluster:

@@ -65,3 +65,21 @@ def test_tiers_agree_on_mixed_topology(spark, tier):
             | {(i, 20) for i in range(20, 24)}
             | {(100, 100), (200, 100), (40, 40), (50, 40)})
     assert got == want
+
+
+def test_graph_summary_counts_triangles_once(spark):
+    from logging_spark.operators.cluster import graph_summary
+    # K4 on {0,1,2,3} (4 triangles) + a chain 10-11-12 (0 triangles)
+    pairs = ([(a, b) for a in range(4) for b in range(a + 1, 4)]
+             + [(10, 11), (11, 12)])
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    r = graph_summary(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (7, 8, 4)
+
+
+def test_graph_summary_dedups_pair_multiplicity(spark):
+    from logging_spark.operators.cluster import graph_summary
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long")
+    r = graph_summary(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
