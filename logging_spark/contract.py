@@ -858,6 +858,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "running_users", F.sum("n_new").over(w).cast("long"))
     q["events_cumulative_users"] = events_cumulative_users
 
+    # -- log-template mining (functions/text.py mask_template): mask
+    # variable parts, roll up per template — Drain-lite. Templates are
+    # low-cardinality by construction so the agg is map-side combined;
+    # raw lines never shuffle (only the masked template string does).
+    def pipe_log_templates(spark, sf):
+        t = turns_df(spark, sf)
+        return (t.select(T.mask_template("text").alias("template"),
+                         "conv_id")
+                .groupBy("template")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.countDistinct("conv_id").cast("long")
+                      .alias("n_convs")))
+    q["pipe_log_templates"] = pipe_log_templates
+
     # -- column profiling (operators/profile.py): the per-snapshot
     # data-quality audit — one Expand pass, every null + distinct count
     q["events_profile"] = lambda spark, sf: profile_columns(
@@ -2418,6 +2432,16 @@ SELECT day, n_new,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS running_users
 FROM daily"""
+
+    o["pipe_log_templates"] = "WITH " + TURNS_CTE + r"""
+SELECT regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[0-9a-f]{8,}', '<HEX>', 'g'),
+           '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+         '\d+', '<N>', 'g') AS template,
+       count(*) AS n,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM turns GROUP BY 1"""
 
     o["events_value_histogram"] = """
 SELECT event_type,

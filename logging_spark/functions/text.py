@@ -357,6 +357,23 @@ def rolling_fingerprint(text: Column | str, window: int = 16) -> Column:
     return F.array_min(hashes)
 
 
+def mask_template(text: Column | str) -> Column:
+    """Log-template extraction (Drain-lite): mask the variable parts
+    of a log line so structurally-identical messages collapse to one
+    template — the first step of every log-mining pipeline (template
+    counts, novelty detection, per-template rate alerts). Masks, in
+    order: long hex runs (ids/digests) -> <HEX>, IPv4 dotted quads ->
+    <IP>, digit runs -> <N>. Order matters: hex before digits so
+    "deadbeef01" doesn't half-mask, IPs before digits so the quad
+    masks as one token. Pure codegen regexp chain (replace-all),
+    oracle-portable via DuckDB's 'g' flag."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(t, r"[0-9a-f]{8,}", "<HEX>")
+    t = F.regexp_replace(t, r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>")
+    t = F.regexp_replace(t, r"\d+", "<N>")
+    return t
+
+
 def normalize(text: Column | str) -> Column:
     """C4-style text normalization: lowercase, strip everything but
     word characters and whitespace, collapse whitespace runs, trim.

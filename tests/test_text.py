@@ -220,3 +220,20 @@ def test_luhn_and_cc_candidates(spark):
                    ("4532015112830367", False),
                    None, None,
                    ("371449635398431", True)]
+
+
+def test_mask_template_order_and_coverage(spark):
+    from logging_spark.functions import text as T
+    rows = [
+        ("GET /api/v2/users/12345 from 10.0.0.7 took 250ms",),
+        ("GET /api/v2/users/99 from 192.168.1.200 took 3ms",),
+        ("req deadbeef0badc0de failed",),
+        ("req cafebabe12345678 failed",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = [r.t for r in df.select(
+        T.mask_template("text").alias("t")).collect()]
+    # the two request lines collapse to ONE template (IP masked as a
+    # unit, digits masked); the two hex ids collapse to one
+    assert out[0] == out[1] == "GET /api/v<N>/users/<N> from <IP> took <N>ms"
+    assert out[2] == out[3] == "req <HEX> failed"
