@@ -872,6 +872,49 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       .alias("n_convs")))
     q["pipe_log_templates"] = pipe_log_templates
 
+    # -- session analytics e2e: sessionize -> per-session stats ->
+    # daily rollup as ONE lazy plan (the composition a product
+    # dashboard runs). Everything integer-exact (epoch seconds, DIV
+    # days); the only wide deps are the sessionize window shuffle and
+    # the two aggs.
+    def events_session_analytics_e2e(spark, sf):
+        ev = _read(spark, sf, "events")
+        s = sessionize(ev, order_tiebreak="event_id")
+        ep = F.unix_timestamp(F.col("ts")).cast("long")
+        per = (s.groupBy("user_id", "session_id")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    (F.max(ep) - F.min(ep)).alias("duration_s"),
+                    F.sum(F.when(F.col("event_type") == "purchase", 1)
+                          .otherwise(0)).cast("long").alias("n_purchases"),
+                    F.expr("CAST(min(unix_timestamp(ts)) DIV 86400"
+                           " AS BIGINT)").alias("start_day")))
+        return (per.groupBy("start_day")
+                .agg(F.count(F.lit(1)).alias("n_sessions"),
+                     F.sum("n_events").cast("long").alias("n_events"),
+                     F.sum("duration_s").cast("long")
+                      .alias("sum_duration_s"),
+                     F.sum("n_purchases").cast("long").alias("n_purchases"),
+                     F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                      .cast("long").alias("n_bounce")))
+    q["events_session_analytics_e2e"] = events_session_analytics_e2e
+
+    # -- rank-family windows (rank/dense_rank/percent_rank/cume_dist)
+    # over per-segment balance order: tied cents get tied ranks, so
+    # every output is deterministic without a tiebreak column.
+    def window_rank_family(spark, sf):
+        cu = _read(spark, sf, "customer")
+        cents = F.round(F.col("c_acctbal") * 100).cast("long")
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.col("_cents").desc())
+        return (cu.withColumn("_cents", cents)
+                .select("c_mktsegment", "c_custkey",
+                        F.col("_cents").alias("bal_cents"),
+                        F.rank().over(w).cast("long").alias("rnk"),
+                        F.dense_rank().over(w).cast("long").alias("drnk"),
+                        F.percent_rank().over(w).alias("prk"),
+                        F.cume_dist().over(w).alias("cd")))
+    q["window_rank_family"] = window_rank_family
+
     # -- column profiling (operators/profile.py): the per-snapshot
     # data-quality audit — one Expand pass, every null + distinct count
     q["events_profile"] = lambda spark, sf: profile_columns(
@@ -2442,6 +2485,50 @@ SELECT regexp_replace(
        count(*) AS n,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
 FROM turns GROUP BY 1"""
+
+    o["events_session_analytics_e2e"] = """
+WITH marked AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, event_type, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_id
+  FROM marked),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         CAST(max(CAST(floor(epoch(ts)) AS BIGINT))
+              - min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+           AS duration_s,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         CAST(min(CAST(floor(epoch(ts)) AS BIGINT)) // 86400 AS BIGINT)
+           AS start_day
+  FROM sessions GROUP BY user_id, session_id)
+SELECT start_day, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(duration_s) AS BIGINT) AS sum_duration_s,
+       CAST(sum(n_purchases) AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce
+FROM per GROUP BY start_day"""
+
+    o["window_rank_family"] = """
+WITH c AS (SELECT c_mktsegment, c_custkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM customer)
+SELECT c_mktsegment, c_custkey, bal_cents,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prk,
+       cume_dist() OVER w AS cd
+FROM c
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_cents DESC)"""
 
     o["events_value_histogram"] = """
 SELECT event_type,

@@ -36,8 +36,6 @@ from logging_spark.operators.sample import hash60
 
 _SEP = chr(31)
 
-_SCHEMA = ("check_name", "n_checked", "n_violations", "passed")
-
 
 def _finish(df: DataFrame) -> DataFrame:
     return df.select(
