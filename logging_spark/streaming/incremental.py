@@ -62,6 +62,29 @@ def streaming_dedup(turns: DataFrame, watermark: str = "1 hour") -> DataFrame:
         ["conv_id", "turn_idx"])
 
 
+def streaming_debounce(events: DataFrame, keys: list[str],
+                       watermark: str = "30 minutes") -> DataFrame:
+    """Streaming twin of operators/dedup.debounce for exact-key
+    chatter (at-least-once producer retries with the SAME event time):
+    `dropDuplicatesWithinWatermark` keeps the first arrival per key
+    and — unlike plain stateful dropDuplicates — evicts each key's
+    state once the watermark passes its event time, so the key CAN
+    legitimately reappear later. That is precisely debounce-by-
+    tolerance with tolerance = the watermark delay: state is bounded
+    by keys-per-horizon, not keys-ever-seen.
+
+    (The batch debounce's lag-vs-previous-raw-row semantics need a
+    per-key ordered scan; within a stream the watermark horizon is the
+    tolerance window. Equal-key equal-time replays dedupe identically
+    in both; a genuinely later event past the horizon survives in
+    both. Measured detail, pinned in test_streaming_debounce: the
+    watermark updates at batch END and eviction runs after that
+    batch's dedup, so a freed key survives from the NEXT micro-batch
+    onward — a one-batch grace, conservative in the dedup direction.)"""
+    return events.withWatermark("ts", watermark) \
+                 .dropDuplicatesWithinWatermark(keys)
+
+
 # Sink dedup key: a (conv_id, turn_idx) key can legitimately land in
 # SEVERAL sinks (fanout routing), so latest-wins resolution is per
 # (sink, conv_id, turn_idx) — within one sink exactly one row per turn,
