@@ -836,7 +836,6 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                      * 100).cast("long").alias("rev_cents"),
                     F.count(F.lit(1)).alias("n_orders")))
-        w = Window.partitionBy()
         return seg.withColumn(
             "share_bps",
             F.expr("CAST((rev_cents * 10000) DIV "
@@ -2327,8 +2326,11 @@ WITH ordered AS (
                                ORDER BY ts, event_id) AS prev
   FROM events),
 chg AS (
+  -- IS DISTINCT FROM mirrors the operator's eqNullSafe change test
+  -- (a NULL attr row only opens an interval when the previous attr
+  -- was non-NULL, and vice versa)
   SELECT user_id, event_type, us, event_id FROM ordered
-  WHERE prev IS NULL OR prev <> event_type)
+  WHERE event_type IS DISTINCT FROM prev)
 SELECT user_id, event_type, us AS valid_from,
        coalesce(lead(us) OVER w, -1) AS valid_to,
        CAST(row_number() OVER w AS INT) AS version,

@@ -99,14 +99,19 @@ def dq_checks(
             F.sum(F.col("_c") - 1).alias("n_violations")))
 
     for fk, dim, pk in foreign_keys:
+        # ONE fact scan: left join against the dimension KEY (a PK,
+        # unique by contract — duplicates would both inflate counts
+        # AND mean the dim fails its own unique check), then count
+        # matches and misses in the same aggregate
         name = f"fk:{fk}->{pk}"
         fks = df.select(fk).where(F.col(fk).isNotNull())
-        orphans = (fks.join(dim.select(F.col(pk).alias("_pk")),
-                            F.col(fk) == F.col("_pk"), "left_anti")
-                   .agg(F.count(F.lit(1)).alias("n_violations")))
-        checked = fks.agg(F.count(F.lit(1)).alias("n_checked"))
-        parts.append(checked.crossJoin(orphans).select(
-            F.lit(name).alias("check_name"), "n_checked", "n_violations"))
+        j = fks.join(dim.select(F.col(pk).alias("_pk")),
+                     F.col(fk) == F.col("_pk"), "left")
+        parts.append(j.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+             .alias("n_violations")))
 
     if not parts:
         raise ValueError("dq_checks: no checks declared")

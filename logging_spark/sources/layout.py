@@ -43,6 +43,13 @@ def z_value(quantized: list[Column], bits: int) -> Column:
     """Interleave the low ``bits`` bits of each quantized column:
     bit i of column j lands at position i * n_cols + j."""
     n = len(quantized)
+    if bits * n > 63:
+        # Java's long << masks the shift amount to 6 bits, so a
+        # position past 63 silently aliases a low bit and scrambles
+        # the interleave — refuse rather than corrupt the clustering
+        raise ValueError(
+            f"z_value: bits ({bits}) * n_cols ({n}) = {bits * n} "
+            "exceeds 63 — lower bits or drop columns")
     terms: list[Column] = []
     for j, q in enumerate(quantized):
         for i in range(bits):
@@ -59,9 +66,14 @@ def zorder_frame(df: DataFrame, cols: list[str], bits: int = 12,
     stats = df.agg(*[f(F.col(c).cast("double")).alias(f"_{k}_{c}")
                      for c in cols
                      for k, f in (("lo", F.min), ("hi", F.max))]).collect()[0]
-    qs = [_quantize(F.col(c).cast("double"),
-                    F.lit(float(stats[f"_lo_{c}"])),
-                    F.lit(float(stats[f"_hi_{c}"])), bits)
+    # empty frame / all-NULL column -> min/max are None: degrade to a
+    # constant 0 for that dimension (valid, unclustered on that axis)
+    # rather than crashing; NULL values likewise quantize to 0
+    qs = [F.coalesce(
+            _quantize(F.col(c).cast("double"),
+                      F.lit(float(stats[f"_lo_{c}"] or 0.0)),
+                      F.lit(float(stats[f"_hi_{c}"] or 0.0)), bits),
+            F.lit(0))
           for c in cols]
     z = z_value(qs, bits).alias("_z")
     return (df.withColumn("_z", z)

@@ -71,3 +71,23 @@ def test_zorder_write_preserves_rows(spark, tmp_path):
     assert back.count() == 1000
     assert back.agg(F.sum("a")).collect()[0][0] == 999 * 1000 // 2
     assert set(back.columns) == {"a", "b"}
+
+
+def test_z_value_rejects_bit_overflow(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, 1)], "x long, y long")
+    cols = [F.col("x")] * 6
+    with _pytest.raises(ValueError, match="exceeds 63"):
+        df.select(z_value(cols, bits=12))
+
+
+def test_zorder_write_handles_empty_and_null_columns(spark, tmp_path):
+    empty = spark.createDataFrame([], "a long, b long")
+    p1 = str(tmp_path / "empty")
+    write_zordered(empty, p1, ["a", "b"], bits=8, num_files=2)
+    assert spark.read.parquet(p1).count() == 0
+    nulls = spark.createDataFrame(
+        [(None, 1), (None, 2)], "a long, b long")
+    p2 = str(tmp_path / "nulls")
+    write_zordered(nulls, p2, ["a", "b"], bits=8, num_files=2)
+    assert spark.read.parquet(p2).count() == 2

@@ -46,9 +46,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — audit keeps going
             rows.append((name, "-", "-", "-", "-", f"ERROR {exc}"))
             continue
+        # count true shuffle exchanges only: "Exchange hash/range/
+        # SinglePartition" — NOT BroadcastExchange (no shuffle) and
+        # NOT ReusedExchange (already counted once)
+        import re
+        shuffles = len(re.findall(
+            r"(?<![A-Za-z])Exchange (?:hashpartitioning|"
+            r"rangepartitioning|SinglePartition)", plan))
         rows.append((
             name,
-            plan.count("Exchange "),
+            shuffles,
             plan.count("Sort "),
             plan.count("CartesianProduct")
             + plan.count("BroadcastNestedLoopJoin"),
@@ -56,6 +63,10 @@ def main() -> None:
             "",
         ))
 
+    if not rows:
+        print(f"no contract query matches prefixes {prefixes}")
+        spark.stop()
+        return
     w = max(len(r[0]) for r in rows) + 2
     print(f"{'query':<{w}}{'exch':>5}{'sort':>6}{'cart':>6}{'scan':>6}")
     for name, ex, so, ca, cg, err in rows:
