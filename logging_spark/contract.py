@@ -46,8 +46,10 @@ from logging_spark.sources.catalog import merge_frames
 from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 brute_force_topk_sharded,
                                                 embedding_near_duplicates,
+                                                hard_negatives_expr,
                                                 ivf_topk, lsh_topk,
-                                                plane_signs)
+                                                plane_signs,
+                                                quantize_int8_summary)
 from logging_spark.operators.cluster import (duplicate_clusters,
                                              graph_summary, keep_canonical)
 from logging_spark.operators.funnel import funnel_counts
@@ -68,7 +70,7 @@ from logging_spark.operators.tfidf import tfidf_topk
 from logging_spark.operators.sample import (budget_head,
                                             deterministic_sample,
                                             deterministic_split, domain_cap,
-                                            global_shuffle, hash60_sql,
+                                            global_shuffle, hash60, hash60_sql,
                                             mix_corpora, split_thresholds,
                                             stratified_balance,
                                             HASH_SPACE)
@@ -856,6 +858,24 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return daily.withColumn(
             "running_users", F.sum("n_new").over(w).cast("long"))
     q["events_cumulative_users"] = events_cumulative_users
+
+    # -- deterministic A/B assignment + conversion readout: arm is a
+    # pure function of (seed, user) — stable across runs, engines and
+    # partitionings; conversion rate in integral basis points.
+    def events_ab_experiment(spark, sf):
+        ev = _read(spark, sf, "events")
+        per_user = (ev.groupBy("user_id")
+                    .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                               .otherwise(0)).alias("_conv")))
+        armed = per_user.withColumn(
+            "arm", (hash60("user_id", "ab1") % 2).cast("int"))
+        return (armed.groupBy("arm")
+                .agg(F.count(F.lit(1)).alias("n_users"),
+                     F.sum("_conv").cast("long").alias("n_converted"))
+                .withColumn("conv_bps",
+                            F.expr("CAST((n_converted * 10000) DIV n_users"
+                                   " AS BIGINT)")))
+    q["events_ab_experiment"] = events_ab_experiment
 
     # -- log-template mining (functions/text.py mask_template): mask
     # variable parts, roll up per template — Drain-lite. Templates are
@@ -1755,6 +1775,23 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            F.round("cosine", 4).alias("cosine"))
     q["sim_topk_cosine"] = sim_topk_cosine
 
+    # hard-negative mining (contrastive-training sampler): top-k most
+    # similar DIFFERENT-label candidates; exact expr tier (the kernel
+    # over-fetch tier is pinned against it in test_similarity)
+    def sim_hard_negatives(spark, sf):
+        e = _read(spark, sf, "embeddings")
+        hn = hard_negatives_expr(e.where(F.col("vec_id") < 30), e, k=5)
+        return hn.select("query_id", "neighbor_id",
+                         F.col("rank").cast("int").alias("rank"),
+                         F.round("cosine", 4).alias("cosine"))
+    q["sim_hard_negatives"] = sim_hard_negatives
+
+    # int8 symmetric quantization audit: scale/sum/saturation per
+    # vector, pure expression projection (no shuffle)
+    def sim_quantize_int8(spark, sf):
+        return quantize_int8_summary(_read(spark, sf, "embeddings"))
+    q["sim_quantize_int8"] = sim_quantize_int8
+
     def sim_near_dup(spark, sf):
         # production path: LSH-bucketed candidates + exact re-rank (no
         # cross join anywhere in the plan — tests/test_plans.py). The
@@ -2477,6 +2514,20 @@ SELECT day, n_new,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS running_users
 FROM daily"""
+
+    o["events_ab_experiment"] = f"""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+armed AS (
+  SELECT CAST({hash60_sql('user_id', 'ab1')} % 2 AS INT) AS arm, conv
+  FROM per_user)
+SELECT arm, count(*) AS n_users,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       CAST((CAST(sum(conv) AS BIGINT) * 10000) // count(*) AS BIGINT)
+         AS conv_bps
+FROM armed GROUP BY arm"""
 
     o["pipe_log_templates"] = "WITH " + TURNS_CTE + r"""
 SELECT regexp_replace(
@@ -3331,6 +3382,40 @@ FROM cand JOIN v va ON va.vec_id = doc_a JOIN v vb ON vb.vec_id = doc_b
 WHERE {_vcos_ab} >= 0.40"""
 
     o["sim_topk_sharded"] = o["sim_topk_cosine"]
+
+    o["sim_hard_negatives"] = f"""
+WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_vcos} AS cos
+  FROM v a JOIN v b ON a.label <> b.label WHERE a.vec_id < 30)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank,
+       round(cos, 4) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) WHERE rnk <= 5"""
+
+    o["sim_quantize_int8"] = """
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                  len(embedding) AS dim
+           FROM embeddings),
+s AS (SELECT vec_id, dim, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM v),
+q AS (SELECT vec_id, dim, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(floor(127.0 * x / scale)
+                                                   AS BIGINT)) END AS qv
+      FROM s)
+SELECT vec_id,
+       CAST(floor(scale * 1000000) AS BIGINT) AS scale_ppm,
+       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+       CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS INT) AS n_sat,
+       CAST(dim AS INT) AS dim
+FROM q"""
 
     o["mm_per_kind_stats"] = "WITH " + MEDIA_CTE + """
 SELECT kind, count(*) AS n_items,

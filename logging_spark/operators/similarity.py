@@ -560,3 +560,88 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
         .where(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def hard_negatives_expr(
+    queries: DataFrame, candidates: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact hard-negative mining: for each query, the k most similar
+    candidates with a DIFFERENT label — the contrastive-training
+    sampler (hardest negatives teach the most). Same deliberately-
+    quadratic broadcast shape as brute_force_topk_expr; at corpus
+    scale run `hard_negatives` (kernel tier with over-fetch) instead."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(label_col).alias("_ql"),
+                       F.col(vec_col).alias("_qv"))
+    c = candidates.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(label_col).alias("_cl"),
+                          F.col(vec_col).alias("_cv"))
+    scored = (q.crossJoin(F.broadcast(c))
+              .where(F.col("_ql") != F.col("_cl"))
+              .withColumn("cosine", cosine_expr(F.col("_qv"), F.col("_cv"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def hard_negatives(
+    queries: DataFrame, candidates: DataFrame, k: int = 5,
+    overfetch: int = 50, id_col: str = "vec_id",
+    vec_col: str = "embedding", label_col: str = "label",
+) -> DataFrame:
+    """Scale tier of hard-negative mining: over-fetch the top
+    (k + overfetch) neighbors with the BLAS kernel (labels ignored in
+    the hot matmul), join labels back, drop same-label rows, re-rank,
+    keep k. Exact iff fewer than `overfetch` same-label vectors crowd
+    a query's top window — size overfetch to the largest class's local
+    density (a recall test against hard_negatives_expr pins the
+    fixture's gap at zero). Inherits brute_force_topk's auto-dispatch
+    past the broadcast budget."""
+    from pyspark.sql import Window
+
+    top = brute_force_topk(queries, candidates, k=k + overfetch,
+                           id_col=id_col, vec_col=vec_col)
+    qlab = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(label_col).alias("_ql"))
+    clab = candidates.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(label_col).alias("_cl"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (top.join(F.broadcast(qlab), "query_id")
+            .join(F.broadcast(clab), "neighbor_id")
+            .where(F.col("_ql") != F.col("_cl"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def quantize_int8_summary(
+    vectors: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the serving-index
+    compression step), surfaced as integer-exact audit columns:
+    scale_ppm = floor(max|x| * 1e6), sum_q = sum of quantized values,
+    n_sat = saturated dims (|q| = 127), dim. q_i = floor(127 * x_i /
+    max|x|) — one float division + floor, bit-portable across engines
+    since both start from the same float32 values. Zero vectors
+    quantize to all-zero (guard, no NaN). Pure expression projection:
+    no shuffle, no UDF, 4 bytes/dim -> 1 byte/dim at the sink."""
+    xd = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    scale = f"array_max(transform({xd}, x -> abs(x)))"
+    q = (f"CASE WHEN {scale} = 0.0 THEN transform({xd}, x -> CAST(0 AS BIGINT)) "
+         f"ELSE transform({xd}, x -> CAST(floor(127.0 * x / {scale}) AS BIGINT)) END")
+    return vectors.select(
+        F.col(id_col),
+        F.expr(f"CAST(floor({scale} * 1000000) AS BIGINT)").alias("scale_ppm"),
+        F.expr(f"CAST(aggregate({q}, CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)")
+         .alias("sum_q"),
+        F.expr(f"CAST(size(filter({q}, x -> abs(x) >= 127)) AS INT)")
+         .alias("n_sat"),
+        F.expr(f"CAST(size({vec_col}) AS INT)").alias("dim"))

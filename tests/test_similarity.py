@@ -116,3 +116,30 @@ def test_topk_auto_dispatch_past_broadcast_budget(vecs):
     b = {(r["query_id"], r["rank"]): r["neighbor_id"]
          for r in S.brute_force_topk(vecs, vecs, k=3, max_broadcast=50).collect()}
     assert a == b
+
+
+def test_hard_negatives_kernel_matches_exact_expr(vecs):
+    q = vecs.where(F.col("vec_id") < 40)
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in S.hard_negatives_expr(q, vecs, k=3).collect()}
+    kern = {(r.query_id, r.rank): r.neighbor_id
+            for r in S.hard_negatives(q, vecs, k=3, overfetch=119).collect()}
+    # overfetch = full candidate set -> the kernel tier is exact and
+    # must agree with the quadratic expr tier pair for pair
+    assert kern == exact
+    # every returned negative really has a different label
+    labels = {r.vec_id: r.label for r in vecs.collect()}
+    for (qid, _), nid in kern.items():
+        assert labels[qid] != labels[nid]
+
+
+def test_quantize_int8_summary_bounds(vecs):
+    out = S.quantize_int8_summary(vecs).collect()
+    assert len(out) == vecs.count()
+    for r in out:
+        assert r.dim == 64
+        assert r.scale_ppm >= 0
+        # |q_i| <= 127 (floor can reach -127 at x = -scale) so sum is
+        # bounded by 127 * dim
+        assert abs(r.sum_q) <= 127 * r.dim
+        assert 0 <= r.n_sat <= r.dim
