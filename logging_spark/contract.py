@@ -48,6 +48,7 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 embedding_near_duplicates,
                                                 hard_negatives_expr,
                                                 ivf_topk, lsh_topk,
+                                                negative_samples,
                                                 plane_signs,
                                                 quantize_int8_summary)
 from logging_spark.operators.cluster import (duplicate_clusters,
@@ -1792,6 +1793,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return quantize_int8_summary(_read(spark, sf, "embeddings"))
     q["sim_quantize_int8"] = sim_quantize_int8
 
+    # deterministic uniform negative sampling (contrastive training):
+    # pure md5 arithmetic over dense ids — no RNG state, identical
+    # draws on any engine/partitioning
+    def sim_negative_samples(spark, sf):
+        return negative_samples(_read(spark, sf, "embeddings"), k=4)
+    q["sim_negative_samples"] = sim_negative_samples
+
     def sim_near_dup(spark, sf):
         # production path: LSH-bucketed candidates + exact re-rank (no
         # cross join anywhere in the plan — tests/test_plans.py). The
@@ -3416,6 +3424,19 @@ SELECT vec_id,
        CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS INT) AS n_sat,
        CAST(dim AS INT) AS dim
 FROM q"""
+
+    _neg_draw = hash60_sql(
+        "concat(CAST(vec_id AS VARCHAR), ':', CAST(slot AS VARCHAR))", "neg")
+    o["sim_negative_samples"] = f"""
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+slots AS (SELECT vec_id, CAST(s.slot AS INT) AS slot
+          FROM embeddings, (SELECT unnest(range(1, 5)) AS slot) s),
+d AS (SELECT vec_id, slot, {_neg_draw} % (n.n - 1) AS draw
+      FROM slots, n)
+SELECT vec_id, slot,
+       CAST(CASE WHEN draw >= vec_id THEN draw + 1 ELSE draw END AS BIGINT)
+         AS neg_id
+FROM d"""
 
     o["mm_per_kind_stats"] = "WITH " + MEDIA_CTE + """
 SELECT kind, count(*) AS n_items,

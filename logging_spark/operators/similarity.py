@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from logging_spark.functions.expr import let
+from logging_spark.operators.sample import hash60
 
 
 def cosine_udf_col(a: Column, b: Column) -> Column:
@@ -645,3 +646,48 @@ def quantize_int8_summary(
         F.expr(f"CAST(size(filter({q}, x -> abs(x) >= 127)) AS INT)")
          .alias("n_sat"),
         F.expr(f"CAST(size({vec_col}) AS INT)").alias("dim"))
+
+
+def negative_samples(
+    vectors: DataFrame, k: int = 4, id_col: str = "vec_id",
+    seed: str = "neg", assume_dense_ids: bool = True,
+) -> DataFrame:
+    """k deterministic pseudo-random negatives per id — the uniform
+    negative sampler of contrastive/embedding training, reproducible
+    across runs, engines and partitionings (pure md5 arithmetic, no
+    RNG state). slot j of id i draws hash60(seed, "i:j") mod (n-1),
+    shifted up past i so i never samples itself and the draw stays
+    uniform over the other n-1 ids.
+
+    With ``assume_dense_ids`` (ids are 0..n-1 — true for vector
+    tables written by this repo) the sampler is a pure projection
+    after one count. Otherwise a dense index is minted with one
+    range-sort window and negatives map back to real ids via an
+    equi-join on the index — costlier but total.
+
+    Output: (id_col, slot, neg_id), k rows per input id.
+    """
+    from pyspark.sql import Window
+
+    n = vectors.count()
+    if n < 2:
+        raise ValueError("negative_samples needs at least 2 vectors")
+    if assume_dense_ids:
+        base = vectors.select(F.col(id_col), F.col(id_col).alias("_idx"))
+    else:
+        w = Window.orderBy(id_col)
+        base = vectors.select(id_col).withColumn(
+            "_idx", F.row_number().over(w) - 1)
+    slots = base.select(
+        id_col, "_idx",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot"))
+    draw = hash60(F.concat_ws(":", F.col("_idx").cast("string"),
+                              F.col("slot").cast("string")), seed) % (n - 1)
+    neg_idx = F.when(draw >= F.col("_idx"), draw + 1).otherwise(draw)
+    out = slots.withColumn("_neg_idx", neg_idx.cast("long"))
+    if assume_dense_ids:
+        return out.select(id_col, "slot",
+                          F.col("_neg_idx").alias("neg_id"))
+    back = base.select(F.col("_idx").alias("_neg_idx"),
+                       F.col(id_col).alias("neg_id"))
+    return out.join(back, "_neg_idx").select(id_col, "slot", "neg_id")

@@ -143,3 +143,28 @@ def test_quantize_int8_summary_bounds(vecs):
         # bounded by 127 * dim
         assert abs(r.sum_q) <= 127 * r.dim
         assert 0 <= r.n_sat <= r.dim
+
+
+def test_negative_samples_uniformity_and_no_self(spark):
+    df = spark.range(200).select(F.col("id").alias("vec_id"))
+    out = S.negative_samples(df, k=8, assume_dense_ids=True).collect()
+    assert len(out) == 200 * 8
+    for r in out:
+        assert r.neg_id != r.vec_id and 0 <= r.neg_id < 200
+    # determinism
+    again = S.negative_samples(df.repartition(7), k=8).collect()
+    assert sorted((r.vec_id, r.slot, r.neg_id) for r in out) == \
+        sorted((r.vec_id, r.slot, r.neg_id) for r in again)
+    # crude uniformity: every id drawn at least once as a negative
+    drawn = {r.neg_id for r in out}
+    assert len(drawn) > 190
+
+
+def test_negative_samples_sparse_id_fallback(spark):
+    df = spark.createDataFrame([(10,), (200,), (3000,), (40000,)],
+                               "vec_id long")
+    out = S.negative_samples(df, k=3, assume_dense_ids=False).collect()
+    ids = {10, 200, 3000, 40000}
+    assert len(out) == 12
+    for r in out:
+        assert r.neg_id in ids and r.neg_id != r.vec_id
