@@ -65,6 +65,12 @@ HEADLINE = [
     "audit_fingerprint",
     "events_snapshot_diff",
     "events_scd2",
+    # fifth-session families: template mining, session-analytics
+    # chain, hard negatives, int8 quantization audit
+    "pipe_log_templates",
+    "events_session_analytics_e2e",
+    "sim_hard_negatives",
+    "sim_quantize_int8",
 ]
 
 
