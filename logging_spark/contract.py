@@ -918,6 +918,26 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       .cast("long").alias("n_bounce")))
     q["events_session_analytics_e2e"] = events_session_analytics_e2e
 
+    # -- native Catalyst session windows (F.session_window): the
+    # built-in gap-merge aggregation, same 1800 s boundary semantics
+    # as operators/sessionize.py (merge at diff <= gap, split past
+    # it — pinned against the window-sum operator in test_plans twin
+    # queries AND by this shared oracle derivation). One shuffle on
+    # (user, session), no window-function pass at all.
+    def events_native_session_window(spark, sf):
+        ev = _read(spark, sf, "events")
+        g = ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), "30 minutes").alias("w"))
+        return (g.agg(F.count(F.lit(1)).alias("n_events"))
+                .select("user_id",
+                        F.unix_micros(F.col("w.start").cast("timestamp"))
+                         .alias("start_us"),
+                        F.unix_micros(F.col("w.end").cast("timestamp"))
+                         .alias("end_us"),
+                        "n_events"))
+    q["events_native_session_window"] = events_native_session_window
+
     # -- rank-family windows (rank/dense_rank/percent_rank/cume_dist)
     # over per-segment balance order: tied cents get tied ranks, so
     # every output is deterministic without a tiebreak column.
@@ -2522,6 +2542,27 @@ SELECT day, n_new,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS running_users
 FROM daily"""
+
+    o["events_native_session_window"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+marked AS (
+  -- Spark's session window [t, t+gap) is end-EXCLUSIVE: an event at
+  -- exactly prev+gap starts a NEW session, so the split test is >=
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL THEN 1
+              WHEN us - lag(us) OVER w >= 1800 * 1000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+sessions AS (
+  SELECT user_id, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+       CAST(min(us) AS BIGINT) AS start_us,
+       CAST(max(us) + 1800 * 1000000 AS BIGINT) AS end_us,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid"""
 
     o["events_ab_experiment"] = f"""
 WITH per_user AS (
