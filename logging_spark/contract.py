@@ -61,7 +61,7 @@ from logging_spark.operators.anomaly import spike_flags
 from logging_spark.operators.profile import profile_columns
 from logging_spark.operators.sequence import sequence_pattern_matches
 from logging_spark.operators.cohort import cohort_retention
-from logging_spark.operators.scd import scd2
+from logging_spark.operators.scd import scd2, scd2_lookup
 from logging_spark.operators.diff import snapshot_diff
 from logging_spark.operators.dq import dq_checks, table_fingerprint
 from logging_spark.operators.winsorize import winsorized_stats
@@ -711,6 +711,28 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return scd2(ev, key="user_id", attr="event_type", ts=us,
                     tiebreak=["event_id"])
     q["events_scd2"] = events_scd2
+
+    # -- SCD2 temporal lookup (operators/scd.py scd2_lookup): the
+    # read side of SCD2 — "what was each user's state an hour before
+    # this event", resolved as an as-of join on interval starts (one
+    # equi-shuffle, never a range join). Rolled up (current type ×
+    # prior state); pre-history facts coalesce to 'none'.
+    def events_scd2_lookup(spark, sf):
+        ev = _read(spark, sf, "events")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        dim = scd2(ev, key="user_id", attr="event_type", ts=us,
+                   tiebreak=["event_id"]) \
+            .withColumnRenamed("event_type", "state")
+        facts = ev.select("user_id", "event_type",
+                          (us - 3600 * 1_000_000).alias("_lts"))
+        looked = scd2_lookup(facts, dim, key="user_id",
+                             fact_ts="_lts", attr="state")
+        return (looked.groupBy(
+                    "event_type",
+                    F.coalesce(F.col("state"), F.lit("none"))
+                     .alias("state_1h_ago"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    q["events_scd2_lookup"] = events_scd2_lookup
 
     # -- snapshot diff / CDC (operators/diff.py): per-user activity
     # stats at two as-of dates, keyed full-outer hash diff. Monotone
@@ -2403,6 +2425,24 @@ SELECT user_id, event_type, us AS valid_from,
          AS is_current
 FROM chg
 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)"""
+
+    o["events_scd2_lookup"] = """
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+chg AS (
+  SELECT user_id, event_type AS state, us AS valid_from
+  FROM ordered WHERE event_type IS DISTINCT FROM prev),
+facts AS (
+  SELECT user_id, event_type, epoch_us(ts) - CAST(3600000000 AS BIGINT) AS lts
+  FROM events)
+SELECT f.event_type, coalesce(c.state, 'none') AS state_1h_ago,
+       count(*) AS n
+FROM facts f ASOF LEFT JOIN chg c
+  ON f.user_id = c.user_id AND f.lts >= c.valid_from
+GROUP BY 1, 2"""
 
     o["events_snapshot_diff"] = """
 WITH snap_a AS (

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from logging_spark.operators.asof import asof_join
+
 OPEN_SENTINEL = -1  # valid_to for the current (open) interval
 
 
@@ -66,3 +68,34 @@ def scd2(
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0))
          .cast("int").alias("is_current"),
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    attr: str = None,
+) -> DataFrame:
+    """Temporal dimension join: attach the SCD2 attribute that was
+    valid at each fact's timestamp — the read side of scd2().
+
+    Because scd2 intervals tile each key's timeline ([valid_from,
+    valid_to) with the last interval open), "the interval containing
+    ts" IS "the greatest valid_from <= ts", so the lookup is exactly
+    an as-of join on valid_from — one equi-shuffle via asof_join's
+    union-tag plan, never a range join. Facts before the key's first
+    interval (or with no dim key) get a NULL attribute.
+
+    ``fact_ts`` must be a bigint column name in the same unit as the
+    dim's valid_from (microseconds for the events derivation).
+    """
+    cols = [attr] if attr else [
+        c for c in dim.columns
+        if c not in (key, "valid_from", "valid_to", "version",
+                     "is_current")]
+    if not cols:
+        raise ValueError("scd2_lookup: no attribute columns in dim")
+    d = dim.select(key, F.col("valid_from").alias("_vf"), *cols)
+    return asof_join(facts, d, on=key, left_ts=fact_ts,
+                     right_ts="_vf", payload_cols=cols)

@@ -55,6 +55,25 @@ def test_scd2_intervals_tile_per_key(spark):
     assert sum(r.is_current for r in rows) == 1
 
 
+def test_scd2_lookup_boundary_and_prehistory(spark):
+    from logging_spark.operators.scd import scd2_lookup
+    log = _log(spark, [("a", "up", 10), ("a", "down", 30)])
+    dim = scd2(log, key="k", attr="state", ts=F.col("us")) \
+        .withColumnRenamed("state", "st")
+    facts = spark.createDataFrame(
+        [("a", 1, 5),    # before any interval -> NULL
+         ("a", 2, 10),   # exactly at valid_from -> that interval
+         ("a", 3, 29),   # last instant of interval 1
+         ("a", 4, 30),   # boundary: new interval starts
+         ("a", 5, 99),   # open interval
+         ("b", 6, 50)],  # unknown key -> NULL
+        "k string, fid long, fts long")
+    got = {r.fid: r.st for r in scd2_lookup(
+        facts, dim, key="k", fact_ts="fts", attr="st").collect()}
+    assert got == {1: None, 2: "up", 3: "up", 4: "down", 5: "down",
+                   6: None}
+
+
 def _snap(spark, rows):
     return spark.createDataFrame(rows, "k long, v long")
 
