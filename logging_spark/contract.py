@@ -1428,6 +1428,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.grouping_id("l_returnflag", "l_linestatus").cast("int").alias("gid")))
     q["agg_grouping_sets"] = agg_grouping_sets
 
+    def agg_cube(spark, sf):
+        # full CUBE lattice with grouping_id disambiguation; labels
+        # coalesced so subtotal rows stay NULL-free for the comparator
+        li = _read(spark, sf, "lineitem")
+        return (li.cube("l_returnflag", "l_linestatus")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.grouping_id("l_returnflag", "l_linestatus")
+                      .cast("int").alias("gid"))
+                .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                         .alias("rf"),
+                        F.coalesce("l_linestatus", F.lit("ALL"))
+                         .alias("ls"),
+                        "n", "gid"))
+    q["agg_cube"] = agg_cube
+
     def dim_join_rollup(spark, sf):
         r = _read(spark, sf, "region")
         n = _read(spark, sf, "nation")
@@ -2799,6 +2814,14 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
        CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))"""
+
+    o["agg_cube"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       count(*) AS n,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)"""
 
     o["dim_join_rollup"] = """
 SELECT r_name, n_name, count(*) AS n_customers,
