@@ -1428,6 +1428,40 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.grouping_id("l_returnflag", "l_linestatus").cast("int").alias("gid")))
     q["agg_grouping_sets"] = agg_grouping_sets
 
+    # argmax WITHOUT a window pass: max over a (value, -tiebreak)
+    # struct is one map-side-combinable aggregate — the shuffle
+    # carries one struct per (group, partition) instead of every row
+    # sorting through a rank window. Deterministic: highest balance,
+    # lowest custkey on ties.
+    def agg_argmax(spark, sf):
+        cu = _read(spark, sf, "customer")
+        cents = F.round(F.col("c_acctbal") * 100).cast("long")
+        packed = F.max(F.struct(cents.alias("bal"),
+                                (-F.col("c_custkey")).alias("nck")))
+        return (cu.groupBy("c_mktsegment")
+                .agg(packed.alias("_m"),
+                     F.count(F.lit(1)).alias("n_customers"))
+                .select("c_mktsegment",
+                        F.col("_m.bal").alias("best_bal_cents"),
+                        (-F.col("_m.nck")).cast("long")
+                         .alias("best_custkey"),
+                        "n_customers"))
+    q["agg_argmax"] = agg_argmax
+
+    # hour-of-day seasonality profile: integral mean via DIV — the
+    # periodic baseline an anomaly detector subtracts
+    def events_seasonality(spark, sf):
+        ev = _read(spark, sf, "events")
+        return (ev.groupBy("event_type",
+                           F.hour(F.col("ts").cast("timestamp"))
+                            .cast("int").alias("hour_of_day"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.round(F.col("value") * 100).cast("long"))
+                      .alias("sum_cents"))
+                .withColumn("mean_cents",
+                            F.expr("CAST(sum_cents DIV n AS BIGINT)")))
+    q["events_seasonality"] = events_seasonality
+
     def agg_cube(spark, sf):
         # full CUBE lattice with grouping_id disambiguation; labels
         # coalesced so subtotal rows stay NULL-free for the comparator
@@ -2814,6 +2848,29 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
        CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))"""
+
+    o["agg_argmax"] = """
+WITH c AS (SELECT c_mktsegment, c_custkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+r AS (SELECT c_mktsegment, c_custkey, cents,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cents DESC, c_custkey) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n_customers
+      FROM c)
+SELECT c_mktsegment, cents AS best_bal_cents,
+       CAST(c_custkey AS BIGINT) AS best_custkey,
+       CAST(n_customers AS BIGINT) AS n_customers
+FROM r WHERE rn = 1"""
+
+    o["events_seasonality"] = """
+SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            // count(*) AS BIGINT) AS mean_cents
+FROM events GROUP BY 1, 2"""
 
     o["agg_cube"] = """
 SELECT coalesce(l_returnflag, 'ALL') AS rf,
