@@ -1689,6 +1689,39 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumnRenamed("node", "doc_id"))
     q["docs_pagerank"] = docs_pagerank
 
+    # -- score-fusion ranking: blend lexical quality (distinct-token
+    # permille) with graph centrality (integer PageRank over the LSH
+    # pair graph), each max-normalized to ppm by integral DIV — no
+    # global rank window anywhere (fusion is on SCORES, so the only
+    # ordered step is the final top-20 TakeOrdered). Docs outside the
+    # pair graph get PageRank's no-inlink baseline.
+    def docs_rank_fusion(spark, sf):
+        d = _read(spark, sf, "documents")
+        qf = T.quality_features("text")
+        dq = (d.select("doc_id", qf.alias("_q"))
+              .select("doc_id", F.col("_q.n_tokens").alias("nt"),
+                      F.col("_q.n_distinct_tokens").alias("nd"))
+              .withColumn("qs", F.expr(
+                  "CAST(CASE WHEN nt = 0 THEN 0"
+                  " ELSE (nd * 1000) DIV nt END AS BIGINT)")))
+        pr = (pagerank_integer(lsh_pairs_portable(spark, sf),
+                               iterations=3)
+              .select(F.col("node").alias("doc_id"),
+                      F.col("pr").alias("_pr")))
+        mq = dq.agg(F.max("qs").alias("mq"))
+        mp = pr.agg(F.max("_pr").alias("mpr"))
+        fused = (dq.join(pr, "doc_id", "left")
+                 .withColumn("prv", F.coalesce(F.col("_pr"),
+                                               F.lit(150000).cast("long")))
+                 .crossJoin(F.broadcast(mq))
+                 .crossJoin(F.broadcast(mp))
+                 .withColumn("blend_ppm", F.expr(
+                     "CAST((qs * 1000000) DIV mq"
+                     " + (prv * 1000000) DIV mpr AS BIGINT)")))
+        return (fused.select("doc_id", "qs", "prv", "blend_ppm")
+                .orderBy(F.col("blend_ppm").desc(), "doc_id").limit(20))
+    q["docs_rank_fusion"] = docs_rank_fusion
+
     # -- deterministic sampling / splitting / mixing ------------------------
     # integer-exact md5 thresholds (operators/sample.py): membership is
     # a pure function of (seed, id), reproducible on any engine
@@ -3186,6 +3219,33 @@ deg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS deg
 r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg){_pr_rounds}
 SELECT r3.node AS doc_id, r3.pr AS pr, deg.deg AS deg
 FROM r3 JOIN deg ON r3.node = deg.s"""
+
+    o["docs_rank_fusion"] = f"""WITH {_lsh_ctes},
+pairs AS MATERIALIZED ({_lsh_pairs}),
+und AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+deg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS deg
+                     FROM und GROUP BY 1),
+r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg){_pr_rounds},
+prt AS MATERIALIZED (SELECT node AS doc_id, pr FROM r3),
+qual AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(toks) = 0 THEN 0
+              ELSE (len(list_distinct(toks)) * 1000) // len(toks) END
+              AS BIGINT) AS qs
+  FROM (SELECT doc_id, {TOKS} AS toks FROM documents)),
+mx AS (SELECT max(qs) AS mq FROM qual),
+mp AS (SELECT max(pr) AS mpr FROM prt),
+fused AS (
+  SELECT q.doc_id, q.qs,
+         CAST(coalesce(p.pr, 150000) AS BIGINT) AS prv
+  FROM qual q LEFT JOIN prt p ON q.doc_id = p.doc_id)
+SELECT doc_id, qs, prv,
+       CAST((qs * 1000000) // mq + (prv * 1000000) // mpr AS BIGINT)
+         AS blend_ppm
+FROM fused, mx, mp
+ORDER BY blend_ppm DESC, doc_id
+LIMIT 20"""
 
     # the full cleaning chain: quality -> exact dedup -> LSH clusters
     # over the SURVIVORS -> keep canonical -> lang/tokens/redacted-fp
