@@ -20,7 +20,20 @@ Engine-portability rules used throughout (learned the hard way):
 - Spark concat() is null-propagating, DuckDB's is not → every
   nullable concat operand is wrapped in coalesce(x, '');
 - md5 (lowercase hex) is the only hash both engines share → the
-  `portable=True` paths of dedup/minhash use it.
+  `portable=True` paths of dedup/minhash use it;
+- integral ratios: compute both operands as x100/x10000 longs, then
+  Spark `a DIV b` == DuckDB `a // b` for non-negative operands —
+  never decimal division (engine-specific scale/rounding). For
+  possibly-negative numerators the two differ (trunc vs floor):
+  restructure to keep numerators non-negative;
+- bit_xor is an aggregate in BOTH engines → portable commutative
+  fingerprints (sum of hashes would overflow / throw under ANSI);
+- null-safe compares: Spark eqNullSafe ↔ DuckDB IS [NOT] DISTINCT
+  FROM — mirror them in pairs or NULL attrs drift;
+- DuckDB integer literals are INT32: `3600 * 1000000` overflows at
+  parse time → write big literals pre-multiplied or CAST AS BIGINT;
+- F.session_window's boundary is end-EXCLUSIVE: the oracle's split
+  test is `diff >= gap` (the sessionize operator's is `> gap`).
 """
 
 from __future__ import annotations
