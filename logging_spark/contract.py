@@ -990,6 +990,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.cume_dist().over(w).alias("cd")))
     q["window_rank_family"] = window_rank_family
 
+    # -- template-rate alerting: the log-monitoring composition —
+    # mask lines to templates, count per (template, hour), Hampel
+    # spike flags per template (reuses mask_template + spike_flags
+    # unchanged). Raw lines collapse to templates BEFORE the count
+    # shuffle; the percentile windows ride one (template) partition.
+    def pipe_template_spikes(spark, sf):
+        t = turns_df(spark, sf).select(
+            T.mask_template("text").alias("template"), "ts")
+        return (spike_flags(t, key_col="template", ts_col="ts",
+                            period_s=3600)
+                .withColumnRenamed("key", "template"))
+    q["pipe_template_spikes"] = pipe_template_spikes
+
     # -- column profiling (operators/profile.py): the per-snapshot
     # data-quality audit — one Expand pass, every null + distinct count
     q["events_profile"] = lambda spark, sf: profile_columns(
@@ -2833,6 +2846,23 @@ m AS (SELECT *, quantile_cont(CAST(n AS DOUBLE), 0.5)
 d AS (SELECT *, quantile_cont(abs(n - med), 0.5)
                   OVER (PARTITION BY key) AS mad FROM m)
 SELECT key, period, CAST(n AS BIGINT) AS n, med, mad,
+       (n - med) > 3 * mad AS is_spike
+FROM d"""
+
+    o["pipe_template_spikes"] = "WITH " + TURNS_CTE + r""",
+c AS (SELECT regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[0-9a-f]{8,}', '<HEX>', 'g'),
+                 '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+               '\d+', '<N>', 'g') AS template,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS period,
+             count(*) AS n
+      FROM turns GROUP BY 1, 2),
+m AS (SELECT *, quantile_cont(CAST(n AS DOUBLE), 0.5)
+                  OVER (PARTITION BY template) AS med FROM c),
+d AS (SELECT *, quantile_cont(abs(n - med), 0.5)
+                  OVER (PARTITION BY template) AS mad FROM m)
+SELECT template, period, CAST(n AS BIGINT) AS n, med, mad,
        (n - med) > 3 * mad AS is_spike
 FROM d"""
 
