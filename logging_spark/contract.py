@@ -990,6 +990,26 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.cume_dist().over(w).alias("cd")))
     q["window_rank_family"] = window_rank_family
 
+    # -- response latency: per conversation, each user turn paired
+    # with the immediately following assistant turn (lead over the
+    # turn order — one window shuffle), exact latency quantiles.
+    def pipe_response_latency(spark, sf):
+        t = turns_df(spark, sf)
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        d = (t.select("conv_id", "turn_idx", "role", us.alias("us"))
+             .withColumn("nrole", F.lead("role").over(w))
+             .withColumn("nus", F.lead("us").over(w)))
+        pairs = (d.where((F.col("role") == "user")
+                         & (F.col("nrole") == "assistant"))
+                 .select((F.col("nus") - F.col("us")).alias("lat_us")))
+        return pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("percentile(CAST(lat_us AS DOUBLE), 0.5)").alias("p50_us"),
+            F.expr("percentile(CAST(lat_us AS DOUBLE), 0.95)").alias("p95_us"),
+            F.max("lat_us").alias("max_us"))
+    q["pipe_response_latency"] = pipe_response_latency
+
     # -- template-rate alerting: the log-monitoring composition —
     # mask lines to templates, count per (template, hour), Hampel
     # spike flags per template (reuses mask_template + spike_flags
@@ -2848,6 +2868,21 @@ d AS (SELECT *, quantile_cont(abs(n - med), 0.5)
 SELECT key, period, CAST(n AS BIGINT) AS n, med, mad,
        (n - med) > 3 * mad AS is_spike
 FROM d"""
+
+    o["pipe_response_latency"] = "WITH " + TURNS_CTE + """,
+d AS (
+  SELECT conv_id, role, epoch_us(ts) AS us,
+         lead(role) OVER w AS nrole,
+         lead(epoch_us(ts)) OVER w AS nus
+  FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+pairs AS (
+  SELECT nus - us AS lat_us FROM d
+  WHERE role = 'user' AND nrole = 'assistant')
+SELECT count(*) AS n_pairs,
+       quantile_cont(CAST(lat_us AS DOUBLE), 0.5) AS p50_us,
+       quantile_cont(CAST(lat_us AS DOUBLE), 0.95) AS p95_us,
+       CAST(max(lat_us) AS BIGINT) AS max_us
+FROM pairs"""
 
     o["pipe_template_spikes"] = "WITH " + TURNS_CTE + r""",
 c AS (SELECT regexp_replace(
