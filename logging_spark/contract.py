@@ -65,7 +65,8 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 plane_signs,
                                                 quantize_int8_summary)
 from logging_spark.operators.cluster import (duplicate_clusters,
-                                             graph_summary, keep_canonical)
+                                             graph_summary, keep_canonical,
+                                             label_propagation)
 from logging_spark.operators.funnel import funnel_counts
 from logging_spark.operators.importance import (importance_scores,
                                                 importance_weighted_sample)
@@ -1735,6 +1736,38 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumnRenamed("node", "doc_id"))
     q["docs_pagerank"] = docs_pagerank
 
+    # -- LPA communities (operators/cluster.py label_propagation):
+    # majority-label dynamics over the LSH pair graph, 2 synchronized
+    # rounds, deterministic min-label ties — splits a component into
+    # dense cores where CC would merge across a bridge edge.
+    def docs_lpa_communities(spark, sf):
+        return (label_propagation(lsh_pairs_portable(spark, sf),
+                                  rounds=2)
+                .withColumnRenamed("node", "doc_id"))
+    q["docs_lpa_communities"] = docs_lpa_communities
+
+    # -- vocabulary growth (Heaps-law curve): tokens attributed to the
+    # FIRST document containing them (min doc over an exploded
+    # (token, doc) frame — map-side combinable, shuffle = vocab
+    # cardinality), bucketed into corpus deciles, running vocab size
+    # over the 10-row decile frame. "How fast does new vocabulary
+    # arrive as the corpus grows" — the dedup/quality planning curve.
+    def docs_vocab_growth(spark, sf):
+        d = _read(spark, sf, "documents")
+        n = d.agg(F.max("doc_id").alias("_mx"))
+        first = (d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+                 .groupBy("tok").agg(F.min("doc_id").alias("first_doc")))
+        decile = F.expr(
+            "CAST(least((first_doc * 10) DIV (_mx + 1), 9) AS INT)")
+        per = (first.crossJoin(F.broadcast(n))
+               .groupBy(decile.alias("decile"))
+               .agg(F.count(F.lit(1)).alias("n_new_tokens")))
+        w = (Window.orderBy("decile")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return per.withColumn("vocab_size",
+                              F.sum("n_new_tokens").over(w).cast("long"))
+    q["docs_vocab_growth"] = docs_vocab_growth
+
     # -- score-fusion ranking: blend lexical quality (distinct-token
     # permille) with graph centrality (integer PageRank over the LSH
     # pair graph), each max-normalized to ppm by integral DIV — no
@@ -3288,6 +3321,29 @@ SELECT (SELECT count(*) FROM nodes) AS n_nodes,
        (SELECT count(*) FROM pairs) AS n_edges,
        (SELECT n_triangles FROM tri) AS n_triangles"""
 
+    o["docs_lpa_communities"] = f"""WITH {_lsh_ctes},
+pairs AS MATERIALIZED ({_lsh_pairs}),
+und AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM und),
+c1 AS (SELECT u.d AS node, l.label, count(*) AS cnt
+       FROM und u JOIN l0 l ON u.s = l.node GROUP BY 1, 2),
+l1 AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rn
+    FROM c1) WHERE rn = 1),
+c2 AS (SELECT u.d AS node, l.label, count(*) AS cnt
+       FROM und u JOIN l1 l ON u.s = l.node GROUP BY 1, 2),
+l2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rn
+    FROM c2) WHERE rn = 1)
+SELECT node AS doc_id, CAST(label AS BIGINT) AS community FROM l2"""
+
     o["docs_pagerank"] = f"""WITH {_lsh_ctes},
 pairs AS MATERIALIZED ({_lsh_pairs}),
 und AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
@@ -3297,6 +3353,20 @@ deg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS deg
 r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg){_pr_rounds}
 SELECT r3.node AS doc_id, r3.pr AS pr, deg.deg AS deg
 FROM r3 JOIN deg ON r3.node = deg.s"""
+
+    o["docs_vocab_growth"] = f"""
+WITH n AS (SELECT max(doc_id) AS mx FROM documents),
+ex AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+first AS (SELECT tok, min(doc_id) AS first_doc FROM ex GROUP BY tok),
+per AS (
+  SELECT CAST(least((first_doc * 10) // (mx + 1), 9) AS INT) AS decile,
+         count(*) AS n_new_tokens
+  FROM first, n GROUP BY 1)
+SELECT decile, n_new_tokens,
+       CAST(sum(n_new_tokens) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS vocab_size
+FROM per"""
 
     o["docs_rank_fusion"] = f"""WITH {_lsh_ctes},
 pairs AS MATERIALIZED ({_lsh_pairs}),

@@ -146,6 +146,44 @@ def graph_summary(pairs: DataFrame, id_a: str = "doc_a",
     return nodes.crossJoin(edges).crossJoin(tri)
 
 
+def label_propagation(pairs: DataFrame, rounds: int = 2,
+                      id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation with a
+    deterministic tie-break (Raghavan et al. 2007, made reproducible):
+    labels start as node ids; each round every node adopts the label
+    most frequent among its NEIGHBORS, ties broken to the smallest
+    label. Where connected components answer "which nodes touch at
+    all", LPA's majority dynamics split a component into its dense
+    cores — near-clique duplicate families keep distinct labels even
+    when a spurious bridge edge connects them.
+
+    Fixed `rounds` keeps the job cost deterministic and the result
+    oracle-checkable (the oracle unrolls the same rounds). Per round:
+    one edges⨝labels equi-join + one (node, label) count + one
+    windowless argmax via max(struct(count, -label)) — all map-side
+    combinable, labels localCheckpointed so the plan stays flat.
+    Output: (node, community)."""
+    und = (pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+           .union(pairs.select(F.col(id_b).alias("s"),
+                               F.col(id_a).alias("d")))
+           .distinct().localCheckpoint())
+    labels = (und.select(F.col("s").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(int(rounds)):
+        msgs = (und.join(labels, und["s"] == labels["node"])
+                .select(F.col("d").alias("node"), "label"))
+        counts = (msgs.groupBy("node", "label")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        labels = (counts.groupBy("node")
+                  .agg(F.max(F.struct(F.col("cnt"),
+                                      (-F.col("label")).alias("nl")))
+                        .alias("_m"))
+                  .select("node", (-F.col("_m.nl")).cast("long")
+                          .alias("label"))
+                  .localCheckpoint())
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def keep_canonical(df: DataFrame, clusters: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Filter a corpus to one representative per duplicate cluster:

@@ -83,3 +83,31 @@ def test_graph_summary_dedups_pair_multiplicity(spark):
         [(1, 2), (1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long")
     r = graph_summary(df).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    from logging_spark.operators.cluster import label_propagation
+    # two K4 cliques {0..3} and {10..13} joined by ONE bridge edge —
+    # connected components would merge them; LPA majority dynamics
+    # keep two communities
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    pairs = spark.createDataFrame(k4a + k4b + [(3, 10)],
+                                  "doc_a long, doc_b long")
+    out = {r.node: r.community
+           for r in label_propagation(pairs, rounds=2).collect()}
+    assert len({out[n] for n in range(4)}) == 1
+    assert len({out[n] for n in range(10, 14)}) == 1
+    assert out[0] != out[11]   # the bridge did not merge the cores
+
+
+def test_label_propagation_is_partitioning_invariant(spark):
+    from logging_spark.operators.cluster import label_propagation
+    pairs = [(i, (i * 7 + 1) % 20) for i in range(20) if i != (i * 7 + 1) % 20]
+    a = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    b = a.repartition(13)
+    ra = sorted((r.node, r.community)
+                for r in label_propagation(a, rounds=3).collect())
+    rb = sorted((r.node, r.community)
+                for r in label_propagation(b, rounds=3).collect())
+    assert ra == rb
