@@ -748,6 +748,39 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n")))
     q["events_scd2_lookup"] = events_scd2_lookup
 
+    # -- integer EWMA (operators/timeseries.py ewma_fold): recursive
+    # smoothing of hourly counts as a HOF fold — no UDF, no per-row
+    # Python; oracle runs the identical recurrence as a recursive CTE.
+    def events_ewma_hourly(spark, sf):
+        from logging_spark.operators.timeseries import ewma_fold
+        ev = _read(spark, sf, "events")
+        hourly = (ev.groupBy(
+                      F.col("event_type"),
+                      F.expr("CAST(unix_timestamp(CAST(ts AS timestamp))"
+                             " DIV 3600 AS BIGINT)").alias("h"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        return ewma_fold(hourly, key="event_type", order_col="h",
+                         value_col="n", den=4)
+    q["events_ewma_hourly"] = events_ewma_hourly
+
+    # -- time-in-state from SCD2 intervals: total dwell per state,
+    # open intervals capped at the user's last event. The natural
+    # consumer of scd2(): "how long do users sit in each state".
+    def events_state_dwell(spark, sf):
+        ev = _read(spark, sf, "events")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        dim = scd2(ev, key="user_id", attr="event_type", ts=us,
+                   tiebreak=["event_id"])
+        cap = ev.groupBy("user_id").agg(F.max(us).alias("_cap"))
+        j = dim.join(cap, "user_id")
+        end = F.when(F.col("valid_to") == -1, F.col("_cap")) \
+               .otherwise(F.col("valid_to"))
+        return (j.groupBy(F.col("event_type").alias("state"))
+                .agg(F.sum(end - F.col("valid_from")).cast("long")
+                      .alias("dwell_us"),
+                     F.count(F.lit(1)).alias("n_intervals")))
+    q["events_state_dwell"] = events_state_dwell
+
     # -- snapshot diff / CDC (operators/diff.py): per-user activity
     # stats at two as-of dates, keyed full-outer hash diff. Monotone
     # event log => no 'removed' rows; 'added' = first-seen users,
@@ -2586,6 +2619,52 @@ SELECT user_id, event_type, us AS valid_from,
          AS is_current
 FROM chg
 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)"""
+
+    o["events_ewma_hourly"] = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+idx AS (SELECT event_type, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                 AS i
+        FROM hourly),
+e(event_type, i, s, mx) AS (
+  SELECT event_type, i, n, n FROM idx WHERE i = 1
+  UNION ALL
+  SELECT h.event_type, h.i,
+         (3 * e.s + h.n) // 4,
+         greatest(e.mx, (3 * e.s + h.n) // 4)
+  FROM e JOIN idx h ON h.event_type = e.event_type AND h.i = e.i + 1),
+lst AS (SELECT event_type, max(i) AS mi FROM e GROUP BY 1)
+SELECT e.event_type, CAST(l.mi AS BIGINT) AS n_points,
+       CAST(e.s AS BIGINT) AS final_ewma,
+       CAST(e.mx AS BIGINT) AS peak_ewma
+FROM e JOIN lst l ON e.event_type = l.event_type AND e.i = l.mi"""
+
+    o["events_state_dwell"] = """
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+chg AS (
+  SELECT user_id, event_type, us, event_id FROM ordered
+  WHERE event_type IS DISTINCT FROM prev),
+iv AS (
+  SELECT user_id, event_type, us AS valid_from,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS valid_to
+  FROM chg),
+cap AS (SELECT user_id, max(epoch_us(ts)) AS c FROM events
+        GROUP BY user_id)
+SELECT event_type AS state,
+       CAST(sum(coalesce(valid_to, cap.c) - valid_from) AS BIGINT)
+         AS dwell_us,
+       count(*) AS n_intervals
+FROM iv JOIN cap USING (user_id)
+GROUP BY event_type"""
 
     o["events_scd2_lookup"] = """
 WITH ordered AS (

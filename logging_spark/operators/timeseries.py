@@ -60,3 +60,34 @@ def locf(df: DataFrame, key_col: str, order_col: str, value_col: str,
          .rowsBetween(Window.unboundedPreceding, 0))
     return df.withColumn(out_col or f"{value_col}_locf",
                          F.last(value_col, ignorenulls=True).over(w))
+
+
+def ewma_fold(df: DataFrame, key: str, order_col: str, value_col: str,
+              den: int = 4) -> DataFrame:
+    """Per-key integer EWMA over an ordered series — the recursive
+    smoother expressed as a HOF fold, no UDF and no per-row Python:
+    s_0 = x_0, s_t = ((den-1)*s_{t-1} + x_t) DIV den. All terms stay
+    non-negative for count series, so integral DIV (truncation) and
+    floor agree and the fold is engine-portable (the oracle runs the
+    same recurrence as a recursive CTE).
+
+    The series is collected per key (collect_list + array_sort), so a
+    key's full history must fit a row — fine for period-aggregated
+    series (a decade of hourly points is ~90k longs). One shuffle on
+    the key. Output: (key, n_points, final_ewma, peak_ewma)."""
+    pts = (df.groupBy(key)
+           .agg(F.expr(
+               f"transform(array_sort(collect_list("
+               f"struct({order_col} AS o, {value_col} AS v))), p -> p.v)")
+               .alias("_xs")))
+    fold = (
+        f"aggregate(slice(_xs, 2, size(_xs) - 1), "
+        f"named_struct('s', _xs[0], 'mx', _xs[0]), "
+        f"(acc, x) -> named_struct("
+        f"'s', ({den - 1} * acc.s + x) DIV {den}, "
+        f"'mx', greatest(acc.mx, ({den - 1} * acc.s + x) DIV {den})))")
+    return (pts.where(F.size("_xs") > 0)
+            .select(key,
+                    F.size("_xs").cast("long").alias("n_points"),
+                    F.expr(f"CAST({fold}.s AS BIGINT)").alias("final_ewma"),
+                    F.expr(f"CAST({fold}.mx AS BIGINT)").alias("peak_ewma")))

@@ -52,3 +52,31 @@ def test_locf_leading_nulls_stay_null(spark):
     out = {r["t"]: r["v_locf"]
            for r in locf(df, "k", "t", "v").collect()}
     assert out == {1: None, 2: 5, 3: 5}
+
+
+def test_ewma_fold_matches_python_recurrence(spark):
+    from logging_spark.operators.timeseries import ewma_fold
+    import random
+    rnd = random.Random(7)
+    rows = [("k%d" % (i % 3), i, rnd.randrange(0, 1000))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "k string, o long, v long")
+    got = {r.k: (r.n_points, r.final_ewma, r.peak_ewma)
+           for r in ewma_fold(df, "k", "o", "v", den=4).collect()}
+    # python reference recurrence, same integral arithmetic
+    series = {}
+    for k, o, v in sorted(rows, key=lambda t: (t[0], t[1])):
+        series.setdefault(k, []).append(v)
+    for k, xs in series.items():
+        s = mx = xs[0]
+        for x in xs[1:]:
+            s = (3 * s + x) // 4
+            mx = max(mx, s)
+        assert got[k] == (len(xs), s, mx)
+
+
+def test_ewma_fold_single_point(spark):
+    from logging_spark.operators.timeseries import ewma_fold
+    df = spark.createDataFrame([("a", 1, 42)], "k string, o long, v long")
+    r = ewma_fold(df, "k", "o", "v").collect()[0]
+    assert (r.n_points, r.final_ewma, r.peak_ewma) == (1, 42, 42)
