@@ -763,6 +763,25 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          value_col="n", den=4)
     q["events_ewma_hourly"] = events_ewma_hourly
 
+    # -- CUSUM change-point (operators/timeseries.py cusum_fold):
+    # Page's upward-shift statistic over hourly rates, reference k =
+    # the type's integer mean rate; peak position localizes the shift.
+    def events_cusum_hourly(spark, sf):
+        from logging_spark.operators.timeseries import cusum_fold
+        ev = _read(spark, sf, "events")
+        hourly = (ev.groupBy(
+                      F.col("event_type"),
+                      F.expr("CAST(unix_timestamp(CAST(ts AS timestamp))"
+                             " DIV 3600 AS BIGINT)").alias("h"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        k = (hourly.groupBy("event_type")
+             .agg(F.expr("CAST(sum(n) DIV count(*) AS BIGINT)")
+                  .alias("k")))
+        return cusum_fold(hourly.join(F.broadcast(k), "event_type"),
+                          key="event_type", order_col="h",
+                          value_col="n", ref_col="k")
+    q["events_cusum_hourly"] = events_cusum_hourly
+
     # -- time-in-state from SCD2 intervals: total dwell per state,
     # open intervals capped at the user's last event. The natural
     # consumer of scd2(): "how long do users sit in each state".
@@ -1541,6 +1560,26 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("mean_cents",
                             F.expr("CAST(sum_cents DIV n AS BIGINT)")))
     q["events_seasonality"] = events_seasonality
+
+    # top-N-plus-OTHER: the reporting rollup — per segment keep the 2
+    # most common priorities, fold the tail into one OTHER row. The
+    # rank window runs over the AGGREGATED (segment, priority) frame
+    # (25 rows), never the facts.
+    def dim_topn_other(spark, sf):
+        o = _read(spark, sf, "orders")
+        cu = _read(spark, sf, "customer")
+        counts = (o.join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+                  .groupBy("c_mktsegment", "o_orderpriority")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.col("cnt").desc(), "o_orderpriority")
+        ranked = counts.withColumn("_rn", F.row_number().over(w))
+        label = (F.when(F.col("_rn") <= 2, F.col("o_orderpriority"))
+                 .otherwise(F.lit("OTHER")))
+        return (ranked.groupBy("c_mktsegment", label.alias("priority"))
+                .agg(F.sum("cnt").cast("long").alias("n_orders"),
+                     F.count(F.lit(1)).alias("n_groups")))
+    q["dim_topn_other"] = dim_topn_other
 
     def agg_cube(spark, sf):
         # full CUBE lattice with grouping_id disambiguation; labels
@@ -2643,6 +2682,37 @@ SELECT e.event_type, CAST(l.mi AS BIGINT) AS n_points,
        CAST(e.mx AS BIGINT) AS peak_ewma
 FROM e JOIN lst l ON e.event_type = l.event_type AND e.i = l.mi"""
 
+    o["events_cusum_hourly"] = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+kk AS (SELECT event_type,
+              CAST(CAST(sum(n) AS BIGINT) // count(*) AS BIGINT) AS ref_k
+       FROM hourly GROUP BY 1),
+idx AS (SELECT h.event_type, h.n, kk.ref_k AS k,
+               row_number() OVER (PARTITION BY h.event_type ORDER BY h.h)
+                 AS i
+        FROM hourly h JOIN kk USING (event_type)),
+e(event_type, i, s, peak, pos) AS (
+  SELECT event_type, i, greatest(0, n - k), greatest(0, n - k),
+         CAST(1 AS BIGINT)
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.event_type, x.i,
+         greatest(0, e.s + x.n - x.k),
+         greatest(e.peak, greatest(0, e.s + x.n - x.k)),
+         CASE WHEN greatest(0, e.s + x.n - x.k) > e.peak
+              THEN CAST(x.i AS BIGINT) ELSE e.pos END
+  FROM e JOIN idx x ON x.event_type = e.event_type AND x.i = e.i + 1),
+lst AS (SELECT event_type, max(i) AS mi FROM e GROUP BY 1)
+SELECT e.event_type, CAST(l.mi AS BIGINT) AS n_points, kk.ref_k,
+       CAST(e.peak AS BIGINT) AS peak_cusum,
+       CAST(e.pos AS BIGINT) AS peak_pos
+FROM e JOIN lst l ON e.event_type = l.event_type AND e.i = l.mi
+JOIN kk ON kk.event_type = e.event_type"""
+
     o["events_state_dwell"] = """
 WITH ordered AS (
   SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
@@ -3071,6 +3141,23 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
        CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))"""
+
+    o["dim_topn_other"] = """
+WITH counts AS (
+  SELECT c_mktsegment, o_orderpriority, count(*) AS cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY cnt DESC, o_orderpriority)
+              AS rn
+  FROM counts)
+SELECT c_mktsegment,
+       CASE WHEN rn <= 2 THEN o_orderpriority ELSE 'OTHER' END
+         AS priority,
+       CAST(sum(cnt) AS BIGINT) AS n_orders,
+       count(*) AS n_groups
+FROM ranked GROUP BY 1, 2"""
 
     o["agg_argmax"] = """
 WITH c AS (SELECT c_mktsegment, c_custkey,

@@ -91,3 +91,44 @@ def ewma_fold(df: DataFrame, key: str, order_col: str, value_col: str,
                     F.size("_xs").cast("long").alias("n_points"),
                     F.expr(f"CAST({fold}.s AS BIGINT)").alias("final_ewma"),
                     F.expr(f"CAST({fold}.mx AS BIGINT)").alias("peak_ewma")))
+
+
+def cusum_fold(df: DataFrame, key: str, order_col: str, value_col: str,
+               ref_col: str) -> DataFrame:
+    """One-sided CUSUM change-point statistic per key, as a HOF fold:
+    S_0 = max(0, x_0 - k), S_t = max(0, S_{t-1} + x_t - k) — the
+    classic upward-shift detector (Page 1954). Tracks the peak S and
+    its 1-based position (first-peak-wins), which localizes WHERE the
+    rate shifted. Pure integer add/max (no division), so the fold is
+    engine-portable; ``ref_col`` is the per-key reference level k
+    (constant within a key — e.g. the key's integer mean rate).
+
+    Same collect-per-key shape as ewma_fold: one shuffle, a key's
+    series must fit a row. Output: (key, n_points, ref_k, peak_cusum,
+    peak_pos)."""
+    pts = (df.groupBy(key)
+           .agg(F.expr(
+               f"transform(array_sort(collect_list("
+               f"struct({order_col} AS o, {value_col} AS v))), p -> p.v)")
+               .alias("_xs"),
+               F.first(ref_col).cast("long").alias("_k")))
+    fold = (
+        "aggregate(slice(_xs, 2, size(_xs) - 1), "
+        "named_struct("
+        "'s', greatest(0L, _xs[0] - _k), "
+        "'peak', greatest(0L, _xs[0] - _k), "
+        "'pos', 1L, 'i', 1L), "
+        "(acc, x) -> named_struct("
+        "'s', greatest(0L, acc.s + x - _k), "
+        "'peak', greatest(acc.peak, greatest(0L, acc.s + x - _k)), "
+        "'pos', IF(greatest(0L, acc.s + x - _k) > acc.peak,"
+        " acc.i + 1, acc.pos), "
+        "'i', acc.i + 1))")
+    return (pts.where(F.size("_xs") > 0)
+            .select(key,
+                    F.size("_xs").cast("long").alias("n_points"),
+                    F.col("_k").alias("ref_k"),
+                    F.expr(f"CAST({fold}.peak AS BIGINT)")
+                     .alias("peak_cusum"),
+                    F.expr(f"CAST({fold}.pos AS BIGINT)")
+                     .alias("peak_pos")))

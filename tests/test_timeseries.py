@@ -80,3 +80,23 @@ def test_ewma_fold_single_point(spark):
     df = spark.createDataFrame([("a", 1, 42)], "k string, o long, v long")
     r = ewma_fold(df, "k", "o", "v").collect()[0]
     assert (r.n_points, r.final_ewma, r.peak_ewma) == (1, 42, 42)
+
+
+def test_cusum_fold_localizes_injected_shift(spark):
+    from logging_spark.operators.timeseries import cusum_fold
+    # flat rate 10 for 50 points, then a shift to 25 at index 51
+    rows = [("k", i, 10 if i <= 50 else 25, 12) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "k string, o long, v long, ref long")
+    r = cusum_fold(df, "k", "o", "v", "ref").collect()[0]
+    # before the shift S stays 0 (v - ref = -2); after, it climbs by
+    # 13/point, peaking at the END of the series
+    assert r.n_points == 100 and r.ref_k == 12
+    assert r.peak_cusum == 13 * 50
+    assert r.peak_pos == 100
+    # python reference recurrence over the same series
+    s = peak = max(0, 10 - 12); pos = 1
+    for i, (_, _, v, ref) in enumerate(rows[1:], start=2):
+        s = max(0, s + v - ref)
+        if s > peak:
+            peak, pos = s, i
+    assert (r.peak_cusum, r.peak_pos) == (peak, pos)
