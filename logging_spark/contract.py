@@ -763,6 +763,24 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          value_col="n", den=4)
     q["events_ewma_hourly"] = events_ewma_hourly
 
+    # -- capped sessionization (operators/sessionize.py
+    # sessionize_capped): gap 30 min OR duration cap 4 h — the
+    # sequential split rule no window-function composition expresses;
+    # per-key Arrow state machine, recursive-CTE oracle.
+    def pipe_sessionize_capped(spark, sf):
+        from logging_spark.operators.sessionize import sessionize_capped
+        ev = _read(spark, sf, "events")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        d = ev.select("user_id", "event_id", us.alias("us"))
+        s = sessionize_capped(d, key="user_id", ts_us_col="us",
+                              gap_us=1800 * 1_000_000,
+                              max_dur_us=4 * 3600 * 1_000_000,
+                              tiebreak="event_id")
+        return (s.groupBy("user_id", "session_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     (F.max("us") - F.min("us")).alias("dur_us")))
+    q["pipe_sessionize_capped"] = pipe_sessionize_capped
+
     # -- CUSUM change-point (operators/timeseries.py cusum_fold):
     # Page's upward-shift statistic over hourly rates, reference k =
     # the type's integer mean rate; peak position localizes the shift.
@@ -2681,6 +2699,27 @@ SELECT e.event_type, CAST(l.mi AS BIGINT) AS n_points,
        CAST(e.s AS BIGINT) AS final_ewma,
        CAST(e.mx AS BIGINT) AS peak_ewma
 FROM e JOIN lst l ON e.event_type = l.event_type AND e.i = l.mi"""
+
+    o["pipe_sessionize_capped"] = """
+WITH RECURSIVE idx AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS i
+  FROM events),
+e(user_id, i, us, sid, start_us) AS (
+  SELECT user_id, i, us, CAST(1 AS BIGINT), us FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.user_id, x.i, x.us,
+         CASE WHEN x.us - e.us > 1800 * CAST(1000000 AS BIGINT)
+                OR x.us - e.start_us > 14400 * CAST(1000000 AS BIGINT)
+              THEN e.sid + 1 ELSE e.sid END,
+         CASE WHEN x.us - e.us > 1800 * CAST(1000000 AS BIGINT)
+                OR x.us - e.start_us > 14400 * CAST(1000000 AS BIGINT)
+              THEN x.us ELSE e.start_us END
+  FROM e JOIN idx x ON x.user_id = e.user_id AND x.i = e.i + 1)
+SELECT user_id, sid AS session_id, count(*) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS dur_us
+FROM e GROUP BY user_id, sid"""
 
     o["events_cusum_hourly"] = """
 WITH RECURSIVE hourly AS (

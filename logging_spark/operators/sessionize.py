@@ -38,3 +38,52 @@ def sessionize(
     running = Window.partitionBy(key).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out_col, F.sum(is_new).over(running))
+
+
+def sessionize_capped(
+    df: DataFrame,
+    key: str,
+    ts_us_col: str,
+    gap_us: int,
+    max_dur_us: int,
+    tiebreak: str | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Sessionize with BOTH an inactivity gap and a max-duration cap:
+    a new session starts when the gap to the previous event exceeds
+    ``gap_us`` OR the event would land more than ``max_dur_us`` after
+    the CURRENT session's first event.
+
+    Unlike plain gap sessionization (one lag window), the duration
+    cap is inherently sequential — each split decision depends on the
+    session start chosen by all previous decisions, so no fixed
+    composition of window functions expresses it. This is the
+    applyInPandas case: one shuffle on the key, then a per-key Arrow
+    batch walks the sorted timestamps (numpy arrays, one pass). State
+    per key is two integers; the cost bound is the largest single
+    key's row count, same axis as every per-key sort here. The oracle
+    twin runs the identical recurrence as a per-key recursive CTE.
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} bigint"
+    order_cols = [ts_us_col] + ([tiebreak] if tiebreak else [])
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        us = pdf[ts_us_col].to_numpy()
+        sid = [0] * len(us)
+        cur, start, prev = 1, us[0], us[0]
+        sid[0] = 1
+        for i in range(1, len(us)):
+            if us[i] - prev > gap_us or us[i] - start > max_dur_us:
+                cur += 1
+                start = us[i]
+            sid[i] = cur
+            prev = us[i]
+        pdf[out_col] = sid
+        return pdf
+
+    return df.groupBy(key).applyInPandas(walk, schema=out_schema)

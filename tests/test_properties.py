@@ -38,3 +38,48 @@ def test_outputs_invariant_under_input_order_and_partitioning(spark):
         results.append((counts, rows))
     for other in results[1:]:
         assert other == results[0]
+
+
+def test_sessionize_capped_matches_reference_walk(spark):
+    import random
+    from logging_spark.operators.sessionize import sessionize_capped
+    rnd = random.Random(11)
+    GAP, DUR = 100, 450
+    rows = []
+    for k in range(6):
+        t = 0
+        for i in range(rnd.randrange(1, 60)):
+            t += rnd.randrange(1, 200)   # gaps straddle GAP; runs of
+            rows.append((f"u{k}", len(rows), t))  # small gaps hit DUR
+    df = spark.createDataFrame(rows, "k string, eid long, us long")
+    got = sorted((r.k, r.us, r.session_id) for r in sessionize_capped(
+        df.repartition(5), key="k", ts_us_col="us", gap_us=GAP,
+        max_dur_us=DUR, tiebreak="eid").collect())
+    # python reference: same sequential rule
+    want = []
+    series = {}
+    for k, eid, us in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        series.setdefault(k, []).append(us)
+    for k, uss in series.items():
+        sid, start, prev = 1, uss[0], uss[0]
+        for us in uss:
+            if us - prev > GAP or us - start > DUR:
+                sid += 1
+                start = us
+            want.append((k, us, sid))
+            prev = us
+    assert got == sorted(want)
+    # with an unreachable duration cap it degrades to plain gap
+    # sessionization (the lag-window operator)
+    from logging_spark.operators.sessionize import sessionize
+    plain = sessionize(
+        df.withColumn("ts", F.col("us").cast("timestamp")),
+        key="k", ts_col="ts", order_tiebreak="eid", gap_seconds=GAP)
+    capped = sessionize_capped(df, key="k", ts_us_col="us",
+                               gap_us=GAP,
+                               max_dur_us=1 << 60, tiebreak="eid")
+    a = sorted((r.eid, r.session_id) for r in plain
+               .select("eid", "session_id").collect())
+    b = sorted((r.eid, r.session_id) for r in capped
+               .select("eid", "session_id").collect())
+    assert a == b
