@@ -71,6 +71,12 @@ HEADLINE = [
     "events_session_analytics_e2e",
     "sim_hard_negatives",
     "sim_quantize_int8",
+    # fifth-session closers: Arrow state-machine sessionization, HOF
+    # folds, LPA communities, Heaps-law vocab growth
+    "pipe_sessionize_capped",
+    "events_cusum_hourly",
+    "docs_lpa_communities",
+    "docs_vocab_growth",
 ]
 
 

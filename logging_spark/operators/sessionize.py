@@ -72,17 +72,26 @@ def sessionize_capped(
     order_cols = [ts_us_col] + ([tiebreak] if tiebreak else [])
 
     def walk(pdf):
+        import numpy as np
         pdf = pdf.sort_values(order_cols, kind="mergesort")
         us = pdf[ts_us_col].to_numpy()
-        sid = [0] * len(us)
-        cur, start, prev = 1, us[0], us[0]
-        sid[0] = 1
-        for i in range(1, len(us)):
-            if us[i] - prev > gap_us or us[i] - start > max_dur_us:
+        n = len(us)
+        sid = np.empty(n, dtype="int64")
+        # gap splits are embarrassingly vectorizable (one diff); only
+        # the duration cap is sequential, and WITHIN a gap segment
+        # each duration session's end is a binary search — so python
+        # iterates once per SESSION, not once per row
+        gap_starts = np.flatnonzero(np.diff(us) > gap_us) + 1
+        bounds = np.concatenate(([0], gap_starts, [n]))
+        cur = 0
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            i = a
+            while i < b:
                 cur += 1
-                start = us[i]
-            sid[i] = cur
-            prev = us[i]
+                j = min(int(np.searchsorted(
+                    us, us[i] + max_dur_us, side="right")), b)
+                sid[i:j] = cur
+                i = j
         pdf[out_col] = sid
         return pdf
 
