@@ -763,6 +763,42 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          value_col="n", den=4)
     q["events_ewma_hourly"] = events_ewma_hourly
 
+    # -- rollup mergeability: the daily table built FROM the hourly
+    # table (the incremental re-aggregation path plans/job.py relies
+    # on) must equal a direct daily aggregation — the oracle computes
+    # daily DIRECTLY from events, so a green row proves count/sum
+    # mergeability across granularities.
+    def events_daily_from_hourly(spark, sf):
+        ev = _read(spark, sf, "events")
+        hourly = (ev.groupBy(
+                      F.col("event_type"),
+                      F.expr("CAST(unix_timestamp(CAST(ts AS timestamp))"
+                             " DIV 3600 AS BIGINT)").alias("h"))
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(F.round(F.col("value") * 100).cast("long"))
+                        .alias("cents")))
+        return (hourly.groupBy(
+                    "event_type",
+                    F.expr("CAST(h DIV 24 AS BIGINT)").alias("day"))
+                .agg(F.sum("n").cast("long").alias("n"),
+                     F.sum("cents").cast("long").alias("sum_cents")))
+    q["events_daily_from_hourly"] = events_daily_from_hourly
+
+    # -- top event trigrams: per-user ordered 3-step patterns, global
+    # top-10 — the sequence-mining readout beyond the bigram
+    # transition matrix. Two leads share one (user, ts) sort.
+    def events_top_trigrams(spark, sf):
+        ev = _read(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        d = (ev.withColumn("_b", F.lead("event_type", 1).over(w))
+             .withColumn("_c", F.lead("event_type", 2).over(w))
+             .where(F.col("_c").isNotNull()))
+        return (d.groupBy(F.col("event_type").alias("e1"),
+                          F.col("_b").alias("e2"), F.col("_c").alias("e3"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), "e1", "e2", "e3").limit(10))
+    q["events_top_trigrams"] = events_top_trigrams
+
     # -- capped sessionization (operators/sessionize.py
     # sessionize_capped): gap 30 min OR duration cap 4 h — the
     # sequential split rule no window-function composition expresses;
@@ -2699,6 +2735,26 @@ SELECT e.event_type, CAST(l.mi AS BIGINT) AS n_points,
        CAST(e.s AS BIGINT) AS final_ewma,
        CAST(e.mx AS BIGINT) AS peak_ewma
 FROM e JOIN lst l ON e.event_type = l.event_type AND e.i = l.mi"""
+
+    o["events_daily_from_hourly"] = """
+SELECT event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY 1, 2"""
+
+    o["events_top_trigrams"] = """
+WITH s AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1, e2, e3, count(*) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 10"""
 
     o["pipe_sessionize_capped"] = """
 WITH RECURSIVE idx AS (
