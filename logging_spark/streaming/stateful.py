@@ -56,7 +56,7 @@ def _row(conv_id: str, sid: int, n: int, start_ms: int, last_ms: int) -> dict:
     }
 
 
-def _make_fn(gap_ms: int):
+def _make_fn(gap_ms: int, max_dur_ms: int | None = None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         conv_id = key[0]
         if state.hasTimedOut:
@@ -80,7 +80,15 @@ def _make_fn(gap_ms: int):
             ms = _to_ms(ts)
             if last_ms is None:
                 sid, n, start_ms, last_ms = 1, 1, ms, ms
-            elif ms - last_ms > gap_ms:
+            elif (ms - last_ms > gap_ms
+                  or (max_dur_ms is not None
+                      and ms - start_ms > max_dur_ms)):
+                # split on inactivity OR on the duration cap — the
+                # streaming twin of sessionize_capped. (A late row
+                # that extends start_ms downward can leave an already-
+                # open session slightly over the cap until its next
+                # on-time row splits it; same one-batch-grace flavor
+                # as the other stateful approximations here.)
                 closed.append(_row(conv_id, sid, n, start_ms, last_ms))
                 sid, n, start_ms, last_ms = sid + 1, 1, ms, ms
             else:
@@ -109,18 +117,24 @@ def _make_fn(gap_ms: int):
 
 
 def streaming_sessionize(turns: DataFrame, gap_minutes: int = 30,
-                         watermark: str = "1 hour") -> DataFrame:
+                         watermark: str = "1 hour",
+                         max_duration_minutes: int | None = None) -> DataFrame:
     """Append-mode stream of CLOSED sessions per conversation.
 
     `turns` is a streaming DataFrame with (conv_id, turn_idx, ts, ...).
     The watermark bounds both late data admission and state lifetime.
+    ``max_duration_minutes`` adds the sessionize_capped split rule
+    (session also closes when an event lands more than the cap after
+    the session's first event).
     """
     gap_ms = gap_minutes * 60 * 1000
+    max_dur_ms = (max_duration_minutes * 60 * 1000
+                  if max_duration_minutes is not None else None)
     return (
         turns.withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _make_fn(gap_ms),
+            _make_fn(gap_ms, max_dur_ms),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

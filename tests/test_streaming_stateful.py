@@ -158,3 +158,41 @@ def test_streaming_sessionize_matches_batch_operator(spark, tmp_path):
             .groupBy("conv_id", "session_id")
             .agg(F.count(F.lit(1)).alias("n_turns")).collect()}
     assert got == want
+
+
+def test_streaming_sessionize_duration_cap_splits(spark, tmp_path):
+    from datetime import timedelta
+    from logging_spark.streaming.stateful import streaming_sessionize
+
+    d = {k: str(tmp_path / k) for k in ("input", "sink", "chk")}
+
+    def write(rows):
+        spark.createDataFrame(rows, IN_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d["input"])
+
+    def drain():
+        turns = (spark.readStream.schema(IN_SCHEMA)
+                 .option("maxFilesPerTrigger", 1).parquet(d["input"]))
+        sessions = streaming_sessionize(
+            turns, gap_minutes=30, watermark="1 hour",
+            max_duration_minutes=60)
+
+        def sink(batch, _bid):
+            batch.write.mode("append").parquet(d["sink"])
+
+        q = (sessions.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", d["chk"])
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # turns every 25 min (inside the 30-min gap) — plain gap
+    # sessionization would NEVER split, but the 60-min cap closes a
+    # session at the turn landing 75 min after its start
+    write([("A", i, T0 + timedelta(minutes=25 * i)) for i in range(6)])
+    drain()
+    rows = sorted(_read_sessions(spark, d["sink"]),
+                  key=lambda r: r["session_id"])
+    # t=0,25,50 -> session 1 (75 > 60 splits at t=75);
+    # t=75,100,125 -> session 2 (still open, not emitted)
+    assert [(r["session_id"], r["n_turns"]) for r in rows] == [(1, 3)]
+    assert rows[0]["session_end"] == T0 + timedelta(minutes=50)
