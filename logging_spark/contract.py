@@ -763,6 +763,33 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          value_col="n", den=4)
     q["events_ewma_hourly"] = events_ewma_hourly
 
+    # -- rolling 7-day active users: sliding-window COUNT(DISTINCT)
+    # done scalably — each distinct (user, day) pair explodes into the
+    # ≤7 report days it contributes to (bounded 7× expansion of the
+    # already-deduped pair set), then one distinct-count per report
+    # day. Never a per-day self-join over the raw events; the oracle
+    # is the naive inequality join, so equality proves the expansion
+    # lossless.
+    def events_rolling_wau(spark, sf):
+        ev = _read(spark, sf, "events")
+        day = F.expr("CAST(unix_timestamp(CAST(ts AS timestamp))"
+                     " DIV 86400 AS BIGINT)")
+        ud = ev.select("user_id", day.alias("day")).distinct()
+        obs = ud.select("day").distinct()
+        expanded = (ud.select(
+            "user_id", "day",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_off"))
+            .select("user_id",
+                    (F.col("day") + F.col("_off")).alias("rday")))
+        # report only OBSERVED days (matches the oracle's day list;
+        # a globally-dead day inside the range reports nothing)
+        return (expanded.join(F.broadcast(obs),
+                              expanded["rday"] == obs["day"], "left_semi")
+                .groupBy(F.col("rday").alias("day"))
+                .agg(F.countDistinct("user_id").cast("long")
+                      .alias("wau")))
+    q["events_rolling_wau"] = events_rolling_wau
+
     # -- rollup mergeability: the daily table built FROM the hourly
     # table (the incremental re-aggregation path plans/job.py relies
     # on) must equal a direct daily aggregation — the oracle computes
@@ -2150,6 +2177,25 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return nd.select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine"))
     q["sim_near_dup_exact"] = sim_near_dup_exact
 
+    # recall of the LSH production path vs exact, AS AN ORACLE-CHECKED
+    # METRIC: the verified-candidate pairs are a subset of the exact
+    # pairs, so recall = |lsh| / |exact| in integral bps. Both sides
+    # use the already-mirrored constructions, so the driver value-
+    # checks the evaluation itself — quality measurement as data.
+    def sim_near_dup_recall(spark, sf):
+        e = _read(spark, sf, "embeddings")
+        lsh = embedding_near_duplicates(e, threshold=0.40, id_col="vec_id",
+                                        dim=64, tables=8, n_planes=4)
+        exact = embedding_near_duplicates(e, threshold=0.40,
+                                          id_col="vec_id", exact=True)
+        nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+        ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        return (nl.crossJoin(ne)
+                .withColumn("recall_bps",
+                            F.expr("CAST((n_lsh * 10000) DIV n_exact"
+                                   " AS BIGINT)")))
+    q["sim_near_dup_recall"] = sim_near_dup_recall
+
     def sim_topk_sharded(spark, sf):
         # the beyond-broadcast exact path: top-k of per-shard top-ks
         e = _read(spark, sf, "embeddings")
@@ -2735,6 +2781,16 @@ SELECT e.event_type, CAST(l.mi AS BIGINT) AS n_points,
        CAST(e.s AS BIGINT) AS final_ewma,
        CAST(e.mx AS BIGINT) AS peak_ewma
 FROM e JOIN lst l ON e.event_type = l.event_type AND e.i = l.mi"""
+
+    o["events_rolling_wau"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day"""
 
     o["events_daily_from_hourly"] = """
 SELECT event_type,
@@ -4020,6 +4076,14 @@ FROM cand JOIN v va ON va.vec_id = doc_a JOIN v vb ON vb.vec_id = doc_b
 WHERE {_vcos_ab} >= 0.40"""
 
     o["sim_topk_sharded"] = o["sim_topk_cosine"]
+
+    # both sides reuse the mirrored constructions verbatim (DuckDB
+    # accepts WITH inside a parenthesized subquery)
+    o["sim_near_dup_recall"] = f"""
+SELECT n_lsh, n_exact,
+       CAST((n_lsh * 10000) // n_exact AS BIGINT) AS recall_bps
+FROM (SELECT count(*) AS n_lsh FROM ({o["sim_near_dup"]})),
+     (SELECT count(*) AS n_exact FROM ({o["sim_near_dup_exact"]}))"""
 
     o["sim_hard_negatives"] = f"""
 WITH v AS (SELECT vec_id, label,
