@@ -714,6 +714,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n")))
     q["events_transitions"] = events_transitions
 
+    # -- per-tool usage (reference tool-call accounting): NULL tool is
+    # its own 'none' row; counts + distinct conversations per tool.
+    def pipe_tool_usage(spark, sf):
+        t = turns_df(spark, sf)
+        return (t.groupBy(F.coalesce("tool", F.lit("none")).alias("tool"))
+                .agg(F.count(F.lit(1)).alias("n_turns"),
+                     F.countDistinct("conv_id").cast("long")
+                      .alias("n_convs")))
+    q["pipe_tool_usage"] = pipe_tool_usage
+
     # -- SCD2 history (operators/scd.py): each user's event_type as a
     # tracked attribute — consecutive duplicates collapse, every change
     # opens a [valid_from, valid_to) microsecond interval, the last
@@ -1899,6 +1909,31 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumnRenamed("node", "doc_id"))
     q["docs_lpa_communities"] = docs_lpa_communities
 
+    # -- quality keep-rate by source (corpus governance): which
+    # sources are dragging the corpus down. Integral bps rate.
+    def docs_quality_by_source(spark, sf):
+        d = _read(spark, sf, "documents")
+        keep = T.quality_keep("text", min_tokens=20,
+                              min_distinct_ratio_pct=30).cast("int")
+        return (d.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(keep).cast("long").alias("n_keep"))
+                .withColumn("keep_bps",
+                            F.expr("CAST((n_keep * 10000) DIV n_docs"
+                                   " AS BIGINT)")))
+    q["docs_quality_by_source"] = docs_quality_by_source
+
+    # -- power-of-two size bins: floor(log2)+1 computed EXACTLY as the
+    # binary-string length — no float log in either engine.
+    def docs_size_powerbins(spark, sf):
+        d = _read(spark, sf, "documents")
+        bits = F.length(F.expr("bin(n_chars)")).cast("int")
+        return (d.where(F.col("n_chars") > 0)
+                .groupBy(bits.alias("size_bits"))
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").cast("long").alias("total_chars")))
+    q["docs_size_powerbins"] = docs_size_powerbins
+
     # -- vocabulary growth (Heaps-law curve): tokens attributed to the
     # FIRST document containing them (min doc over an exploded
     # (token, doc) frame — map-side combinable, shuffle = vocab
@@ -2738,6 +2773,11 @@ WITH s AS (SELECT event_type,
            FROM events)
 SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
 FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"""
+
+    o["pipe_tool_usage"] = "WITH " + TURNS_CTE + """
+SELECT coalesce(tool, 'none') AS tool, count(*) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM turns GROUP BY 1"""
 
     o["events_scd2"] = """
 WITH ordered AS (
@@ -3670,6 +3710,28 @@ deg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS deg
 r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg){_pr_rounds}
 SELECT r3.node AS doc_id, r3.pr AS pr, deg.deg AS deg
 FROM r3 JOIN deg ON r3.node = deg.s"""
+
+    o["docs_quality_by_source"] = f"""
+WITH t AS (SELECT source, {TOKS} AS toks FROM documents),
+k AS (SELECT source,
+             CASE WHEN len(toks) >= 20 AND len(toks) <= 100000
+                   AND len(list_filter(toks, x -> length(x) > 20)) * 100
+                       <= len(toks) * 10
+                   AND len(list_distinct(toks)) * 100 >= len(toks) * 30
+                  THEN 1 ELSE 0 END AS keep
+      FROM t)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_keep,
+       CAST((CAST(sum(keep) AS BIGINT) * 10000) // count(*) AS BIGINT)
+         AS keep_bps
+FROM k GROUP BY source"""
+
+    o["docs_size_powerbins"] = """
+SELECT CAST(length(bin(n_chars)) AS INT) AS size_bits,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars > 0
+GROUP BY 1"""
 
     o["docs_vocab_growth"] = f"""
 WITH n AS (SELECT max(doc_id) AS mx FROM documents),
