@@ -100,6 +100,7 @@ from logging_spark.operators.textdedup import (contamination_hits,
                                                jaccard_threshold_pairs,
                                                novel_documents,
                                                lsh_candidate_pairs,
+                                               containment_pairs,
                                                ngram_jaccard_pairs, simhash)
 from logging_spark import multimodal as mm
 
@@ -1825,6 +1826,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
         corpus_df(spark, sf), w=3, min_intersection=30)
+
+    # asymmetric containment: |A∩B| / min(|A|,|B|) in integral bps —
+    # quote-inclusion detection symmetric Jaccard misses
+    q["dedup_containment"] = lambda spark, sf: containment_pairs(
+        corpus_df(spark, sf), w=3, threshold_bps=6000)
 
     # incremental-ingestion dedup: a new batch anti-joined against the
     # accumulated fingerprint index (fixture: docs with doc_id % 3 == 0
@@ -4062,6 +4068,28 @@ SELECT doc_a, doc_b, n_intersection,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b"""
+
+    o["dedup_containment"] = f"""
+WITH {CORPUS_CTE},
+sh AS (SELECT doc_id, {SHINGLES} AS sh
+       FROM (SELECT doc_id, {TOKS} AS toks FROM corpus)),
+inv_raw AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+inv AS (
+  SELECT * FROM inv_raw
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_intersection
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, n_intersection,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST((n_intersection * 10000) // least(sa.n_sh, sb.n_sh) AS BIGINT)
+         AS containment_bps
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_intersection * 10000 >= least(sa.n_sh, sb.n_sh) * 6000"""
 
     # Charikar simhash, portable variant: per-token 60-bit hash from
     # md5 hex (integer-exact in both engines; float-free throughout).

@@ -600,3 +600,51 @@ def novel_documents(batch: DataFrame, seen: DataFrame,
             .join(seen.select(F.col("fp").alias("_fp")).distinct(),
                   "_fp", "left_anti")
             .drop("_fp"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    threshold_bps: int = 8000,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: pairs where the smaller doc's
+    shingle set is mostly CONTAINED in the larger's —
+    containment = |A∩B| / min(|A|, |B|), thresholded in integral bps.
+    Catches quote-inclusion and doc-inside-doc duplication that
+    symmetric Jaccard misses (a 50-line doc fully quoted inside a
+    5000-line doc has Jaccard ~1% but containment 100%).
+
+    Same scale shape as ngram_jaccard_pairs: inverted-index equi-join
+    with the hot-shingle cap, sizes joined back, the ratio test done
+    by integer cross-multiplication (inter * 10000 >= min_size * bps).
+    """
+    sh_df = (df.select(F.col(id_col), shingles(text_col, w).alias("_sh"))
+             .localCheckpoint(eager=True))
+    sh = sh_df.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    sizes = sh_df.select(F.col(id_col),
+                         F.size("_sh").cast("long").alias("n_sh"))
+    hot = (sh.groupBy("shingle").count()
+           .where(F.col("count") > max_doc_freq).select("shingle"))
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                 F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_intersection")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    min_sz = F.least(F.col("n_a"), F.col("n_b"))
+    return (j.where(F.col("n_intersection") * 10000
+                    >= min_sz * threshold_bps)
+            .select("doc_a", "doc_b", "n_intersection", "n_a", "n_b",
+                    F.expr("CAST((n_intersection * 10000)"
+                           " DIV least(n_a, n_b) AS BIGINT)")
+                     .alias("containment_bps")))

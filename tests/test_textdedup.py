@@ -222,3 +222,20 @@ def test_jaccard_threshold_prefix_filter(spark):
     pref = sh.select(F.least(plen, F.size("s")).alias("p")) \
              .agg(F.sum("p")).collect()[0][0]
     assert pref < full
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    from logging_spark.operators.textdedup import (containment_pairs,
+                                                   ngram_jaccard_pairs)
+    quote = " ".join(f"q{i}" for i in range(12))
+    big = " ".join(f"w{i}" for i in range(300)) + " " + quote
+    df = spark.createDataFrame([(1, quote), (2, big)],
+                               "doc_id long, text string")
+    cont = containment_pairs(df, w=3, threshold_bps=9000).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment_bps == 10000   # quote fully inside big
+    # symmetric Jaccard on the same pair is tiny (~3%)
+    jac = ngram_jaccard_pairs(df, w=3, min_intersection=1).collect()[0]
+    assert jac.n_intersection * 100 < jac.n_union * 5
