@@ -774,6 +774,41 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          value_col="n", den=4)
     q["events_ewma_hourly"] = events_ewma_hourly
 
+    # -- session-level co-occurrence (market-basket lift): which event
+    # types appear together in a session more than chance. Baskets =
+    # sessionized distinct types (≤5 per session, so the pair self-
+    # join fans out quadratically only in the per-basket type count);
+    # lift in integral ppm (overflow-safe to ~3e6 sessions — beyond
+    # that emit the exact integer components only).
+    def events_cooccurrence(spark, sf):
+        ev = _read(spark, sf, "events")
+        s = sessionize(ev, order_tiebreak="event_id")
+        st = (s.select("user_id", "session_id", "event_type")
+              .distinct().localCheckpoint())
+        a = st.select(F.col("user_id").alias("_u"),
+                      F.col("session_id").alias("_s"),
+                      F.col("event_type").alias("e1"))
+        b = st.select(F.col("user_id").alias("_u"),
+                      F.col("session_id").alias("_s"),
+                      F.col("event_type").alias("e2"))
+        pairs = (a.join(b, ["_u", "_s"])
+                 .where(F.col("e1") < F.col("e2"))
+                 .groupBy("e1", "e2")
+                 .agg(F.count(F.lit(1)).alias("n_co")))
+        totals = (st.groupBy(F.col("event_type").alias("e1"))
+                  .agg(F.count(F.lit(1)).alias("n_e1")))
+        totals2 = totals.select(F.col("e1").alias("e2"),
+                                F.col("n_e1").alias("n_e2"))
+        ns = (st.select("user_id", "session_id")
+              .distinct().agg(F.count(F.lit(1)).alias("n_sessions")))
+        return (pairs.join(F.broadcast(totals), "e1")
+                .join(F.broadcast(totals2), "e2")
+                .crossJoin(F.broadcast(ns))
+                .withColumn("lift_ppm", F.expr(
+                    "CAST((n_co * n_sessions * 1000000)"
+                    " DIV (n_e1 * n_e2) AS BIGINT)")))
+    q["events_cooccurrence"] = events_cooccurrence
+
     # -- rolling 7-day active users: sliding-window COUNT(DISTINCT)
     # done scalably — each distinct (user, day) pair explodes into the
     # ≤7 report days it contributes to (bounded 7× expansion of the
@@ -2827,6 +2862,37 @@ SELECT e.event_type, CAST(l.mi AS BIGINT) AS n_points,
        CAST(e.s AS BIGINT) AS final_ewma,
        CAST(e.mx AS BIGINT) AS peak_ewma
 FROM e JOIN lst l ON e.event_type = l.event_type AND e.i = l.mi"""
+
+    o["events_cooccurrence"] = """
+WITH marked AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+st AS (
+  SELECT DISTINCT user_id, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_id
+  FROM marked),
+pairs AS (
+  SELECT a.event_type AS e1, b.event_type AS e2, count(*) AS n_co
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+tot AS (SELECT event_type, count(*) AS n FROM st GROUP BY 1),
+ns AS (SELECT count(*) AS n_sessions
+       FROM (SELECT DISTINCT user_id, session_id FROM st))
+SELECT e1, e2, CAST(n_co AS BIGINT) AS n_co,
+       CAST(t1.n AS BIGINT) AS n_e1, CAST(t2.n AS BIGINT) AS n_e2,
+       CAST(ns.n_sessions AS BIGINT) AS n_sessions,
+       CAST((n_co * ns.n_sessions * 1000000) // (t1.n * t2.n) AS BIGINT)
+         AS lift_ppm
+FROM pairs JOIN tot t1 ON t1.event_type = e1
+JOIN tot t2 ON t2.event_type = e2, ns"""
 
     o["events_rolling_wau"] = """
 WITH ud AS (
