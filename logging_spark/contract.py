@@ -1950,6 +1950,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumnRenamed("node", "doc_id"))
     q["docs_lpa_communities"] = docs_lpa_communities
 
+    # -- native multiset set-op (exceptAll): corpus EXCEPT ALL the
+    # original documents leaves exactly the injected re-crawl copies,
+    # WITH multiplicity — the semantics .distinct()-based diffs lose.
+    def docs_except_all(spark, sf):
+        c = corpus_df(spark, sf).select("text")
+        d = _read(spark, sf, "documents").select("text")
+        return (c.exceptAll(d)
+                .groupBy(F.md5("text").alias("h"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    q["docs_except_all"] = docs_except_all
+
     # -- quality keep-rate by source (corpus governance): which
     # sources are dragging the corpus down. Integral bps rate.
     def docs_quality_by_source(spark, sf):
@@ -3782,6 +3793,11 @@ deg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS deg
 r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg){_pr_rounds}
 SELECT r3.node AS doc_id, r3.pr AS pr, deg.deg AS deg
 FROM r3 JOIN deg ON r3.node = deg.s"""
+
+    o["docs_except_all"] = "WITH " + CORPUS_CTE + """
+SELECT md5(text) AS h, count(*) AS n
+FROM (SELECT text FROM corpus EXCEPT ALL SELECT text FROM documents)
+GROUP BY 1"""
 
     o["docs_quality_by_source"] = f"""
 WITH t AS (SELECT source, {TOKS} AS toks FROM documents),

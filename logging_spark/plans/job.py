@@ -70,6 +70,7 @@ class PipelineResult:
     per_sink_counts: DataFrame = field(repr=False)
     role_rollup: DataFrame = field(repr=False)
     phase_seconds: dict[str, float] = field(default_factory=dict)
+    observed: dict[str, int] = field(default_factory=dict)
 
 
 def transform(
@@ -134,8 +135,20 @@ def run_pipeline(
         routed = routed.repartition(
             write_partitions, "sink_name", "bucket", *salt)
     tw = time.time()
+    # Observation metrics ride the WRITE action itself — transform-
+    # stage counters (rows routed, text bytes) with no second scan
+    # and no extra action. These are telemetry; the EXACT accounting
+    # below still recomputes from the committed table (resume
+    # invariant), so a partially-failed write can never leak observed
+    # numbers into the aggregates.
+    from pyspark.sql import Observation
+    obs = Observation(f"routed_{run_id}")
+    routed = routed.observe(obs,
+                            F.count(F.lit(1)).alias("rows_routed"),
+                            F.sum(F.length("text")).alias("text_chars"))
     catalog.overwrite_partitions(routed, ROUTED_TABLE, ["sink_name", "bucket"])
     phase_secs["transform_write"] = time.time() - tw
+    observed = {k: int(v or 0) for k, v in obs.get.items()}
 
     # lineage + aggregates recomputed FROM THE WRITTEN TABLE: what was
     # committed is what is counted (exactness under resume/crash).
@@ -210,7 +223,8 @@ def run_pipeline(
     phase_rows = [(run_id, "pipeline", input_snapshot, None, f"{secs:.3f}")] + [
         (run_id, phase, input_snapshot, None, f"{s:.3f}")
         for phase, s in phase_secs.items()
-    ]
+    ] + [(run_id, f"observe:{k}", input_snapshot, v, None)
+         for k, v in observed.items()]
     # pandas -> Arrow createDataFrame: driver-side conversion, no
     # Python executor workers. A list-of-rows createDataFrame goes
     # through pickled-RDD evaluation, and a cold Python worker fork
@@ -230,7 +244,8 @@ def run_pipeline(
         buckets_skipped=n_done,
         seconds=secs,
         phase_seconds=phase_secs,
-    per_sink_counts=catalog.read(AGG_COUNTS_TABLE),
+        observed=observed,
+        per_sink_counts=catalog.read(AGG_COUNTS_TABLE),
         role_rollup=catalog.read(AGG_ROLES_TABLE),
     )
 

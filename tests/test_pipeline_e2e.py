@@ -114,3 +114,24 @@ def test_input_order_invariance(spark, fixtures, tmp_path_factory):
     want = oracle.per_sink_counts(_oracle_routed(turns, rules))
     b = {tuple(r) for r in want.itertuples(index=False)}
     assert a == b
+
+
+def test_observed_metrics_ride_the_write(spark, tmp_path):
+    from logging_spark import synth
+    from logging_spark.plans.job import run_pipeline
+    from logging_spark.sources.catalog import Catalog
+    turns = synth.transcripts(spark, n_conversations=20, turns_per_conv=10,
+                              hot_conversations=0, hot_factor=1)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    res = run_pipeline(spark, turns, synth.lookup(spark, 20),
+                       synth.rules(spark), cat, num_buckets=4,
+                       input_snapshot="obs-1")
+    routed_rows = sum(r["n_rows"] for r in res.per_sink_counts.collect())
+    # the observed counter (riding the write action, no extra scan)
+    # must equal the exact recomputed-from-sink total
+    assert res.observed["rows_routed"] == routed_rows
+    assert res.observed["text_chars"] > 0
+    # and it lands in the metrics table for telemetry
+    m = cat.read("meta.metrics").where(
+        "phase = 'observe:rows_routed'").collect()
+    assert m and int(m[0]["rows"]) == routed_rows
