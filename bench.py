@@ -77,6 +77,10 @@ HEADLINE = [
     "events_cusum_hourly",
     "docs_lpa_communities",
     "docs_vocab_growth",
+    # association/dedup/set-op closers
+    "events_cooccurrence",
+    "dedup_containment",
+    "events_rolling_wau",
 ]
 
 
