@@ -715,6 +715,27 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n")))
     q["events_transitions"] = events_transitions
 
+    # -- key=value parsing via str_to_map (the second log format every
+    # shipper meets): the "code=N k=M" tail of each turn parsed as a
+    # map, fields extracted and rolled up. Oracle extracts the same
+    # fields by regex (DuckDB has no str_to_map) — agreement proves
+    # the map parse faithful.
+    def pipe_parse_kv(spark, sf):
+        t = turns_df(spark, sf)
+        code = F.expr("try_cast(str_to_map(text, ' ', '=')['code']"
+                      " AS BIGINT)")
+        k = F.expr("try_cast(str_to_map(text, ' ', '=')['k'] AS BIGINT)")
+        return (t.select(code.alias("_code"), k.alias("_k"))
+                .where(F.col("_code").isNotNull())
+                .groupBy(F.expr("CAST(_code DIV 10 AS BIGINT)")
+                          .alias("code_decade"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.coalesce("_k", F.lit(0))).cast("long")
+                      .alias("sum_k"),
+                     F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0))
+                      .cast("long").alias("n_missing_k")))
+    q["pipe_parse_kv"] = pipe_parse_kv
+
     # -- per-tool usage (reference tool-call accounting): NULL tool is
     # its own 'none' row; counts + distinct conversations per tool.
     def pipe_tool_usage(spark, sf):
@@ -1707,6 +1728,34 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.sum("cnt").cast("long").alias("n_orders"),
                      F.count(F.lit(1)).alias("n_groups")))
     q["dim_topn_other"] = dim_topn_other
+
+    # cross-table reconciliation audit: order header totals vs the sum
+    # of their lines' gross amounts, bucketed by signed discrepancy
+    # (magnitude DIV under abs, so truncation==floor both engines).
+    def tpch_reconciliation(spark, sf):
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        one = F.lit(1).cast("decimal(18,2)")
+        li = _read(spark, sf, "lineitem")
+        gross = dec("l_extendedprice") * (one - dec("l_discount")) \
+            * (one + dec("l_tax"))
+        per_order = (li.groupBy("l_orderkey")
+                     .agg(F.floor(F.sum(gross) * 100).cast("long")
+                          .alias("_li_cents")))
+        o = _read(spark, sf, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+             .alias("_o_cents"))
+        j = o.join(per_order, o["o_orderkey"] == per_order["l_orderkey"])
+        diff = F.col("_o_cents") - F.col("_li_cents")
+        bucket = (F.when(diff >= 0, F.expr(
+                      "CAST((_o_cents - _li_cents) DIV 1000000 AS BIGINT)"))
+                  .otherwise(-F.expr(
+                      "CAST((_li_cents - _o_cents) DIV 1000000 AS BIGINT)")))
+        return (j.groupBy(bucket.alias("diff_bucket_10k"))
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.min(diff).cast("long").alias("min_diff_cents"),
+                     F.max(diff).cast("long").alias("max_diff_cents")))
+    q["tpch_reconciliation"] = tpch_reconciliation
 
     def agg_cube(spark, sf):
         # full CUBE lattice with grouping_id disambiguation; labels
@@ -2826,6 +2875,20 @@ WITH s AS (SELECT event_type,
 SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
 FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"""
 
+    o["pipe_parse_kv"] = "WITH " + TURNS_CTE + r""",
+kv AS (
+  SELECT TRY_CAST(NULLIF(regexp_extract(text, 'code=(\d+)', 1), '')
+                  AS BIGINT) AS code,
+         TRY_CAST(NULLIF(regexp_extract(text, 'k=(\d+)', 1), '')
+                  AS BIGINT) AS k
+  FROM turns)
+SELECT code // 10 AS code_decade, count(*) AS n,
+       CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_k
+FROM kv WHERE code IS NOT NULL
+GROUP BY 1"""
+
     o["pipe_tool_usage"] = "WITH " + TURNS_CTE + """
 SELECT coalesce(tool, 'none') AS tool, count(*) AS n_turns,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
@@ -3455,6 +3518,25 @@ SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
        CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
             // count(*) AS BIGINT) AS mean_cents
 FROM events GROUP BY 1, 2"""
+
+    o["tpch_reconciliation"] = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+              * 100) AS BIGINT) AS li_cents
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents, li_cents
+  FROM orders JOIN per_order ON o_orderkey = l_orderkey)
+SELECT CASE WHEN o_cents >= li_cents
+            THEN (o_cents - li_cents) // 1000000
+            ELSE -((li_cents - o_cents) // 1000000) END AS diff_bucket_10k,
+       count(*) AS n_orders,
+       CAST(min(o_cents - li_cents) AS BIGINT) AS min_diff_cents,
+       CAST(max(o_cents - li_cents) AS BIGINT) AS max_diff_cents
+FROM j GROUP BY 1"""
 
     o["agg_cube"] = """
 SELECT coalesce(l_returnflag, 'ALL') AS rf,
