@@ -231,6 +231,45 @@ class Catalog:
         return len([os.path.join(dp, f) for dp, _, fs in os.walk(path)
                     for f in fs if f.endswith(".parquet")])
 
+    def erase_rows(self, table: str, predicate: str) -> int:
+        """Targeted erasure (right-to-be-forgotten / S6 Delete at row
+        granularity): rewrite `table` WITHOUT the rows matching
+        `predicate` (a SQL boolean over the table's columns) and
+        return how many were erased. Crash-safe like merge_upsert's
+        fallback: the survivors are fully written to a temp sibling
+        before the two-rename swap, so the original data outlives any
+        mid-write failure. On Iceberg this is a single
+        `DELETE FROM ... WHERE` (position/equality deletes); the
+        parquet fallback pays one full rewrite — at 100 TB, partition
+        the table on the erasure key (e.g. user bucket) so the
+        rewrite touches only matching partitions via
+        overwrite_partitions instead.
+
+        Counts come from one pass (conditional agg), survivors from a
+        second — two scans total, no collect of data rows."""
+        if self.iceberg:
+            df = self.read(table)
+            n = df.where(predicate).count()
+            self.spark.sql(
+                f"DELETE FROM {self._ident(table)} WHERE {predicate}")
+            return n
+        import shutil
+
+        path = self._path(table)
+        df = self.read(table)
+        n = df.where(predicate).count()
+        if n == 0:
+            return 0
+        survivors = df.where(f"NOT ({predicate})")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        old = f"{path}.old"
+        survivors.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        return n
+
     def drop(self, table: str) -> None:
         if self.iceberg:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(table)}")

@@ -164,3 +164,21 @@ def test_compact_small_files(spark, tmp_path):
     assert post == pre
     # no debris from the swap
     assert not os.path.exists(path + ".old")
+
+
+def test_erase_rows_right_to_be_forgotten(spark, tmp_path):
+    from logging_spark.sources.catalog import Catalog
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(u, i, f"text-{u}-{i}") for u in ("alice", "bob", "carol")
+         for i in range(10)],
+        "user string, seq int, text string")
+    cat.append(df, "sink.events")
+    n = cat.erase_rows("sink.events", "user = 'bob'")
+    assert n == 10
+    back = cat.read("sink.events")
+    assert back.count() == 20
+    assert back.where("user = 'bob'").count() == 0
+    # NULL-safe: predicate false/NULL rows survive; repeat is a no-op
+    assert cat.erase_rows("sink.events", "user = 'bob'") == 0
+    assert cat.read("sink.events").count() == 20
