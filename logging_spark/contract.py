@@ -736,6 +736,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       .cast("long").alias("n_missing_k")))
     q["pipe_parse_kv"] = pipe_parse_kv
 
+    # -- conversation role balance: assistant-share deciles across
+    # conversations — the composition-quality signal a transcript
+    # training set is screened on (all-assistant or no-assistant
+    # conversations are degenerate).
+    def pipe_role_balance(spark, sf):
+        t = turns_df(spark, sf)
+        per = (t.groupBy("conv_id")
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.sum(F.when(F.col("role") == "assistant", 1)
+                          .otherwise(0)).alias("_a")))
+        dec = F.expr("CAST(least((_a * 10) DIV _n, 9) AS INT)")
+        return (per.groupBy(dec.alias("assistant_decile"))
+                .agg(F.count(F.lit(1)).alias("n_convs"),
+                     F.sum("_n").cast("long").alias("n_turns")))
+    q["pipe_role_balance"] = pipe_role_balance
+
     # -- per-tool usage (reference tool-call accounting): NULL tool is
     # its own 'none' row; counts + distinct conversations per tool.
     def pipe_tool_usage(spark, sf):
@@ -1998,6 +2014,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   rounds=2)
                 .withColumnRenamed("node", "doc_id"))
     q["docs_lpa_communities"] = docs_lpa_communities
+
+    # -- corpus language mix: lang-ID rollup with share in integral
+    # bps (window total over the tiny per-lang frame).
+    def docs_lang_mix(spark, sf):
+        d = _read(spark, sf, "documents")
+        per = (d.groupBy(T.lang_guess("text").alias("lang"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.size(T.tokens("text"))).cast("long")
+                     .alias("n_tokens")))
+        return per.withColumn(
+            "share_bps",
+            F.expr("CAST((n_docs * 10000) DIV (sum(n_docs) OVER ())"
+                   " AS BIGINT)"))
+    q["docs_lang_mix"] = docs_lang_mix
 
     # -- native multiset set-op (exceptAll): corpus EXCEPT ALL the
     # original documents leaves exactly the injected re-crawl copies,
@@ -3590,6 +3620,42 @@ SELECT doc_id,
             WHEN s_es > 0 THEN 'es'
             ELSE 'und' END AS lang_guess
 FROM s"""
+
+    o["docs_lang_mix"] = f"""
+WITH toks AS (SELECT {TOKS} AS raw,
+                     list_distinct(list_transform({TOKS}, t -> lower(t)))
+                       AS toks
+              FROM documents),
+s AS (SELECT CAST(len(raw) AS BIGINT) AS n_tok,
+             len(list_intersect(toks, {_m['en']})) AS s_en,
+             len(list_intersect(toks, {_m['de']})) AS s_de,
+             len(list_intersect(toks, {_m['fr']})) AS s_fr,
+             len(list_intersect(toks, {_m['es']})) AS s_es
+      FROM toks),
+l AS (SELECT n_tok,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                  WHEN s_es > 0 THEN 'es'
+                  ELSE 'und' END AS lang
+      FROM s),
+per AS (SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM l GROUP BY lang)
+SELECT lang, n_docs, n_tokens,
+       CAST((n_docs * 10000) // (sum(n_docs) OVER ()) AS BIGINT)
+         AS share_bps
+FROM per"""
+
+    o["pipe_role_balance"] = "WITH " + TURNS_CTE + """,
+per AS (
+  SELECT conv_id, count(*) AS n,
+         CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a
+  FROM turns GROUP BY conv_id)
+SELECT CAST(least((a * 10) // n, 9) AS INT) AS assistant_decile,
+       count(*) AS n_convs, CAST(sum(n) AS BIGINT) AS n_turns
+FROM per GROUP BY 1"""
 
     o["text_token_counts"] = f"""
 SELECT doc_id,
