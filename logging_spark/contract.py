@@ -1745,6 +1745,30 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count(F.lit(1)).alias("n_groups")))
     q["dim_topn_other"] = dim_topn_other
 
+    # TPC-H Q11 shape (group HAVING vs a global scalar): parts whose
+    # revenue exceeds 1/2000 of total revenue — the group filter is an
+    # integer cross-multiplication against a broadcast single-row
+    # total, rolled up per brand.
+    def tpch_q11_important_parts(spark, sf):
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        one = F.lit(1).cast("decimal(18,2)")
+        li = _read(spark, sf, "lineitem")
+        rev = dec("l_extendedprice") * (one - dec("l_discount"))
+        per_part = (li.groupBy("l_partkey")
+                    .agg(F.floor(F.sum(rev) * 100).cast("long")
+                          .alias("_rev_cents")))
+        total = per_part.agg(F.sum("_rev_cents").alias("_total"))
+        pa = _read(spark, sf, "part")
+        big = (per_part.crossJoin(F.broadcast(total))
+               .where(F.col("_rev_cents") * 2000 >= F.col("_total")))
+        return (big.join(F.broadcast(pa),
+                         big["l_partkey"] == pa["p_partkey"])
+                .groupBy("p_brand")
+                .agg(F.count(F.lit(1)).alias("n_parts"),
+                     F.sum("_rev_cents").cast("long")
+                      .alias("rev_cents")))
+    q["tpch_q11_important_parts"] = tpch_q11_important_parts
+
     # cross-table reconciliation audit: order header totals vs the sum
     # of their lines' gross amounts, bucketed by signed discrepancy
     # (magnitude DIV under abs, so truncation==floor both engines).
@@ -3548,6 +3572,22 @@ SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
        CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
             // count(*) AS BIGINT) AS mean_cents
 FROM events GROUP BY 1, 2"""
+
+    o["tpch_q11_important_parts"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))) * 100)
+              AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY l_partkey),
+total AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS t FROM per_part)
+SELECT p_brand, count(*) AS n_parts,
+       CAST(sum(rev_cents) AS BIGINT) AS rev_cents
+FROM per_part, total
+JOIN part ON l_partkey = p_partkey
+WHERE rev_cents * 2000 >= total.t
+GROUP BY p_brand"""
 
     o["tpch_reconciliation"] = """
 WITH per_order AS (
