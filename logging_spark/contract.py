@@ -1144,6 +1144,33 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       .alias("n_convs")))
     q["pipe_log_templates"] = pipe_log_templates
 
+    # -- interval union via gaps-and-islands: each event covers ±5 min;
+    # overlapping covers merge (island starts where start exceeds the
+    # running max end of all predecessors), total covered time per
+    # user. The classic interval-union idiom as two windows over one
+    # (user, start) sort.
+    def events_coverage_islands(spark, sf):
+        ev = _read(spark, sf, "events")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        HALF = 300 * 1_000_000
+        iv = ev.select("user_id", (us - HALF).alias("s"),
+                       (us + HALF).alias("e"), "event_id")
+        w = Window.partitionBy("user_id").orderBy("s", "event_id")
+        prev_max = F.max("e").over(
+            w.rowsBetween(Window.unboundedPreceding, -1))
+        marked = iv.withColumn(
+            "_new", F.when(prev_max.isNull()
+                           | (F.col("s") > prev_max), 1).otherwise(0))
+        wid = (Window.partitionBy("user_id").orderBy("s", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        isl = marked.withColumn("_isl", F.sum("_new").over(wid))
+        per_island = (isl.groupBy("user_id", "_isl")
+                      .agg((F.max("e") - F.min("s")).alias("_cov")))
+        return (per_island.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_islands"),
+                     F.sum("_cov").cast("long").alias("covered_us")))
+    q["events_coverage_islands"] = events_coverage_islands
+
     # -- session analytics e2e: sessionize -> per-session stats ->
     # daily rollup as ONE lazy plan (the composition a product
     # dashboard runs). Everything integer-exact (epoch seconds, DIV
@@ -3328,6 +3355,34 @@ SELECT regexp_replace(
        count(*) AS n,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
 FROM turns GROUP BY 1"""
+
+    o["events_coverage_islands"] = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) - 300 * CAST(1000000 AS BIGINT) AS s,
+         epoch_us(ts) + 300 * CAST(1000000 AS BIGINT) AS e, event_id
+  FROM events),
+marked AS (
+  SELECT user_id, s, e, event_id,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                OR s > max(e) OVER (PARTITION BY user_id
+                                    ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         sum(new_isl) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked),
+per AS (
+  SELECT user_id, isl, max(e) - min(s) AS cov
+  FROM isl GROUP BY user_id, isl)
+SELECT user_id, count(*) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS covered_us
+FROM per GROUP BY user_id"""
 
     o["events_session_analytics_e2e"] = """
 WITH marked AS (
