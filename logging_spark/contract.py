@@ -1144,6 +1144,28 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       .alias("n_convs")))
     q["pipe_log_templates"] = pipe_log_templates
 
+    # -- first/last-touch attribution: each purchase credited to the
+    # user's first-ever and most-recent preceding non-purchase event
+    # type — the marketing-attribution classic as two ignorenulls
+    # windows sharing one (user, ts) sort. 'none' = organic purchase.
+    def events_attribution(spark, sf):
+        ev = _read(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        touch = F.when(F.col("event_type") != "purchase",
+                       F.col("event_type"))
+        prior = w.rowsBetween(Window.unboundedPreceding, -1)
+        d = (ev.withColumn("_first", F.first(touch, ignorenulls=True)
+                           .over(prior))
+             .withColumn("_last", F.last(touch, ignorenulls=True)
+                         .over(prior)))
+        return (d.where(F.col("event_type") == "purchase")
+                .groupBy(F.coalesce("_first", F.lit("none"))
+                          .alias("first_touch"),
+                         F.coalesce("_last", F.lit("none"))
+                          .alias("last_touch"))
+                .agg(F.count(F.lit(1)).alias("n_purchases")))
+    q["events_attribution"] = events_attribution
+
     # -- interval union via gaps-and-islands: each event covers ±5 min;
     # overlapping covers merge (island starts where start exceeds the
     # running max end of all predecessors), total covered time per
@@ -3355,6 +3377,26 @@ SELECT regexp_replace(
        count(*) AS n,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
 FROM turns GROUP BY 1"""
+
+    o["events_attribution"] = """
+WITH d AS (
+  SELECT event_type,
+         first_value(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS ft,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS lt
+  FROM events)
+SELECT coalesce(ft, 'none') AS first_touch,
+       coalesce(lt, 'none') AS last_touch,
+       count(*) AS n_purchases
+FROM d WHERE event_type = 'purchase'
+GROUP BY 1, 2"""
 
     o["events_coverage_islands"] = """
 WITH iv AS (
