@@ -1144,6 +1144,34 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       .alias("n_convs")))
     q["pipe_log_templates"] = pipe_log_templates
 
+    # -- per-entity percentile then distribution: each user's median
+    # inter-event gap (exact percentile per group), bucketed into a
+    # global histogram — the two-level statistical rollup pattern.
+    def events_median_gap_histogram(spark, sf):
+        ev = _read(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+        gap = sec - F.lag(sec).over(w)
+        per_user = (ev.withColumn("_gap", gap)
+                    .where(F.col("_gap").isNotNull())
+                    .groupBy("user_id")
+                    .agg(F.expr("percentile(_gap, 0.5)").alias("_med")))
+        bucket = F.least(F.floor(F.col("_med") / 21600).cast("long"),
+                         F.lit(12))
+        return (per_user.groupBy(bucket.alias("med_gap_6h_bucket"))
+                .agg(F.count(F.lit(1)).alias("n_users")))
+    q["events_median_gap_histogram"] = events_median_gap_histogram
+
+    # -- duplicate-family size histogram: how big do dup clusters get
+    # (the tail is what bucket caps must survive).
+    def docs_dup_family_sizes(spark, sf):
+        cl = dedup_clusters_df(spark, sf)
+        fam = (cl.groupBy("canonical_id")
+               .agg(F.count(F.lit(1)).alias("_sz")))
+        return (fam.groupBy(F.col("_sz").alias("family_size"))
+                .agg(F.count(F.lit(1)).alias("n_families")))
+    q["docs_dup_family_sizes"] = docs_dup_family_sizes
+
     # -- first/last-touch attribution: each purchase credited to the
     # user's first-ever and most-recent preceding non-purchase event
     # type — the marketing-attribution classic as two ignorenulls
@@ -1793,6 +1821,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.sum("cnt").cast("long").alias("n_orders"),
                      F.count(F.lit(1)).alias("n_groups")))
     q["dim_topn_other"] = dim_topn_other
+
+    # TPC-H Q12 shape (two-way conditional counts, condition from the
+    # JOINED side): per line status, urgent-or-high vs other orders.
+    def tpch_q12_priority_split(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        o = _read(spark, sf, "orders")
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+                .groupBy("l_linestatus")
+                .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                      .alias("n_high"),
+                     F.sum(F.when(hi, 0).otherwise(1)).cast("long")
+                      .alias("n_low")))
+    q["tpch_q12_priority_split"] = tpch_q12_priority_split
 
     # TPC-H Q11 shape (group HAVING vs a global scalar): parts whose
     # revenue exceeds 1/2000 of total revenue — the group filter is an
@@ -3670,6 +3712,29 @@ SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
             // count(*) AS BIGINT) AS mean_cents
 FROM events GROUP BY 1, 2"""
 
+    o["tpch_q12_priority_split"] = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus"""
+
+    o["events_median_gap_histogram"] = """
+WITH g AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+med AS (
+  SELECT user_id, quantile_cont(CAST(gap AS DOUBLE), 0.5) AS m
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+SELECT CAST(least(floor(m / 21600), 12) AS BIGINT) AS med_gap_6h_bucket,
+       count(*) AS n_users
+FROM med GROUP BY 1"""
+
     o["tpch_q11_important_parts"] = """
 WITH per_part AS (
   SELECT l_partkey,
@@ -3996,6 +4061,21 @@ reach(node, r) AS (
   SELECT reach.node, und.d FROM reach JOIN und ON reach.r = und.s)
 SELECT node AS doc_id, least(node, min(r)) AS canonical_id
 FROM reach GROUP BY node"""
+
+    o["docs_dup_family_sizes"] = f"""
+WITH RECURSIVE {_lsh_ctes},
+pairs AS ({_lsh_pairs}),
+und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT s, d FROM und
+  UNION
+  SELECT reach.node, und.d FROM reach JOIN und ON reach.r = und.s),
+cl AS (SELECT node, least(node, min(r)) AS canonical_id
+       FROM reach GROUP BY node),
+fam AS (SELECT canonical_id, count(*) AS sz FROM cl GROUP BY 1)
+SELECT CAST(sz AS BIGINT) AS family_size, count(*) AS n_families
+FROM fam GROUP BY 1"""
 
     # curated corpus = corpus minus docs whose cluster canonical is a
     # different doc (same recursive-CTE fixpoint as dedup_cluster)
