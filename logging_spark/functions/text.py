@@ -69,15 +69,23 @@ def stopword_count(text: Column | str, stopwords: list[str] | None = None) -> Co
 def quality_features(text: Column | str) -> Column:
     """Struct of cheap quality signals: counts + ratios used by corpus
     filters (Gopher/C4-style rules). Integer parts exact; ratios are
-    derived downstream to keep this oracle-friendly."""
-    n_tok = token_count(text)
-    return F.struct(
-        char_count(text).alias("n_chars"),
-        n_tok.alias("n_tokens"),
-        distinct_token_count(text).alias("n_distinct_tokens"),
-        stopword_count(text).alias("n_stopwords"),
-        F.size(F.filter(tokens(text), lambda t: F.length(t) > 20)).cast("long").alias("n_long_tokens"),
-    )
+    derived downstream to keep this oracle-friendly.
+
+    The token array is `let`-bound so the regex split runs ONCE per
+    row: the HOF sub-counts are interpreted (no codegen) and do NOT
+    share subexpressions with the codegen'd projection, so the naive
+    five-fold tokens(text) costs ~1.6× (measured at sf0.1, round 4)."""
+    text = F.col(text) if isinstance(text, str) else text
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    return let(tokens(text), lambda toks: F.struct(
+        F.length(text).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+         .cast("long").alias("n_stopwords"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 20))
+         .cast("long").alias("n_long_tokens"),
+    ))
 
 
 def lang_guess(text: Column | str) -> Column:

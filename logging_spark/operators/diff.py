@@ -27,8 +27,19 @@ _SEP = chr(31)  # unit separator: can't occur in numeric renderings
 
 
 def row_hash(df: DataFrame, cols: list[str]) -> DataFrame:
-    """md5 over the canonical string of ``cols`` (null -> '')."""
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    """md5 over the canonical string of ``cols``.
+
+    Each column renders as ``len(value):value`` and NULL as a bare
+    ``\\x00`` marker, so (a) NULL and '' hash differently and (b) a
+    string value CONTAINING the separator cannot alias across column
+    boundaries (the length prefix makes the rendering a prefix code) —
+    round-3 ADVICE."""
+    def canon(c: str):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("\x00")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s))
+
+    parts = [canon(c) for c in cols]
     return df.withColumn("_h", F.md5(F.concat_ws(_SEP, *parts)))
 
 

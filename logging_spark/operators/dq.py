@@ -63,23 +63,25 @@ def dq_checks(
     """
     parts: list[DataFrame] = []
 
-    # every row-local check is one conditional sum in a single pass
+    # every row-local check is one conditional sum in a single pass;
+    # coalesce each sum to 0 so an EMPTY input (sum -> NULL) reports
+    # 0 violations / passed=1 instead of spuriously failing every check
     viols: list[Column] = []
     names: list[str] = []
     for c in not_null:
         names.append(f"not_null:{c}")
-        viols.append(F.sum(
-            F.when(F.col(c).isNull(), 1).otherwise(0)))
+        viols.append(F.coalesce(F.sum(
+            F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)))
     for c, (lo, hi) in (ranges or {}).items():
         names.append(f"range:{c}")
-        viols.append(F.sum(
+        viols.append(F.coalesce(F.sum(
             F.when(F.col(c).isNotNull()
-                   & ~F.col(c).between(lo, hi), 1).otherwise(0)))
+                   & ~F.col(c).between(lo, hi), 1).otherwise(0)), F.lit(0)))
     for c, vals in (accepted or {}).items():
         names.append(f"accepted:{c}")
-        viols.append(F.sum(
+        viols.append(F.coalesce(F.sum(
             F.when(F.col(c).isNotNull()
-                   & ~F.col(c).isin(*vals), 1).otherwise(0)))
+                   & ~F.col(c).isin(*vals), 1).otherwise(0)), F.lit(0)))
     if names:
         base = df.agg(F.count(F.lit(1)).alias("_n"),
                       *[v.alias(f"_v{i}") for i, v in enumerate(viols)])
@@ -95,8 +97,8 @@ def dq_checks(
         per_key = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_c"))
         parts.append(per_key.agg(
             F.lit(name).alias("check_name"),
-            F.sum("_c").alias("n_checked"),
-            F.sum(F.col("_c") - 1).alias("n_violations")))
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("n_checked"),
+            F.coalesce(F.sum(F.col("_c") - 1), F.lit(0)).alias("n_violations")))
 
     for fk, dim, pk in foreign_keys:
         # ONE fact scan: left join against the dimension KEY (a PK,
@@ -110,8 +112,8 @@ def dq_checks(
         parts.append(j.agg(
             F.lit(name).alias("check_name"),
             F.count(F.lit(1)).alias("n_checked"),
-            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
-             .alias("n_violations")))
+            F.coalesce(F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)),
+                       F.lit(0)).alias("n_violations")))
 
     if not parts:
         raise ValueError("dq_checks: no checks declared")

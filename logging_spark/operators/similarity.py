@@ -669,7 +669,20 @@ def negative_samples(
     """
     from pyspark.sql import Window
 
-    n = vectors.count()
+    if assume_dense_ids:
+        # validate the dense assumption in the SAME action that counts:
+        # out-of-range / self-colliding neg_ids would otherwise be
+        # produced silently (round-3 ADVICE)
+        n, nd, lo, hi = vectors.agg(
+            F.count(F.lit(1)), F.count_distinct(F.col(id_col)),
+            F.min(id_col), F.max(id_col)).first()
+        if n >= 1 and (lo != 0 or hi != n - 1 or nd != n):
+            raise ValueError(
+                f"negative_samples(assume_dense_ids=True): ids are not "
+                f"dense 0..n-1 (n={n}, distinct={nd}, min={lo}, max={hi}); "
+                f"pass assume_dense_ids=False for the total sparse-id path")
+    else:
+        n = vectors.count()
     if n < 2:
         raise ValueError("negative_samples needs at least 2 vectors")
     if assume_dense_ids:

@@ -265,9 +265,19 @@ class Catalog:
         old = f"{path}.old"
         survivors.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(old, ignore_errors=True)
+        # between these two renames the table path is briefly absent
+        # for concurrent readers; acceptable for this single-writer
+        # verb (Iceberg's DELETE branch above is the atomic path)
         os.rename(path, old)
         os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        # erasure verb: the pre-erasure copy MUST actually be gone —
+        # a swallowed rmtree failure would silently keep the "erased"
+        # rows on disk (round-3 ADVICE), so verify and raise.
+        shutil.rmtree(old)
+        if os.path.exists(old):
+            raise OSError(
+                f"erase_rows: pre-erasure copy still present at {old}; "
+                "erased rows remain on disk — remove it manually")
         return n
 
     def drop(self, table: str) -> None:

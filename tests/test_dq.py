@@ -67,3 +67,18 @@ def test_winsorize_excludes_nulls_and_clips_both_tails(spark):
     assert r.n_clip_lo >= 1
     # clipped sum is far below the raw sum (outlier suppressed)
     assert r.sum_cents_winsorized < sum(vals) * 100
+
+
+def test_dq_checks_empty_table_passes_all(spark):
+    """Empty input: sums aggregate to NULL in SQL — every check must
+    still report 0 violations / passed=1 (round-3 ADVICE)."""
+    df = spark.createDataFrame([], "k int, flag string, v double")
+    dim = spark.createDataFrame([(1,)], "pk int")
+    out = {r["check_name"]: r for r in dq_checks(
+        df, not_null=["k"], ranges={"v": (0.0, 1.0)},
+        accepted={"flag": ["A", "B"]}, unique=[["k"]],
+        foreign_keys=[("k", dim, "pk")]).collect()}
+    assert len(out) == 5
+    for name, r in out.items():
+        assert r["n_violations"] == 0, name
+        assert r["passed"] == 1, name

@@ -136,3 +136,19 @@ def test_snapshot_diff_keep_unchanged(spark):
                         keep_unchanged=True).collect()
     assert len(out) == 1 and out[0].status == "unchanged"
     assert out[0].old_hash == out[0].new_hash != ""
+
+
+def test_snapshot_diff_null_vs_empty_and_separator_values(spark):
+    """NULL -> '' transitions and separator-containing values must hash
+    differently (prefix-code canonicalization — round-3 ADVICE)."""
+    sep = chr(31)
+    old = spark.createDataFrame(
+        [("a", None, "x"), ("b", "p" + sep, "q"), ("c", "s", "t")],
+        "k string, c1 string, c2 string")
+    new = spark.createDataFrame(
+        [("a", "", "x"), ("b", "p", sep + "q"), ("c", "s", "t")],
+        "k string, c1 string, c2 string")
+    out = {r["k"]: r["status"] for r in snapshot_diff(
+        old, new, keys=["k"], compare=["c1", "c2"],
+        keep_unchanged=True).collect()}
+    assert out == {"a": "changed", "b": "changed", "c": "unchanged"}

@@ -168,3 +168,12 @@ def test_negative_samples_sparse_id_fallback(spark):
     assert len(out) == 12
     for r in out:
         assert r.neg_id in ids and r.neg_id != r.vec_id
+
+
+def test_negative_samples_rejects_non_dense_ids(spark):
+    import pytest
+
+    df = spark.createDataFrame([(5,), (6,), (7,)], "vec_id long") \
+        .withColumn("emb", F.array(F.lit(1.0)))
+    with pytest.raises(ValueError, match="not .*dense"):
+        S.negative_samples(df, k=2, assume_dense_ids=True)
