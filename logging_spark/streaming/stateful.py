@@ -7,20 +7,33 @@ survives micro-batches — the reference's watch loop keeps exactly this
 kind of in-memory resume point per resource (datasource.go:167-204).
 Spark-first form: groupBy(conv_id).applyInPandasWithState with
 
-- state = (next_session_id, n_turns, start_ms, last_ms) per
-  conversation — O(1) per key, bounded: keys expire via event-time
-  timeout, so state size tracks ACTIVE conversations, not history;
-- a session CLOSES (emits one row, append-mode sink friendly) when a
-  turn arrives more than `gap` after the previous one, or when the
-  watermark passes last_ts + gap (event-time timeout) with no new
-  turns;
-- emitted rows match the batch operator's semantics: contiguous
-  session_id per conversation starting at 1, gap rule `ts - prev_ts >
-  gap`.
+- state = (sessions_emitted, pending event-times) per conversation.
+  The pending buffer holds every event whose session membership the
+  watermark has not yet FROZEN — on each trigger the buffer is
+  re-sorted and re-segmented from scratch, so a late-but-within-
+  watermark row lands in exactly the session the batch operator's
+  global sort would give it (round-3 VERDICT item 3: the previous
+  cursor-only state placed such rows in the CURRENT session);
+- a session is emitted (append-mode friendly) only when
+  ``session_end + gap < watermark``: any row Spark could still admit
+  has ts >= watermark > end + gap, which under the gap rule starts a
+  NEW session, so the emitted group's membership is final. Emission
+  therefore lags the watermark by one gap — the price of exactness;
+- state size is bounded by the watermark horizon: the buffer holds
+  only events newer than (watermark - gap) plus the open tail, and
+  keys expire via event-time timeout once everything is emitted.
 
-The per-group python loop runs over one conversation's rows in one
-micro-batch (tiny); batches arrive Arrow-vectorized. At web scale the
-shuffle key is conv_id — same skew story as the batch dedup window.
+Emitted rows match the batch operator: contiguous session_id per
+conversation starting at 1, gap rule ``ts - prev_ts > gap``, optional
+duration cap ``ts - session_start > max_dur`` (sessionize_capped).
+(Batch epochs are second-floored by unix_timestamp; the stream works
+in ms — identical splits for any data without sub-second gaps
+straddling the boundary.)
+
+The per-group python loop runs over one conversation's pending rows
+(a watermark-bounded window, typically a handful); batches arrive
+Arrow-vectorized. At web scale the shuffle key is conv_id — same skew
+story as the batch dedup window.
 
 CAVEAT (inherent to event-time timeouts): sessions still open when the
 stream stops are not emitted until a later trigger advances the
@@ -39,79 +52,89 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_SCHEMA = ("conv_id string, session_id long, n_turns long, "
                   "session_start timestamp, session_end timestamp")
-_STATE_SCHEMA = "sid long, n long, start_ms long, last_ms long"
+_STATE_SCHEMA = "sid long, buf array<long>"
 
 
 def _to_ms(ts) -> int:
     return int(pd.Timestamp(ts).value // 1_000_000)
 
 
-def _row(conv_id: str, sid: int, n: int, start_ms: int, last_ms: int) -> dict:
+def _row(conv_id: str, sid: int, group: list[int]) -> dict:
     return {
         "conv_id": conv_id,
         "session_id": sid,
-        "n_turns": n,
-        "session_start": pd.Timestamp(start_ms, unit="ms"),
-        "session_end": pd.Timestamp(last_ms, unit="ms"),
+        "n_turns": len(group),
+        "session_start": pd.Timestamp(group[0], unit="ms"),
+        "session_end": pd.Timestamp(group[-1], unit="ms"),
     }
+
+
+def _segment(buf: list[int], gap_ms: int,
+             max_dur_ms: int | None) -> list[list[int]]:
+    """Batch-identical segmentation of sorted event-times: split when
+    the gap to the previous event exceeds gap_ms OR (capped variant)
+    the event lands more than max_dur_ms after the session's first."""
+    groups: list[list[int]] = []
+    cur = [buf[0]]
+    for ms in buf[1:]:
+        if (ms - cur[-1] > gap_ms
+                or (max_dur_ms is not None and ms - cur[0] > max_dur_ms)):
+            groups.append(cur)
+            cur = [ms]
+        else:
+            cur.append(ms)
+    groups.append(cur)
+    return groups
 
 
 def _make_fn(gap_ms: int, max_dur_ms: int | None = None):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         conv_id = key[0]
+        wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            # watermark passed last_ms + gap with no new turns: the
-            # open session is definitively closed; key state dropped
-            sid, n, start_ms, last_ms = state.get
-            state.remove()
-            yield pd.DataFrame([_row(conv_id, sid, n, start_ms, last_ms)])
-            return
-
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if not len(rows):
-            return
-        rows = rows.sort_values(["ts", "turn_idx"])
-        if state.exists:
-            sid, n, start_ms, last_ms = state.get
+            sid, buf = state.get
+            buf = sorted(buf)
         else:
-            sid, n, start_ms, last_ms = 0, 0, None, None
-        closed = []
-        for ts in rows["ts"]:
-            ms = _to_ms(ts)
-            if last_ms is None:
-                sid, n, start_ms, last_ms = 1, 1, ms, ms
-            elif (ms - last_ms > gap_ms
-                  or (max_dur_ms is not None
-                      and ms - start_ms > max_dur_ms)):
-                # split on inactivity OR on the duration cap — the
-                # streaming twin of sessionize_capped. (A late row
-                # that extends start_ms downward can leave an already-
-                # open session slightly over the cap until its next
-                # on-time row splits it; same one-batch-grace flavor
-                # as the other stateful approximations here.)
-                closed.append(_row(conv_id, sid, n, start_ms, last_ms))
-                sid, n, start_ms, last_ms = sid + 1, 1, ms, ms
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            if not len(rows):
+                return
+            new = [_to_ms(ts) for ts in rows["ts"]]
+            if state.exists:
+                sid, buf = state.get
+                buf = sorted(list(buf) + new)
             else:
-                # Late-but-within-watermark rows (ms < last_ms, i.e.
-                # out-of-order ACROSS micro-batches) join the open
-                # session but must never move the cursor backward: an
-                # unclamped last_ms = ms would shrink the timeout
-                # horizon and could falsely split the session on the
-                # next on-time turn. Monotone clamp both ends instead
-                # (start extends down, cursor only advances). Residual
-                # approximation vs batch: a late row older than the
-                # previous session's close re-opens nothing — it counts
-                # into the CURRENT session, while the batch operator
-                # (global sort) would have placed it in the earlier one.
-                n += 1
-                start_ms = min(start_ms, ms)
-                last_ms = max(last_ms, ms)
-        state.update((sid, n, start_ms, last_ms))
-        # bounded state: expire this key once the watermark passes the
-        # point where the open session could still be extended
-        state.setTimeoutTimestamp(last_ms + gap_ms)
-        if closed:
-            yield pd.DataFrame(closed)
+                sid, buf = 0, sorted(new)
+
+        # re-segment the full pending buffer, then emit the prefix of
+        # groups the watermark has frozen: end + gap < wm means no
+        # admissible future row (ts >= wm) can join the group (diff
+        # would exceed gap) or precede it (Spark drops sub-watermark
+        # rows before the operator), so membership is final. Groups
+        # are time-ordered, so final groups are always a prefix and
+        # session numbering stays contiguous.
+        groups = _segment(buf, gap_ms, max_dur_ms)
+        emitted = []
+        n_final = 0
+        for g in groups:
+            if g[-1] + gap_ms < wm:
+                sid += 1
+                emitted.append(_row(conv_id, sid, g))
+                n_final += 1
+            else:
+                break
+        keep = [ms for g in groups[n_final:] for ms in g]
+        if keep:
+            state.update((sid, keep))
+            # wake when the earliest pending group becomes final (its
+            # end + gap passes the watermark) even if no new rows
+            # arrive for this key; timeout must sit above the current
+            # watermark or Spark rejects it
+            first_end = groups[n_final][-1]
+            state.setTimeoutTimestamp(max(first_end + gap_ms + 1, wm + 1))
+        else:
+            state.remove()
+        if emitted:
+            yield pd.DataFrame(emitted)
 
     return fn
 
@@ -119,13 +142,15 @@ def _make_fn(gap_ms: int, max_dur_ms: int | None = None):
 def streaming_sessionize(turns: DataFrame, gap_minutes: int = 30,
                          watermark: str = "1 hour",
                          max_duration_minutes: int | None = None) -> DataFrame:
-    """Append-mode stream of CLOSED sessions per conversation.
+    """Append-mode stream of CLOSED sessions per conversation,
+    row-identical to the batch operator for any within-watermark
+    arrival order (see module docstring).
 
     `turns` is a streaming DataFrame with (conv_id, turn_idx, ts, ...).
-    The watermark bounds both late data admission and state lifetime.
-    ``max_duration_minutes`` adds the sessionize_capped split rule
-    (session also closes when an event lands more than the cap after
-    the session's first event).
+    The watermark bounds late-data admission, state size, and emission
+    latency. ``max_duration_minutes`` adds the sessionize_capped split
+    rule (session also closes when an event lands more than the cap
+    after the session's first event).
     """
     gap_ms = gap_minutes * 60 * 1000
     max_dur_ms = (max_duration_minutes * 60 * 1000

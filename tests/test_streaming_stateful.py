@@ -190,9 +190,83 @@ def test_streaming_sessionize_duration_cap_splits(spark, tmp_path):
     # session at the turn landing 75 min after its start
     write([("A", i, T0 + timedelta(minutes=25 * i)) for i in range(6)])
     drain()
-    rows = sorted(_read_sessions(spark, d["sink"]),
+    # sentinel advances the watermark past session 1's horizon
+    # (emission waits for the watermark so membership is final)
+    write([("zz", 0, T0 + timedelta(hours=48))])
+    drain()
+    rows = sorted((r for r in _read_sessions(spark, d["sink"])
+                   if r["conv_id"] == "A"),
                   key=lambda r: r["session_id"])
     # t=0,25,50 -> session 1 (75 > 60 splits at t=75);
-    # t=75,100,125 -> session 2 (still open, not emitted)
-    assert [(r["session_id"], r["n_turns"]) for r in rows] == [(1, 3)]
+    # t=75,100,125 -> session 2 (closed by the sentinel's watermark)
+    assert [(r["session_id"], r["n_turns"]) for r in rows] == [(1, 3), (2, 3)]
     assert rows[0]["session_end"] == T0 + timedelta(minutes=50)
+    assert rows[1]["session_start"] == T0 + timedelta(minutes=75)
+
+
+def test_streaming_sessionize_cross_batch_late_row_matches_batch(spark, tmp_path):
+    """Round-3 VERDICT item 3: a late-but-within-watermark row arriving
+    in a LATER micro-batch that belongs to an already-gap-split EARLIER
+    session must land in that earlier session exactly as the batch
+    operator's global sort places it (the previous cursor-only state
+    counted it into the current session). gap=30min, watermark=2h."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from logging_spark.operators.sessionize import sessionize
+    from logging_spark.streaming.stateful import streaming_sessionize
+
+    d = {k: str(tmp_path / k) for k in ("input", "sink", "chk")}
+
+    def write(rows):
+        spark.createDataFrame(rows, IN_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d["input"])
+
+    def drain():
+        turns = (spark.readStream.schema(IN_SCHEMA)
+                 .option("maxFilesPerTrigger", 1).parquet(d["input"]))
+        sessions = streaming_sessionize(turns, gap_minutes=30,
+                                        watermark="2 hours")
+
+        def sink(batch, _bid):
+            batch.write.mode("append").parquet(d["sink"])
+
+        q = (sessions.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", d["chk"])
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # batch 1: t0 and t0+50min -> gap-split into two pending sessions
+    rows = [("A", 1, T0), ("A", 2, T0 + timedelta(minutes=50))]
+    write(rows)
+    drain()
+    # batch 2: LATE row t0+10min (watermark is far below t0, admitted)
+    # — belongs to the FIRST session under a global sort
+    rows.append(("A", 3, T0 + timedelta(minutes=10)))
+    write([rows[-1]])
+    drain()
+    # two sentinel batches: advance the watermark, then fire timeouts
+    write([("zz", 0, T0 + timedelta(hours=200))])
+    drain()
+    write([("zz", 1, T0 + timedelta(hours=201))])
+    drain()
+
+    got = sorted((r["session_id"], r["n_turns"], r["session_start"],
+                  r["session_end"])
+                 for r in _read_sessions(spark, d["sink"])
+                 if r["conv_id"] == "A")
+    batch_in = spark.createDataFrame(rows, IN_SCHEMA)
+    want = sorted((r["session_id"], r["n_turns"], r["session_start"],
+                   r["session_end"])
+                  for r in sessionize(batch_in, key="conv_id", ts_col="ts",
+                                      order_tiebreak="turn_idx",
+                                      gap_seconds=1800)
+                  .groupBy("conv_id", "session_id")
+                  .agg(F.count(F.lit(1)).alias("n_turns"),
+                       F.min("ts").alias("session_start"),
+                       F.max("ts").alias("session_end")).collect())
+    # row-identical: late row joins session 1 ([t0, t0+10], n=2);
+    # session 2 stays [t0+50] n=1
+    assert got == want
+    assert got[0][1] == 2 and got[1][1] == 1
