@@ -365,6 +365,15 @@ def lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              portable=True))
 
 
+def shingles_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-word shingle arrays over the corpus, memoized —
+    threshold-Jaccard and containment share ONE shingle build
+    (round-3 VERDICT item 8) instead of re-shingling per operator."""
+    from logging_spark.operators.textdedup import shingle_frame
+    return _memo(spark, sf_dir, "shingles_w3",
+                 lambda: shingle_frame(corpus_df(spark, sf_dir), w=3))
+
+
 # ----------------------------------------------------------------------------
 # dedup corpus fixture (documents has no exact dups; inject some)
 # ----------------------------------------------------------------------------
@@ -1805,6 +1814,91 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("numwait")))
     q["tpch_q21_lone_fault_supplier"] = tpch_q21_lone_fault_supplier
 
+    # TPC-H Q2 shape (correlated min-cost subquery): for each part,
+    # the EUROPE-region supplier(s) achieving the minimum observed
+    # unit price. Q2's correlated `cost = (SELECT min(ps_supplycost)
+    # ...)` becomes one min-over-window on the region-restricted cost
+    # table — no self-join, ties kept (Q2 returns all tied suppliers).
+    # Cost table derived from lineitem (fixture has no partsupp):
+    # min line price per (part, supplier) in cents.
+    def tpch_q2_min_cost_supplier(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        su = _read(spark, sf, "supplier")
+        na = _read(spark, sf, "nation")
+        re = _read(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+        eu = (su.join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+              .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+              .select("s_suppkey", "s_name", "n_name"))
+        cost = (li.groupBy("l_partkey", "l_suppkey")
+                .agg((F.min(F.col("l_extendedprice").cast("decimal(18,2)"))
+                      * 100).cast("long").alias("cost_cents")))
+        cost_eu = cost.join(F.broadcast(eu),
+                            cost["l_suppkey"] == eu["s_suppkey"])
+        w = Window.partitionBy("l_partkey")
+        best = (cost_eu
+                .withColumn("_best", F.min("cost_cents").over(w))
+                .where(F.col("cost_cents") == F.col("_best")))
+        pa = _read(spark, sf, "part").where(F.col("p_type") == "STANDARD")
+        return (best.join(F.broadcast(pa),
+                          best["l_partkey"] == pa["p_partkey"])
+                .select("p_partkey", "p_name", "s_name", "n_name",
+                        "cost_cents"))
+    q["tpch_q2_min_cost_supplier"] = tpch_q2_min_cost_supplier
+
+    # TPC-H Q15 shape (max over an aggregated view): quarterly revenue
+    # per supplier, then the supplier(s) hitting the global max. The
+    # view aggregates once; the max is a single-row broadcast joined
+    # back by equality — no rank window over the whole view. Revenue
+    # is integer-exact: cents x discount-complement-percent (both
+    # round-to-integer), so the max comparison is engine-portable.
+    def tpch_q15_top_supplier(spark, sf):
+        li = _read(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")))
+        rev_unit = (F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * F.round((F.lit(1.0) - F.col("l_discount")) * 100)
+                    .cast("long"))
+        view = (li.groupBy("l_suppkey")
+                .agg(F.sum(rev_unit).alias("total_rev")))
+        mx = view.agg(F.max("total_rev").alias("_mx"))
+        su = _read(spark, sf, "supplier")
+        return (view.join(F.broadcast(mx),
+                          view["total_rev"] == mx["_mx"])
+                .join(su, view["l_suppkey"] == su["s_suppkey"])
+                .select("s_suppkey", "s_name", "total_rev"))
+    q["tpch_q15_top_supplier"] = tpch_q15_top_supplier
+
+    # TPC-H Q20 shape (nested semi-join with aggregate threshold):
+    # suppliers of 'small %' parts whose 2001 shipments of that part
+    # exceed half their all-time shipments of it — Q20's
+    # `ps_availqty > 0.5 * sum(l_quantity)` re-expressed over the
+    # fixture (no partsupp). The threshold compare is 2*recent > total
+    # (integers, no halves); the supplier list is a left-semi join so
+    # fact rows never fan out.
+    def tpch_q20_recent_heavy_suppliers(spark, sf):
+        li = _read(spark, sf, "lineitem").withColumn(
+            "_qty", F.floor("l_quantity").cast("long"))
+        pa = _read(spark, sf, "part").where(F.col("p_name").like("small %"))
+        lip = li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        recent = F.when(
+            F.col("l_shipdate") >= F.lit("2001-07-01 00:00:00")
+            .cast("timestamp_ntz"), F.col("_qty")).otherwise(F.lit(0))
+        per_pair = (lip.groupBy("l_partkey", "l_suppkey")
+                    .agg(F.count(F.lit(1)).alias("_n_lines"),
+                         F.sum("_qty").alias("_total"),
+                         F.sum(recent).alias("_recent")))
+        # >=2 lines keeps single-line pairs from trivially qualifying
+        # (43/100 suppliers pass at sf0.01 — the semi-join filters)
+        heavy = per_pair.where((F.col("_n_lines") >= 2)
+                               & (2 * F.col("_recent") > F.col("_total")))
+        su = _read(spark, sf, "supplier")
+        na = _read(spark, sf, "nation")
+        return (su.join(heavy.select("l_suppkey").distinct(),
+                        su["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+                .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+                .select("s_suppkey", "s_name", "n_name"))
+    q["tpch_q20_recent_heavy_suppliers"] = tpch_q20_recent_heavy_suppliers
+
     def agg_exact_quantiles(spark, sf):
         # percentile() (exact, interpolated) matches DuckDB's
         # quantile_cont bitwise — verified, no rounding needed
@@ -2100,7 +2194,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # asymmetric containment: |A∩B| / min(|A|,|B|) in integral bps —
     # quote-inclusion detection symmetric Jaccard misses
     q["dedup_containment"] = lambda spark, sf: containment_pairs(
-        corpus_df(spark, sf), w=3, threshold_bps=6000)
+        corpus_df(spark, sf), w=3, threshold_bps=6000,
+        sh_df=shingles_w3(spark, sf))
 
     # incremental-ingestion dedup: a new batch anti-joined against the
     # accumulated fingerprint index (fixture: docs with doc_id % 3 == 0
@@ -2148,7 +2243,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # from the naive every-sharing-pair plan — an algorithm-
     # equivalence check that the prefix filter is lossless
     q["dedup_jaccard_threshold"] = lambda spark, sf: jaccard_threshold_pairs(
-        corpus_df(spark, sf), t_pct=50, w=3)
+        corpus_df(spark, sf), t_pct=50, w=3, sh_df=shingles_w3(spark, sf))
 
     # candidate-then-verify: LSH pairs re-checked by exact Levenshtein
     # (textdedup.edit_distance_near_dups) — rejects banding collisions
@@ -3021,6 +3116,56 @@ WHERE EXISTS (SELECT 1 FROM pairs p
                   WHERE r2.l_orderkey = r.l_orderkey
                     AND r2.l_suppkey <> r.l_suppkey)
 GROUP BY s_name"""
+
+    # Q2 oracle keeps the textbook CORRELATED min subquery so the
+    # window-argmin plan is proven equivalent to the reference shape
+    o["tpch_q2_min_cost_supplier"] = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cost_cents
+  FROM lineitem GROUP BY 1, 2),
+ce AS (SELECT c.*, eu.s_name, eu.n_name
+       FROM cost c JOIN eu ON c.l_suppkey = eu.s_suppkey)
+SELECT p_partkey, p_name, s_name, n_name, cost_cents
+FROM ce JOIN part ON ce.l_partkey = p_partkey
+WHERE p_type = 'STANDARD'
+  AND cost_cents = (SELECT min(c2.cost_cents) FROM ce c2
+                    WHERE c2.l_partkey = ce.l_partkey)"""
+
+    o["tpch_q15_top_supplier"] = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_rev
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)"""
+
+    o["tpch_q20_recent_heavy_suppliers"] = """
+WITH per_pair AS (
+  SELECT l_partkey, l_suppkey, count(*) AS n_lines,
+         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '2001-07-01'
+                       THEN CAST(floor(l_quantity) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS recent
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small %'
+  GROUP BY 1, 2)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM per_pair
+                    WHERE n_lines >= 2 AND 2 * recent > total)"""
 
     o["agg_exact_quantiles"] = """
 SELECT event_type, quantile_cont(value, 0.5) AS p50,

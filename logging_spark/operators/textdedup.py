@@ -513,12 +513,25 @@ def edit_distance_near_dups(
             .select("doc_a", "doc_b", "edit_dist"))
 
 
+def shingle_frame(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", w: int = 3) -> DataFrame:
+    """(id, _sh, _n): per-doc shingle arrays + set sizes — the shared
+    upstream of every set-similarity operator here. Build it once
+    (checkpoint/memoize) and pass it to jaccard_threshold_pairs AND
+    containment_pairs via their ``sh_df`` argument so one session pays
+    for the shingle arrays once instead of per operator (round-3
+    VERDICT item 8)."""
+    return (df.select(F.col(id_col), shingles(text_col, w).alias("_sh"))
+            .withColumn("_n", F.size("_sh").cast("long")))
+
+
 def jaccard_threshold_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     t_pct: int = 50,
     w: int = 3,
+    sh_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, inter, uni): all pairs with shingle-set Jaccard
     ≥ t_pct/100, via PREFIX FILTERING (Bayardo et al. AllPairs /
@@ -542,11 +555,13 @@ def jaccard_threshold_pairs(
     ~20% of the corpus shingle volume. Exact verification (integer
     intersection via array_intersect) runs per CANDIDATE pair only.
     """
-    sh = df.select(F.col(id_col).alias("_id"),
-                   shingles(text_col, w).alias("_sh"))
     # three consumers (inverted index + both verify sides) — without a
-    # checkpoint each would rebuild every shingle array from raw text
-    sh = sh.withColumn("_n", F.size("_sh")).localCheckpoint(eager=False)
+    # checkpoint each would rebuild every shingle array from raw text;
+    # a caller-provided sh_df (already materialized) is used as-is
+    if sh_df is None:
+        sh_df = shingle_frame(df, id_col, text_col, w) \
+            .localCheckpoint(eager=False)
+    sh = sh_df.select(F.col(id_col).alias("_id"), "_sh", "_n")
     ex = sh.select("_id", "_n", F.explode("_sh").alias("_s"))
     freq = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     from pyspark.sql import Window
@@ -609,6 +624,7 @@ def containment_pairs(
     w: int = 3,
     threshold_bps: int = 8000,
     max_doc_freq: int = 1000,
+    sh_df: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: pairs where the smaller doc's
     shingle set is mostly CONTAINED in the larger's —
@@ -621,11 +637,11 @@ def containment_pairs(
     with the hot-shingle cap, sizes joined back, the ratio test done
     by integer cross-multiplication (inter * 10000 >= min_size * bps).
     """
-    sh_df = (df.select(F.col(id_col), shingles(text_col, w).alias("_sh"))
-             .localCheckpoint(eager=True))
+    if sh_df is None:
+        sh_df = shingle_frame(df, id_col, text_col, w) \
+            .localCheckpoint(eager=True)
     sh = sh_df.select(F.col(id_col), F.explode("_sh").alias("shingle"))
-    sizes = sh_df.select(F.col(id_col),
-                         F.size("_sh").cast("long").alias("n_sh"))
+    sizes = sh_df.select(F.col(id_col), F.col("_n").alias("n_sh"))
     hot = (sh.groupBy("shingle").count()
            .where(F.col("count") > max_doc_freq).select("shingle"))
     sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
