@@ -95,6 +95,15 @@ HEADLINE = [
     "events_cooccurrence",
     "dedup_containment",
     "events_rolling_wau",
+    # round-4 additions: windowed-argmin TPC-H Q2, prefix-filtered
+    # threshold join (shares the memoized shingle build with
+    # containment), token-pair lift, percentile-edge equi-depth
+    # histogram, consecutive same-speaker merge
+    "tpch_q2_min_cost_supplier",
+    "dedup_jaccard_threshold",
+    "docs_token_lift",
+    "events_equidepth_histogram",
+    "pipe_merge_consecutive",
 ]
 
 

@@ -50,7 +50,9 @@ from logging_spark.operators.aggregate import (assemble_conversations,
                                                per_sink_counts,
                                                per_sink_role_rollup,
                                                resume_points)
-from logging_spark.operators.dedup import debounce, dedup_latest_wins
+from logging_spark.operators.dedup import (debounce,
+                                            dedup_latest_wins,
+                                            merge_consecutive)
 from logging_spark.operators.enrich import enrich
 from logging_spark.operators.route import route
 from logging_spark.operators.rules import Rule
@@ -72,7 +74,9 @@ from logging_spark.operators.importance import (importance_scores,
                                                 importance_weighted_sample)
 from logging_spark.operators.asof import asof_join, interval_join
 from logging_spark.operators.anomaly import spike_flags
-from logging_spark.operators.profile import profile_columns
+from logging_spark.operators.profile import (equidepth_histogram,
+                                             profile_columns)
+from logging_spark.operators.assoc import token_lift
 from logging_spark.operators.sequence import sequence_pattern_matches
 from logging_spark.operators.cohort import cohort_retention
 from logging_spark.operators.scd import scd2, scd2_lookup
@@ -2733,6 +2737,65 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.round(F.element_at("feature", 2), 4).alias("rms"))
     q["mm_features_wav"] = mm_features_wav
 
+    # -- token co-occurrence lift (operators/assoc.py): PMI-family
+    # association without the log — integer-exact, pair generation is
+    # per-document (let-bound nested transform, no self-join)
+    q["docs_token_lift"] = lambda spark, sf: token_lift(
+        _read(spark, sf, "documents"), min_support=5, max_tokens=64)
+
+    # -- equi-depth histogram (operators/profile.py): percentile edges
+    # + comparison-sum bucketing — NO global ntile sort (the
+    # single-partition-window anti-pattern at 10^12 rows). The contract
+    # quantizes value -> BIGINT first: with integer inputs and dyadic
+    # fractions (i/8) the percentile interpolation is EXACT double
+    # arithmetic in both engines (raw doubles flipped 2 rows at the
+    # median edge — measured at sf0.001).
+    q["events_equidepth_histogram"] = lambda spark, sf: equidepth_histogram(
+        _read(spark, sf, "events").withColumn(
+            "vq", F.floor(F.col("value") * 1e6).cast("long")),
+        "vq", n_buckets=8)
+
+    # -- consecutive same-speaker merge (operators/dedup.py): the
+    # transcript-normalization block assembly; one shuffle, in-block
+    # text order pinned by array_sort over (turn_idx, text) structs
+    def pipe_merge_consecutive(spark, sf):
+        return merge_consecutive(turns_df(spark, sf)).select(
+            "conv_id", "block_idx", "role", "n_turns", "text")
+    q["pipe_merge_consecutive"] = pipe_merge_consecutive
+
+    # -- HLL sketch audit: approx_count_distinct vs the exact count,
+    # asserted within its 2%-rsd configuration (x5 slack). The sketch
+    # VALUE is engine-specific, so the contract pins the exact count
+    # plus the portable boolean — the pattern for auditing any
+    # approximate operator against its error budget.
+    def agg_hll_audit(spark, sf):
+        ev = _read(spark, sf, "events")
+        g = ev.groupBy("event_type").agg(
+            F.count_distinct(F.col("user_id")).alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("_hll"))
+        ok = (F.abs(F.col("_hll") - F.col("n_exact")) * 100
+              <= F.col("n_exact") * 10).cast("int")
+        return g.select("event_type", F.col("n_exact").cast("long")
+                        .alias("n_exact"), ok.alias("hll_ok"))
+    q["agg_hll_audit"] = agg_hll_audit
+
+    # -- Python UDTF surface (functions/kv_udtf.py): LATERAL key=value
+    # expansion, aggregated per key. Deliberately the repo's one
+    # row-at-a-time Python path — API coverage, off the hot path.
+    def pipe_kv_udtf(spark, sf):
+        from logging_spark.functions import kv_udtf
+        kv_udtf.register(spark)
+        turns_df(spark, sf).createOrReplaceTempView("_turns_kv")
+        return spark.sql("""
+            SELECT p.key, count(*) AS n,
+                   count(DISTINCT p.val) AS n_distinct_vals
+            FROM _turns_kv t, LATERAL kv_pairs(t.text) p
+            GROUP BY p.key""").select(
+                "key", F.col("n").cast("long").alias("n"),
+                F.col("n_distinct_vals").cast("long")
+                .alias("n_distinct_vals"))
+    q["pipe_kv_udtf"] = pipe_kv_udtf
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -4904,5 +4967,82 @@ SELECT media_id,
        CAST(floor(duration_ms / 1000.0) + 1 AS BIGINT) AS n_frames,
        CAST(floor(duration_ms / 1000.0) * 1000 AS BIGINT) AS last_frame_ts_ms
 FROM media WHERE kind = 'video'"""
+
+    # mirror of operators/assoc.py token_lift: same slice cap, same
+    # integral lift (a DIV b == a // b)
+    o["docs_token_lift"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_sort(list_distinct({TOKS}))[1:64] AS capped,
+         list_distinct({TOKS}) AS alltoks
+  FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+singles AS (SELECT unnest(alltoks) AS tok, doc_id FROM toks),
+tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_t FROM singles GROUP BY 1),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_xy
+  FROM (SELECT doc_id, unnest(capped) AS tok FROM toks) a
+  JOIN (SELECT doc_id, unnest(capped) AS tok FROM toks) b
+    ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT tok_a, tok_b, n_xy,
+       CAST((n_xy * n_docs * 100) // (ta.n_t * tb.n_t) AS BIGINT)
+         AS lift_pct
+FROM pairs
+JOIN tc ta ON pairs.tok_a = ta.tok
+JOIN tc tb ON pairs.tok_b = tb.tok
+CROSS JOIN n"""
+
+    # quantize-first: quantile_cont over BIGINT with i/8 fractions is
+    # exact double arithmetic — bitwise equal to Spark's percentile()
+    # (raw doubles diverged by an ulp at the median edge)
+    o["events_equidepth_histogram"] = """
+WITH q AS (
+  SELECT CAST(floor(value * 1e6) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL),
+edges AS (
+  SELECT quantile_cont(vq, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75,
+                            0.875]) AS e
+  FROM q)
+SELECT CAST(1 + len([x FOR x IN e IF vq > x]) AS INT) AS bucket,
+       count(*) AS n
+FROM q, edges
+GROUP BY 1"""
+
+    o["pipe_merge_consecutive"] = "WITH " + TURNS_CTE + """,
+b AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN lag(role) OVER w IS NULL
+                   OR lag(role) OVER w <> role THEN 1 ELSE 0 END AS is_new
+  FROM turns
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+r AS (
+  SELECT conv_id, turn_idx, role, text,
+         sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING) AS block_idx
+  FROM b)
+SELECT conv_id, CAST(block_idx AS BIGINT) AS block_idx,
+       min(role) AS role, count(*) AS n_turns,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text
+FROM r GROUP BY conv_id, block_idx"""
+
+    # the HLL VALUE is engine-specific; the contract pins the exact
+    # distinct count and the portable within-error-budget boolean
+    o["agg_hll_audit"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(1 AS INT) AS hll_ok
+FROM events GROUP BY 1"""
+
+    o["pipe_kv_udtf"] = "WITH " + TURNS_CTE + r""",
+kv AS (
+  SELECT t.tok[1:position('=' IN t.tok) - 1] AS key,
+         t.tok[position('=' IN t.tok) + 1:] AS val
+  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        FROM turns) t
+  WHERE position('=' IN t.tok) > 1)
+SELECT key, count(*) AS n,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_vals
+FROM kv GROUP BY 1"""
 
     return o

@@ -69,3 +69,47 @@ def debounce(
     if keep_flag is not None:
         return out.withColumnRenamed("_keep", keep_flag).drop("_ts_us")
     return out.where(F.col("_keep") == 1).drop("_keep", "_ts_us")
+
+
+def merge_consecutive(
+    df: DataFrame,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    value_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Collapse consecutive same-`value_col` rows per key into one
+    block — the transcript-normalization pass that merges consecutive
+    same-speaker turns before training-example assembly (two adjacent
+    'assistant' turns are one logical message).
+
+    Output: (key, block_idx, value_col, n_turns, text) with block_idx
+    contiguous from 1 per key and text the in-order sep-join of the
+    block's texts.
+
+    Plan: ONE shuffle on the key — lag + running-sum share a single
+    (key, order) window sort, and the block groupBy reuses the same
+    hash partitioning. The per-block text join is collect_list of
+    (order, text) structs re-sorted in place: collect_list alone has
+    no order guarantee under retries/merges, array_sort makes the
+    result deterministic without a second window."""
+    w = Window.partitionBy(key).orderBy(order_col)
+    is_new = F.when(
+        F.lag(F.col(value_col)).over(w).isNull()
+        | (F.lag(F.col(value_col)).over(w) != F.col(value_col)), 1
+    ).otherwise(0)
+    run = Window.partitionBy(key).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    blocks = df.withColumn("_blk", F.sum(is_new).over(run))
+    merged_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col(order_col).alias("o"),
+                         F.col(text_col).alias("t")))),
+            lambda s: s.getField("t")),
+        sep)
+    return (blocks.groupBy(key, F.col("_blk").alias("block_idx"))
+            .agg(F.first(value_col).alias(value_col),
+                 F.count(F.lit(1)).alias("n_turns"),
+                 merged_text.alias("text")))

@@ -36,3 +36,35 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         f"stack({len(cols)}, {stack}) AS (col_name, n_null, n_distinct)",
         "_n AS n_rows",
     ).select("col_name", "n_rows", "n_null", "n_distinct")
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """(bucket, n): equi-depth histogram via exact percentile edges —
+    bucket b holds values in (edge_{b-1}, edge_b].
+
+    Scale shape: NO global sort window (the naive ntile plan is a
+    single-partition sort — the exact anti-pattern a 10^12-row table
+    cannot pay). Instead one aggregate computes the n_buckets-1
+    interior percentile edges, the edges broadcast back, and bucket
+    assignment is a pure per-row comparison sum feeding an ordinary
+    groupBy. percentile() interpolation is bitwise-identical to
+    DuckDB's quantile_cont (established by the Hampel/anomaly family),
+    so the bucket boundaries are engine-portable; counts differ from
+    perfect N/k only by ties at the edges, deterministically on both
+    engines."""
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = df.where(F.col(value_col).isNotNull()).agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(f) for f in fracs]))
+        .alias("_edges"))
+    bucket = (F.lit(1) + F.aggregate(
+        F.col("_edges"), F.lit(0),
+        lambda acc, e: acc + F.when(F.col(value_col) > e, 1).otherwise(0)
+    )).cast("int")
+    return (df.where(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(edges))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))

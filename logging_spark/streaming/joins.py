@@ -50,3 +50,15 @@ def stream_interval_join(
         & (p[ts] < i[start] + F.expr(f"INTERVAL {int(length_s)} SECONDS"))
     )
     return p.join(i, cond, "inner").drop("_ikey")
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame,
+                         on: str = "conv_id") -> DataFrame:
+    """Stream-static broadcast enrich: every micro-batch left-joins
+    the (bounded) dimension exactly like the batch enrich operator —
+    Spark plans a BroadcastHashJoin per micro-batch with NO streaming
+    state (the static side is re-broadcast on change, giving
+    slowly-changing-dimension pickup between triggers for free). The
+    streaming twin of operators/enrich.py; row-identical to it on
+    equal input (tests/test_streaming_join.py)."""
+    return stream.join(F.broadcast(dim), on, "left")

@@ -63,3 +63,33 @@ def test_stream_interval_join_rejects_collisions(spark, split_dirs):
         "event_id long, user_id long, ts timestamp").parquet(p_dir)
     with pytest.raises(ValueError, match="collide"):
         stream_interval_join(s, s, on="user_id", ts="ts", start="ts")
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrich emits the same rows as the batch
+    left join on the same input, including the default-on-miss rows."""
+    from logging_spark.streaming.joins import stream_static_enrich
+
+    sdir, out, chk = (str(tmp_path / k) for k in ("in", "out", "chk"))
+    turns = [("conv-1", 1, "hi"), ("conv-1", 2, "yo"),
+             ("conv-2", 1, "miss"), ("conv-3", 1, "ok")]
+    spark.createDataFrame(turns, "conv_id string, turn_idx int, text string") \
+        .coalesce(1).write.parquet(sdir)
+    dim = spark.createDataFrame(
+        [("conv-1", "ns-a"), ("conv-3", "ns-b")],
+        "conv_id string, namespace string")
+
+    s = spark.readStream.schema(
+        "conv_id string, turn_idx int, text string").parquet(sdir)
+    q = (stream_static_enrich(s, dim).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = sorted((r["conv_id"], r["turn_idx"], r["namespace"])
+                 for r in spark.read.parquet(out).collect())
+    want = sorted((r["conv_id"], r["turn_idx"], r["namespace"])
+                  for r in spark.read.parquet(sdir)
+                  .join(dim, "conv_id", "left").collect())
+    assert got == want and len(got) == 4
