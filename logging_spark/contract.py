@@ -2737,6 +2737,96 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.round(F.element_at("feature", 2), 4).alias("rms"))
     q["mm_features_wav"] = mm_features_wav
 
+    # -- TPC-H Q6 shape: the pure scan-filter-aggregate — no join at
+    # all; at 100 TB this is THE query predicate pushdown exists for
+    # (all three filters reach the parquet reader). Discount matched
+    # in integer cents (round(x*100) is the same double op both
+    # engines) — never `double BETWEEN double`.
+    def tpch_q6_forecast_revenue(spark, sf):
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+        cents = F.round(F.col("l_discount") * 100).cast("int")
+        li = _read(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= ts("1999-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("2000-01-01 00:00:00"))
+            & cents.between(5, 7) & (F.col("l_quantity") < 24))
+        return li.agg(
+            (F.sum(dec("l_extendedprice") * dec("l_discount")) * 10000)
+            .cast("long").alias("revenue_x10000"),
+            F.count(F.lit(1)).alias("n_items"))
+    q["tpch_q6_forecast_revenue"] = tpch_q6_forecast_revenue
+
+    # -- TPC-H Q8 shape: national market share — the two-level
+    # conditional-share aggregate over the full 7-table join. Both
+    # sums ride ONE aggregate (no second pass for the numerator);
+    # share via the integral x10000 DIV idiom.
+    def tpch_q8_market_share(spark, sf):
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        one = F.lit(1).cast("decimal(18,2)")
+        ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+        li = _read(spark, sf, "lineitem")
+        pa = _read(spark, sf, "part").where(F.col("p_type") == "ECONOMY")
+        su = _read(spark, sf, "supplier")
+        o = _read(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= ts("1999-01-01 00:00:00"))
+            & (F.col("o_orderdate") < ts("2001-01-01 00:00:00")))
+        cu = _read(spark, sf, "customer")
+        n1 = _read(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("_sn_key"),
+            F.col("n_name").alias("supp_nation"))
+        n2 = (_read(spark, sf, "nation")
+              .join(_read(spark, sf, "region")
+                    .where(F.col("r_name") == "ASIA"),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select(F.col("n_nationkey").alias("_cn_key")))
+        j = (li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+             .join(o, li["l_orderkey"] == o["o_orderkey"])
+             .join(cu, o["o_custkey"] == cu["c_custkey"])
+             .join(F.broadcast(n2), cu["c_nationkey"] == F.col("_cn_key"),
+                   "left_semi")
+             .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+             .join(F.broadcast(n1), su["s_nationkey"] == F.col("_sn_key")))
+        vol = dec("l_extendedprice") * (one - dec("l_discount"))
+        g = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+            (F.sum(F.when(F.col("supp_nation") == "NATION_7", vol)
+                   .otherwise(F.lit(0).cast("decimal(18,2)"))) * 10000)
+            .cast("long").alias("focal_x10000"),
+            (F.sum(vol) * 10000).cast("long").alias("total_x10000"),
+            F.count(F.lit(1)).alias("n_items"))
+        return g.withColumn(
+            "mkt_share_bps",
+            F.expr("CAST((focal_x10000 * 10000) DIV total_x10000 AS BIGINT)"))
+    q["tpch_q8_market_share"] = tpch_q8_market_share
+
+    # -- TPC-H Q9 shape: product-type profit per (nation, year). The
+    # testdata has no partsupp table, so supply cost is the
+    # deterministic stand-in floor(p_retailprice*10) integer cents
+    # (10% of retail) — the join SHAPE (part-name filter fanned
+    # across lineitem x supplier x orders x nation) is what Q9
+    # exercises, and profit stays integer-exact end to end.
+    def tpch_q9_product_profit(spark, sf):
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        one = F.lit(1).cast("decimal(18,2)")
+        li = _read(spark, sf, "lineitem")
+        pa = _read(spark, sf, "part").where(F.col("p_name").like("%widget%"))
+        su = _read(spark, sf, "supplier")
+        na = _read(spark, sf, "nation")
+        o = _read(spark, sf, "orders")
+        cost_cents = F.floor(dec("p_retailprice") * 10).cast("long")
+        qty = F.col("l_quantity").cast("decimal(18,2)").cast("long")
+        j = (li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+             .join(o, li["l_orderkey"] == o["o_orderkey"])
+             .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+             .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"]))
+        rev = dec("l_extendedprice") * (one - dec("l_discount"))
+        return (j.groupBy(F.col("n_name").alias("nation"),
+                          F.year("o_orderdate").alias("o_year"))
+                .agg(((F.sum(rev) * 10000).cast("long")
+                      - F.sum(cost_cents * 100 * qty))
+                     .alias("profit_x10000"),
+                     F.count(F.lit(1)).alias("n_items")))
+    q["tpch_q9_product_profit"] = tpch_q9_product_profit
+
     # -- token co-occurrence lift (operators/assoc.py): PMI-family
     # association without the log — integer-exact, pair generation is
     # per-document (let-bound nested transform, no self-join)
@@ -4967,6 +5057,65 @@ SELECT media_id,
        CAST(floor(duration_ms / 1000.0) + 1 AS BIGINT) AS n_frames,
        CAST(floor(duration_ms / 1000.0) * 1000 AS BIGINT) AS last_frame_ts_ms
 FROM media WHERE kind = 'video'"""
+
+    o["tpch_q6_forecast_revenue"] = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+         AS revenue_x10000,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+  AND l_shipdate <  TIMESTAMP '2000-01-01'
+  AND CAST(round(l_discount * 100) AS INT) BETWEEN 5 AND 7
+  AND l_quantity < 24"""
+
+    o["tpch_q8_market_share"] = """
+WITH vols AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         n1.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS vol
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1999-01-01'
+    AND o_orderdate <  TIMESTAMP '2001-01-01'),
+sums AS (
+  SELECT o_year,
+         CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS BIGINT)
+           AS focal_x10000,
+         CAST(sum(vol) * 10000 AS BIGINT) AS total_x10000,
+         count(*) AS n_items
+  FROM vols GROUP BY 1)
+SELECT o_year, focal_x10000, total_x10000, n_items,
+       CAST((focal_x10000 * 10000) // total_x10000 AS BIGINT)
+         AS mkt_share_bps
+FROM sums"""
+
+    o["tpch_q9_product_profit"] = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            * 10000 AS BIGINT)
+       - sum(CAST(floor(CAST(p_retailprice AS DECIMAL(18,2)) * 10) AS BIGINT)
+             * 100 * CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT))
+         AS BIGINT) AS profit_x10000,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2"""
 
     # mirror of operators/assoc.py token_lift: same slice cap, same
     # integral lift (a DIV b == a // b)
