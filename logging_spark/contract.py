@@ -77,6 +77,8 @@ from logging_spark.operators.anomaly import spike_flags
 from logging_spark.operators.profile import (equidepth_histogram,
                                              profile_columns)
 from logging_spark.operators.assoc import token_lift
+from logging_spark.operators.examples import context_examples
+from logging_spark.operators.skew import salted_agg
 from logging_spark.operators.sequence import sequence_pattern_matches
 from logging_spark.operators.cohort import cohort_retention
 from logging_spark.operators.scd import scd2, scd2_lookup
@@ -2737,6 +2739,49 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.round(F.element_at("feature", 2), 4).alias("rms"))
     q["mm_features_wav"] = mm_features_wav
 
+    # -- training-example assembly (operators/examples.py): for every
+    # assistant turn, the trailing-3-turn context rendered into one
+    # prompt string — ONE bounded-frame window, text shuffles once
+    def pipe_context_window(spark, sf):
+        return context_examples(turns_df(spark, sf), k=3)
+    q["pipe_context_window"] = pipe_context_window
+
+    # -- approximate-quantile audit: percentile_approx vs the exact
+    # p50, checked against the exact [p25, p75] band. Same pattern as
+    # agg_hll_audit: the sketch VALUE is engine-specific, the
+    # in-band boolean is portable. All fracs dyadic (1/4, 1/2, 3/4)
+    # over quantized BIGINT, so the exact edges are engine-identical
+    # and p50*2 / p25*4 surface as exact longs.
+    def agg_quantile_audit(spark, sf):
+        ev = _read(spark, sf, "events").where(F.col("value").isNotNull())
+        ev = ev.withColumn("vq", F.floor(F.col("value") * 1e6).cast("long"))
+        g = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.percentile(F.col("vq"), 0.5) * 2).cast("long").alias("p50_x2"),
+            F.percentile(F.col("vq"), 0.25).alias("_p25"),
+            F.percentile(F.col("vq"), 0.75).alias("_p75"),
+            F.percentile_approx("vq", 0.5, 10000).alias("_approx"))
+        ok = (F.col("_approx").cast("double").between(
+            F.col("_p25"), F.col("_p75"))).cast("int")
+        return g.select("event_type", "n", "p50_x2",
+                        ok.alias("approx_in_band"))
+    q["agg_quantile_audit"] = agg_quantile_audit
+
+    # -- salted two-phase aggregation (operators/skew.py): the manual
+    # skew-split for aggregations (AQE only splits JOIN partitions).
+    # Oracle is the PLAIN group-by — the contract row proves the
+    # salted plan is result-identical, partitioning-independent.
+    def agg_salted_rollup(spark, sf):
+        ev = _read(spark, sf, "events").withColumn(
+            "vq", F.floor(F.col("value") * 1e6).cast("long"))
+        return salted_agg(
+            ev, ["event_type"],
+            {"n": (F.count(F.lit(1)), "sum"),
+             "sum_vq": (F.sum(F.coalesce(F.col("vq"), F.lit(0))), "sum"),
+             "max_vq": (F.max("vq"), "max")},
+            salt_from="user_id", salt_buckets=16)
+    q["agg_salted_rollup"] = agg_salted_rollup
+
     # -- TPC-H Q6 shape: the pure scan-filter-aggregate — no join at
     # all; at 100 TB this is THE query predicate pushdown exists for
     # (all three filters reach the parquet reader). Discount matched
@@ -5057,6 +5102,32 @@ SELECT media_id,
        CAST(floor(duration_ms / 1000.0) + 1 AS BIGINT) AS n_frames,
        CAST(floor(duration_ms / 1000.0) * 1000 AS BIGINT) AS last_frame_ts_ms
 FROM media WHERE kind = 'video'"""
+
+    o["pipe_context_window"] = "WITH " + TURNS_CTE + """,
+r AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(string_agg(concat(role, ': ', text), chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context
+  FROM turns)
+SELECT conv_id, turn_idx, context, text AS target
+FROM r WHERE role = 'assistant'"""
+
+    o["agg_quantile_audit"] = """
+WITH q AS (
+  SELECT event_type, CAST(floor(value * 1e6) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type, count(*) AS n,
+       CAST(quantile_cont(vq, 0.5) * 2 AS BIGINT) AS p50_x2,
+       CAST(1 AS INT) AS approx_in_band
+FROM q GROUP BY 1"""
+
+    o["agg_salted_rollup"] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(coalesce(CAST(floor(value * 1e6) AS BIGINT), 0))
+            AS BIGINT) AS sum_vq,
+       max(CAST(floor(value * 1e6) AS BIGINT)) AS max_vq
+FROM events GROUP BY 1"""
 
     o["tpch_q6_forecast_revenue"] = """
 SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -57,3 +57,40 @@ def hot_keys(df: DataFrame, key: str = "conv_id", threshold: int = 100_000) -> D
     """Heavy hitters: keys with > threshold rows. One aggregation with
     map-side partial combine; output is heavy-hitter-sized (tiny)."""
     return df.groupBy(key).count().where(F.col("count") > threshold).select(key)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, str]],
+    salt_from: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed grouping keys: partial-agg by
+    (keys..., salt), then finalize by keys. `aggs` maps each output
+    name to (partial aggregate expression, re-aggregation kind) with
+    kind one of sum / min / max / bit_xor — the decomposable
+    aggregates (count decomposes as a partial count re-aggregated by
+    sum). Result is row-identical to the plain groupBy.
+
+    Spark's map-side partial aggregation usually makes this manual
+    form unnecessary — but when a single reduce key is hot enough
+    that its FINAL partition is the straggler (one conv_id with 10^9
+    turns), the salt splits that key across `salt_buckets` reducers
+    and the finalize pass touches only #keys x salt_buckets rows.
+    The salt derives from a data column (never rand()) so re-runs are
+    deterministic, and AQE skew handling does not cover aggregations
+    (it only splits join partitions) — this is the aggregation twin.
+    """
+    _refn = {"sum": F.sum, "min": F.min, "max": F.max,
+             "bit_xor": lambda c: F.expr(f"bit_xor({c})")}
+    for name, (_, kind) in aggs.items():
+        if kind not in _refn:
+            raise ValueError(f"salted_agg: {name}: non-decomposable "
+                             f"re-aggregation kind {kind!r}")
+    partial = (df.withColumn("_salt", salt_col(salt_buckets, salt_from))
+               .groupBy(*keys, "_salt")
+               .agg(*[e.alias(f"_p_{n}") for n, (e, _) in aggs.items()]))
+    return partial.groupBy(*keys).agg(
+        *[_refn[kind](f"_p_{n}").alias(n)
+          for n, (_, kind) in aggs.items()])
