@@ -74,7 +74,8 @@ from logging_spark.operators.importance import (importance_scores,
                                                 importance_weighted_sample)
 from logging_spark.operators.asof import asof_join, interval_join
 from logging_spark.operators.anomaly import spike_flags
-from logging_spark.operators.profile import (equidepth_histogram,
+from logging_spark.operators.profile import (ecdf_normalize,
+                                             equidepth_histogram,
                                              profile_columns)
 from logging_spark.operators.assoc import token_lift
 from logging_spark.operators.examples import context_examples
@@ -2767,6 +2768,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         ok.alias("approx_in_band"))
     q["agg_quantile_audit"] = agg_quantile_audit
 
+    # -- exact ECDF / quantile normalization (operators/profile.py):
+    # distributed two-phase prefix sum over the DISTINCT-value frame —
+    # never a cume_dist() single-partition window. pct in ppm,
+    # integer-exact (floor(cum_below * 1e6 / n)).
+    def events_ecdf_normalize(spark, sf):
+        ev = _read(spark, sf, "events").where(F.col("value").isNotNull())
+        ev = ev.select(F.floor(F.col("value") * 1e6).cast("long").alias("vq"))
+        return ecdf_normalize(ev, "vq")
+    q["events_ecdf_normalize"] = events_ecdf_normalize
+
     # -- salted two-phase aggregation (operators/skew.py): the manual
     # skew-split for aggregations (AQE only splits JOIN partitions).
     # Oracle is the PLAIN group-by — the contract row proves the
@@ -5121,6 +5132,22 @@ SELECT event_type, count(*) AS n,
        CAST(quantile_cont(vq, 0.5) * 2 AS BIGINT) AS p50_x2,
        CAST(1 AS INT) AS approx_in_band
 FROM q GROUP BY 1"""
+
+    o["events_ecdf_normalize"] = """
+WITH q AS (
+  SELECT CAST(floor(value * 1e6) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL),
+c AS (SELECT vq, count(*) AS n_rows FROM q GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM q)
+SELECT vq, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(n_rows) OVER (
+         ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING
+         AND 1 PRECEDING), 0) AS BIGINT) AS cum_below,
+       CAST((CAST(coalesce(sum(n_rows) OVER (
+         ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING
+         AND 1 PRECEDING), 0) AS BIGINT) * 1000000) // n_total
+         AS BIGINT) AS pct_ppm
+FROM c, n"""
 
     o["agg_salted_rollup"] = """
 SELECT event_type, count(*) AS n,

@@ -68,3 +68,66 @@ def equidepth_histogram(
             .crossJoin(F.broadcast(edges))
             .groupBy(bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def ecdf_normalize(
+    df: DataFrame,
+    value_col: str = "value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(value_col, n_rows, cum_below, pct_ppm): the exact empirical
+    CDF of a column — each distinct value mapped to the count of rows
+    strictly below it and its percentile in parts-per-million
+    (floor(cum_below * 1e6 / n), integer-exact). The quantile
+    normalization every quality-score mixer needs ("keep the top 30%
+    by score" must mean the same thing across corpora with different
+    score scales).
+
+    Scale shape: the naive spelling — cume_dist()/a running sum OVER
+    (ORDER BY value) — funnels the table through ONE task. Instead:
+      1. aggregate counts per distinct value (one shuffle; output is
+         |distinct|-bounded, never |rows|);
+      2. range-partition + sort the distinct-counts frame (parallel
+         sort, same physical shape as ORDER BY), localCheckpoint to
+         pin partition bounds across the two downstream actions;
+      3. per-partition totals -> exclusive offsets on the driver
+         (one tiny collect, one row per partition);
+      4. an Arrow cumsum kernel seeded with each partition's offset
+         emits the exclusive prefix per value.
+    The same two-phase prefix sum as sample.budget_head, applied to
+    the distinct-value frame instead of the corpus."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    counts = (df.where(F.col(value_col).isNotNull())
+              .groupBy(value_col)
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    parted = (counts.repartitionByRange(num_partitions, value_col)
+              if num_partitions else counts.repartitionByRange(value_col))
+    d = parted.sortWithinPartitions(value_col).localCheckpoint()
+
+    totals = (d.groupBy(F.spark_partition_id().alias("_pid"))
+              .agg(F.sum("n_rows").alias("_t")).collect())
+    offsets: dict[int, int] = {}
+    run = 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = run
+        run += int(row["_t"])
+    n_total = run
+
+    schema = StructType(d.schema.fields
+                        + [StructField("cum_below", LongType()),
+                           StructField("pct_ppm", LongType())])
+
+    def kernel(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        total = offsets.get(pid, 0)
+        for pdf in batches:
+            inclusive = pdf["n_rows"].cumsum().astype("int64") + total
+            below = inclusive - pdf["n_rows"].astype("int64")
+            total = int(inclusive.iloc[-1]) if len(inclusive) else total
+            yield pdf.assign(
+                cum_below=below,
+                pct_ppm=(below * 1_000_000) // n_total)
+
+    return d.mapInPandas(kernel, schema)

@@ -77,3 +77,26 @@ def test_kv_udtf_lateral_rows(spark):
     # '=bad' (no key) and 'noise' (no '=') are skipped; value keeps
     # everything after the FIRST '='
     assert rows == {("a", "1"), ("b", "2"), ("c", "x=y")}
+
+
+def test_ecdf_normalize_hand_computed(spark):
+    from logging_spark.operators.profile import ecdf_normalize
+    df = spark.createDataFrame(
+        [(1.0,), (1.0,), (2.0,), (3.0,)], "value double")
+    out = {r["value"]: (r["n_rows"], r["cum_below"], r["pct_ppm"])
+           for r in ecdf_normalize(df, "value").collect()}
+    assert out[1.0] == (2, 0, 0)
+    assert out[2.0] == (1, 2, 500000)
+    assert out[3.0] == (1, 3, 750000)
+
+
+def test_ecdf_normalize_no_global_sort_window(spark):
+    from logging_spark.operators.profile import ecdf_normalize
+    df = spark.createDataFrame([(float(i % 7),) for i in range(100)],
+                               "value double")
+    plan = (ecdf_normalize(df, "value")
+            ._jdf.queryExecution().executedPlan().toString())
+    # the cume_dist spelling would show Window + Exchange SinglePartition;
+    # range partitioning is the parallel sort we want
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan

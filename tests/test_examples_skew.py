@@ -69,3 +69,27 @@ def test_salted_agg_rejects_non_decomposable(spark):
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_agg(df, ["k"], {"m": (F.median("uid"), "median")},
                    salt_from="uid")
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_agg_plan_two_hash_exchanges(spark):
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(100)], "k int, uid int")
+    plan = _plan(salted_agg(df, ["k"], {"n": (F.count(F.lit(1)), "sum")},
+                            salt_from="uid"))
+    # partial (k, salt) agg + finalize (k) agg: exactly two hash
+    # exchanges, and never a single-partition one
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 2, plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_context_examples_plan_one_window_one_exchange(spark):
+    plan = _plan(context_examples(_turns(spark), k=3))
+    # one window sort over (conv, turn) — the bounded frame never
+    # degenerates into a global sort or a second shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan
