@@ -34,10 +34,23 @@ def stream_interval_join(
     start: str = "start_ts",
     length_s: int = 600,
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """points ⨝ intervals where points.ts in [start, start + length_s)
     and keys match; both inputs are streaming DataFrames. Column names
-    other than `on` must not collide (rename upstream)."""
+    other than `on` must not collide (rename upstream).
+
+    ``how="left_outer"`` keeps every point: the
+    attribution-with-missing-match case (an impression whose incident/
+    click never arrives). Outer NULL-padded rows are emitted only once
+    the COMBINED watermark (min across both sources) passes the
+    point's last possible match time — Spark must prove no matching
+    interval can still arrive before declaring the point unmatched —
+    so emission lags by the watermark delay, and a finite drain needs
+    a watermark-advancing sentinel on BOTH streams
+    (tests/test_streaming_join.py pins batch left-join identity)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"stream_interval_join: unsupported how={how!r}")
     clash = (set(intervals.columns) - {on}) & set(points.columns) - {on}
     if clash:
         raise ValueError(f"interval columns collide with points: {sorted(clash)}")
@@ -49,7 +62,7 @@ def stream_interval_join(
         & (p[ts] >= i[start])
         & (p[ts] < i[start] + F.expr(f"INTERVAL {int(length_s)} SECONDS"))
     )
-    return p.join(i, cond, "inner").drop("_ikey")
+    return p.join(i, cond, how).drop("_ikey")
 
 
 def stream_static_enrich(stream: DataFrame, dim: DataFrame,

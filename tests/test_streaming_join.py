@@ -93,3 +93,71 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
                   for r in spark.read.parquet(sdir)
                   .join(dim, "conv_id", "left").collect())
     assert got == want and len(got) == 4
+
+
+def test_stream_interval_join_left_outer_matches_batch(spark, tmp_path):
+    """left_outer keeps unmatched points as NULL-padded rows once the
+    combined watermark passes their last possible match time — pinned
+    row-identical to the batch left join on the same condition."""
+    from datetime import datetime, timedelta
+
+    T0 = datetime(2026, 1, 1, 12, 0, 0)
+    P_SCHEMA = "event_id long, user_id long, ts timestamp"
+    I_SCHEMA = "incident_id long, user_id long, start_ts timestamp"
+    d = {k: str(tmp_path / k) for k in ("p", "i", "out", "chk")}
+
+    # u1: point inside its interval; u2: point 20min after the
+    # interval start (outside length_s=600); u3: no interval at all
+    pts = [(1, 1, T0 + timedelta(minutes=5)),
+           (2, 2, T0 + timedelta(minutes=20)),
+           (3, 3, T0 + timedelta(minutes=2))]
+    ivs = [(10, 1, T0), (20, 2, T0)]
+    spark.createDataFrame(pts, P_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d["p"])
+    spark.createDataFrame(ivs, I_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d["i"])
+    # watermark-advancing sentinels on BOTH streams (outer emission
+    # waits on the min of the two source watermarks)
+    far = T0 + timedelta(hours=48)
+    spark.createDataFrame([(99, 99, far)], P_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d["p"])
+    spark.createDataFrame([(98, 99, far)], I_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d["i"])
+
+    def drain():
+        ps = (spark.readStream.schema(P_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(d["p"]))
+        is_ = (spark.readStream.schema(I_SCHEMA)
+               .option("maxFilesPerTrigger", 1).parquet(d["i"]))
+        j = stream_interval_join(ps, is_, on="user_id", ts="ts",
+                                 start="start_ts", length_s=600,
+                                 watermark="10 minutes", how="left_outer")
+        q = (j.select("event_id", "incident_id").writeStream
+             .format("parquet").option("path", d["out"])
+             .option("checkpointLocation", d["chk"])
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    # second pass so the sentinel-advanced watermark fires the
+    # unmatched-row eviction recorded at the end of the first
+    far2 = far + timedelta(hours=1)
+    spark.createDataFrame([(97, 99, far2)], P_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d["p"])
+    spark.createDataFrame([(96, 99, far2)], I_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d["i"])
+    drain()
+
+    got = sorted(
+        (r["event_id"], r["incident_id"])
+        for r in spark.read.parquet(d["out"]).collect()
+        if r["event_id"] < 90)
+    # batch truth: left join on the identical condition
+    p = spark.createDataFrame(pts, P_SCHEMA)
+    i = spark.createDataFrame(ivs, I_SCHEMA)
+    cond = ((p["user_id"] == i["user_id"]) & (p["ts"] >= i["start_ts"])
+            & (p["ts"] < i["start_ts"] + F.expr("INTERVAL 600 SECONDS")))
+    want = sorted((r["event_id"], r["incident_id"])
+                  for r in p.join(i, cond, "left").collect())
+    assert got == want
+    assert (2, None) in got and (3, None) in got  # the unmatched points
