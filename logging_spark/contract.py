@@ -67,7 +67,8 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 plane_signs,
                                                 quantize_int8_summary)
 from logging_spark.operators.cluster import (duplicate_clusters,
-                                             graph_summary, keep_canonical,
+                                             graph_summary, kcore_peel,
+                                             keep_canonical,
                                              label_propagation)
 from logging_spark.operators.funnel import funnel_counts
 from logging_spark.operators.importance import (importance_scores,
@@ -2277,6 +2278,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumnRenamed("node", "doc_id"))
     q["docs_pagerank"] = docs_pagerank
 
+    # -- k-core peel (operators/cluster.py): 3 synchronized rounds of
+    # sub-k-degree removal over the LSH pair graph — the dense-core
+    # extractor; degree agg + two broadcast semi-joins per round,
+    # partitioning-independent hence oracle-unrollable
+    def docs_kcore(spark, sf):
+        return (kcore_peel(lsh_pairs_portable(spark, sf), k=2, rounds=3)
+                .withColumnRenamed("node", "doc_id"))
+    q["docs_kcore"] = docs_kcore
+
     # -- LPA communities (operators/cluster.py label_propagation):
     # majority-label dynamics over the LSH pair graph, 2 synchronized
     # rounds, deterministic min-label ties — splits a component into
@@ -2523,6 +2533,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.size(T.tokens("c.chunk_text")).alias("n_tokens"))
         return pack_chunks(ch, budget=100)
     q["text_pack_chunks"] = text_pack_chunks
+
+    # packing-efficiency audit on the same packs: per-pack token fill
+    # aggregated to the trainer-facing utilization number. Exposes
+    # wasted context-window tokens BEFORE a training run burns them —
+    # utilization in integral bps (total_tokens x10000 DIV capacity).
+    def text_pack_efficiency(spark, sf):
+        packs = text_pack_chunks(spark, sf).groupBy(
+            "doc_id", "pack_idx").agg(F.sum("n_tokens").alias("_fill"))
+        return packs.agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("_fill").cast("long").alias("total_tokens"),
+            F.expr("CAST((CAST(sum(_fill) AS BIGINT) * 10000)"
+                   " DIV (count(1) * 100) AS BIGINT)")
+             .alias("utilization_bps"))
+    q["text_pack_efficiency"] = text_pack_efficiency
     # rows-only production twin: xxhash64 minhash permutations (~10x
     # cheaper than the oracle-portable md5) — same chain, same output
     # columns; near-dup candidates may differ where hash families
@@ -4583,6 +4608,24 @@ r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS pr FROM deg){_pr_rounds}
 SELECT r3.node AS doc_id, r3.pr AS pr, deg.deg AS deg
 FROM r3 JOIN deg ON r3.node = deg.s"""
 
+    # 3 unrolled synchronized peel rounds; every e_i MATERIALIZED
+    # (multiply referenced — the DuckDB CTE-inlining trap)
+    o["docs_kcore"] = f"""WITH {_lsh_ctes},
+pairs AS MATERIALIZED ({_lsh_pairs}),
+e0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+k1 AS (SELECT s FROM e0 GROUP BY s HAVING count(*) >= 2),
+e1 AS MATERIALIZED (SELECT e0.s, e0.d FROM e0
+     JOIN k1 a ON e0.s = a.s JOIN k1 b ON e0.d = b.s),
+k2 AS (SELECT s FROM e1 GROUP BY s HAVING count(*) >= 2),
+e2 AS MATERIALIZED (SELECT e1.s, e1.d FROM e1
+     JOIN k2 a ON e1.s = a.s JOIN k2 b ON e1.d = b.s),
+k3 AS (SELECT s FROM e2 GROUP BY s HAVING count(*) >= 2),
+e3 AS MATERIALIZED (SELECT e2.s, e2.d FROM e2
+     JOIN k3 a ON e2.s = a.s JOIN k3 b ON e2.d = b.s)
+SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS deg
+FROM e3 GROUP BY 1"""
+
     o["docs_except_all"] = "WITH " + CORPUS_CTE + """
 SELECT md5(text) AS h, count(*) AS n
 FROM (SELECT text FROM corpus EXCEPT ALL SELECT text FROM documents)
@@ -4737,6 +4780,28 @@ SELECT doc_id, chunk_idx, n_tokens,
        CAST(floor((SUM(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_idx
                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 100) AS INT) AS pack_idx
 FROM ch"""
+
+    o["text_pack_efficiency"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1 END AS n_chunks
+      FROM t),
+ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+              CAST(len(toks[i*24+1 : i*24+32]) AS INT) AS n_tokens
+       FROM c, unnest(range(0, n_chunks)) AS u(i)),
+pk AS (SELECT doc_id, n_tokens,
+              CAST(floor((SUM(n_tokens) OVER (PARTITION BY doc_id
+                           ORDER BY chunk_idx ROWS UNBOUNDED PRECEDING)
+                          - n_tokens) / 100) AS INT) AS pack_idx
+       FROM ch),
+packs AS (SELECT doc_id, pack_idx, sum(n_tokens) AS fill
+          FROM pk GROUP BY 1, 2)
+SELECT count(*) AS n_packs,
+       CAST(sum(fill) AS BIGINT) AS total_tokens,
+       CAST((CAST(sum(fill) AS BIGINT) * 10000) // (count(*) * 100)
+            AS BIGINT) AS utilization_bps
+FROM packs"""
 
     # multi-line fixture (8-token lines + a repeat of line 1), then
     # order-preserving first-occurrence line dedup: DuckDB's (x, i)

@@ -194,3 +194,39 @@ def keep_canonical(df: DataFrame, clusters: DataFrame,
               .where(F.col("doc_id") != F.col("canonical_id"))
               .select(F.col("doc_id").alias(id_col)))
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def kcore_peel(pairs: DataFrame, k: int = 2, rounds: int = 3,
+               src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """(node, deg): the nodes surviving `rounds` synchronized peel
+    rounds toward the k-core — each round simultaneously removes
+    every node whose CURRENT degree is < k, with all edges incident
+    to it. The dense-core extractor of a duplicate/interaction graph:
+    where PageRank ranks inside a family and LPA splits it, the
+    k-core strips hanger-on docs that touch a family through one or
+    two edges (the classic spam/boilerplate-periphery filter).
+
+    Fixed rounds, not run-to-fixpoint: a data pipeline wants a
+    deterministic budget, and each round is exactly one degree
+    aggregate + two semi-joins (the surviving-node set is degree-
+    filtered and therefore small; it broadcasts) — the same
+    wide-dependency shape per round as pagerank_integer. Edges are
+    localCheckpointed per round to truncate lineage. Synchronized
+    removal makes the result partitioning-independent, hence
+    oracle-checkable by unrolling the rounds in SQL."""
+    und = (pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+           .union(pairs.select(F.col(dst).alias("s"),
+                               F.col(src).alias("d")))
+           .distinct().localCheckpoint())
+    live = und
+    for _ in range(int(rounds)):
+        deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.where(F.col("_deg") >= k).select("s")
+        live = (live
+                .join(F.broadcast(keep), "s", "left_semi")
+                .join(F.broadcast(keep.withColumnRenamed("s", "d")),
+                      "d", "left_semi")
+                .localCheckpoint())
+    return (live.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+            .select(F.col("s").alias("node"),
+                    F.col("deg").cast("long").alias("deg")))

@@ -1,0 +1,66 @@
+"""Raw log-file source (sources/textlog.py): batch read, streaming
+tail resume, and parse-on-top — the reference's S1 input mode
+(file tail per (service, pod)) re-expressed as Spark's text source."""
+
+from __future__ import annotations
+
+import os
+
+from logging_spark.sources.textlog import (logfile_turns, read_log_files,
+                                           tail_log_files)
+
+LINES_A = ["[INFO] comp-1: start code=1 k=a",
+           "[ERROR] comp-2: boom code=500 k=b",
+           ""]
+LINES_B = ["[WARN] comp-1: slow code=2 k=c"]
+
+
+def _write_logs(base: str) -> None:
+    os.makedirs(f"{base}/svc-a", exist_ok=True)
+    os.makedirs(f"{base}/svc-b", exist_ok=True)
+    with open(f"{base}/svc-a/pod-1.log", "w") as f:
+        f.write("\n".join(LINES_A))
+    with open(f"{base}/svc-b/pod-2.log", "w") as f:
+        f.write("\n".join(LINES_B))
+
+
+def test_read_log_files_provenance(spark, tmp_path):
+    base = str(tmp_path / "logs")
+    _write_logs(base)
+    rows = read_log_files(spark, f"{base}/*").collect()
+    byline = {r["value"]: (r["service"], r["pod"]) for r in rows if r["value"]}
+    assert byline["[ERROR] comp-2: boom code=500 k=b"] == ("svc-a", "pod-1")
+    assert byline["[WARN] comp-1: slow code=2 k=c"] == ("svc-b", "pod-2")
+
+
+def test_logfile_turns_parses_and_keys(spark, tmp_path):
+    base = str(tmp_path / "logs")
+    _write_logs(base)
+    out = logfile_turns(read_log_files(spark, f"{base}/*")).collect()
+    assert len(out) == 3  # blank line dropped
+    row = {r["conv_id"]: r for r in out}["svc-b/pod-2"]
+    assert row["parsed"]["level"] == "WARN"
+    assert row["parsed"]["component"] == "comp-1"
+
+
+def test_tail_log_files_resumes_without_reemit(spark, tmp_path):
+    base, out, chk = (str(tmp_path / k) for k in ("logs", "out", "chk"))
+    _write_logs(base)
+
+    def drain():
+        q = (logfile_turns(tail_log_files(spark, f"{base}/*"))
+             .select("conv_id", "text").writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 3
+    # new file appears -> only ITS lines are emitted on the next drain
+    with open(f"{base}/svc-a/pod-3.log", "w") as f:
+        f.write("[INFO] comp-9: more code=7 k=z\n")
+    drain()
+    got = [r["conv_id"] for r in spark.read.parquet(out).collect()]
+    assert len(got) == 4 and got.count("svc-a/pod-3") == 1
