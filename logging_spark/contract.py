@@ -66,10 +66,14 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 negative_samples,
                                                 plane_signs,
                                                 quantize_int8_summary)
+from logging_spark.operators.bpe import pair_counts
+from logging_spark.operators.multiline import assemble_multiline
+from logging_spark.operators.surprisal import surprisal_band_keep
 from logging_spark.operators.cluster import (duplicate_clusters,
                                              graph_summary, kcore_peel,
                                              keep_canonical,
-                                             label_propagation)
+                                             label_propagation,
+                                             link_prediction)
 from logging_spark.operators.funnel import funnel_counts
 from logging_spark.operators.importance import (importance_scores,
                                                 importance_weighted_sample)
@@ -80,7 +84,7 @@ from logging_spark.operators.profile import (ecdf_normalize,
                                              profile_columns)
 from logging_spark.operators.assoc import token_lift
 from logging_spark.operators.examples import context_examples
-from logging_spark.operators.skew import salted_agg
+from logging_spark.operators.skew import salted_agg, skew_split_join
 from logging_spark.operators.sequence import sequence_pattern_matches
 from logging_spark.operators.cohort import cohort_retention
 from logging_spark.operators.scd import scd2, scd2_lookup
@@ -1216,6 +1220,33 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       .alias("n_convs")))
     q["pipe_log_templates"] = pipe_log_templates
 
+    # -- multiline record assembly (operators/multiline.py): stack
+    # traces span lines in real container logs; the S1 file tail ships
+    # lines verbatim and the consumer re-assembles (filebeat
+    # multiline.pattern). Fixture: every [ERROR] turn emits 2 indented
+    # continuation lines after its start line; line_no = turn_idx*4+i
+    # keys the per-file order. One per-file window + one groupBy —
+    # the file is the unit of parallelism, no global sort.
+    def pipe_multiline(spark, sf):
+        t = turns_df(spark, sf)
+        idx = F.when(F.col("text").rlike(r"\[ERROR\]"),
+                     F.array(F.lit(0), F.lit(1), F.lit(2))
+                     ).otherwise(F.array(F.lit(0)))
+        base = t.select(F.col("conv_id").alias("log_path"),
+                        F.col("turn_idx").cast("long").alias("_ti"),
+                        "text", F.explode(idx).alias("i"))
+        lines = base.select(
+            "log_path",
+            (F.col("_ti") * 4 + F.col("i")).alias("line_no"),
+            F.when(F.col("i") == 0, F.col("text"))
+             .when(F.col("i") == 1,
+                   F.concat(F.lit("    at f"),
+                            (F.col("_ti") % 3).cast("string")))
+             .otherwise(F.lit("    at deeper")).alias("line"))
+        return (assemble_multiline(lines, file_col="log_path")
+                .where(F.col("n_lines") >= 2))
+    q["pipe_multiline"] = pipe_multiline
+
     # -- per-entity percentile then distribution: each user's median
     # inter-event gap (exact percentile per group), bucketed into a
     # global histogram — the two-level statistical rollup pattern.
@@ -2153,6 +2184,21 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.col("n").desc(), "ngram").limit(20))
     q["text_top_ngrams"] = text_top_ngrams
 
+    # -- BPE merge candidates (operators/bpe.py): adjacent-token-pair
+    # counts, the per-iteration scan of tokenizer training. zip_with
+    # over shifted slices (arrays as HOF children), map-side-combined
+    # count, TakeOrderedAndProject top-k; (n desc, pair asc) tie-break
+    # makes the k-boundary deterministic.
+    q["text_bpe_pairs"] = lambda spark, sf: pair_counts(
+        _read(spark, sf, "documents"), k=30)
+
+    # -- unigram surprisal band filter (operators/surprisal.py): the
+    # CCNet perplexity-band keep rule with integer bit-length surprisal
+    # (length(bin(total DIV cnt)) — floor-log2, engine-exact where
+    # float log() flips boundary rows).
+    q["text_surprisal"] = lambda spark, sf: surprisal_band_keep(
+        _read(spark, sf, "documents"), lo_x100=1000, hi_x100=1500)
+
     def text_repetition(spark, sf):
         # Gopher repetition rules: integer numerators of the top-/
         # duplicated-2-gram character fractions; callers threshold them
@@ -2286,6 +2332,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (kcore_peel(lsh_pairs_portable(spark, sf), k=2, rounds=3)
                 .withColumnRenamed("node", "doc_id"))
     q["docs_kcore"] = docs_kcore
+
+    # -- common-neighbor link prediction (operators/cluster.py
+    # link_prediction): Jaccard-scored non-adjacent two-hop pairs over
+    # the LSH graph — "family pairs the band collisions missed". One
+    # middle-node self-join with a hub-degree cap; integral-ratio
+    # scores.
+    def docs_link_prediction(spark, sf):
+        return link_prediction(lsh_pairs_portable(spark, sf))
+    q["docs_link_prediction"] = docs_link_prediction
 
     # -- LPA communities (operators/cluster.py label_propagation):
     # majority-label dynamics over the LSH pair graph, 2 synchronized
@@ -2817,6 +2872,22 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "max_vq": (F.max("vq"), "max")},
             salt_from="user_id", salt_buckets=16)
     q["agg_salted_rollup"] = agg_salted_rollup
+
+    # -- hot/cold split join (operators/skew.py skew_split_join): the
+    # manual skew-join — hot fact keys join a broadcast dim slice
+    # without shuffling, cold keys pay the (now uniform) shuffle join.
+    # Oracle is the PLAIN join = identity proof, same as salted_agg's.
+    def events_skew_join(spark, sf):
+        ev = _read(spark, sf, "events")
+        cu = _read(spark, sf, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"))
+        j = skew_split_join(ev, cu, "user_id", hot_threshold=100)
+        return j.groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .cast("long").alias("value_cents"))
+    q["events_skew_join"] = events_skew_join
 
     # -- TPC-H Q6 shape: the pure scan-filter-aggregate — no join at
     # all; at 100 TB this is THE query predicate pushdown exists for
@@ -3869,6 +3940,29 @@ SELECT regexp_replace(
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
 FROM turns GROUP BY 1"""
 
+    # window record-id + ordered string_agg mirror of assemble_multiline
+    o["pipe_multiline"] = "WITH " + TURNS_CTE + r""",
+lines AS (
+  SELECT conv_id AS log_path,
+         CAST(turn_idx AS BIGINT) * 4 + u.i AS line_no,
+         CASE WHEN u.i = 0 THEN text
+              WHEN u.i = 1 THEN concat('    at f',
+                                       CAST(turn_idx % 3 AS VARCHAR))
+              ELSE '    at deeper' END AS line
+  FROM turns, unnest(CASE WHEN regexp_matches(text, '\[ERROR\]')
+                          THEN [0, 1, 2] ELSE [0] END) AS u(i)),
+tagged AS (
+  SELECT log_path, line_no, line,
+         coalesce(max(CASE WHEN NOT regexp_matches(line, '^\s')
+                           THEN line_no END)
+                  OVER (PARTITION BY log_path ORDER BY line_no
+                        ROWS UNBOUNDED PRECEDING), -1) AS record_line
+  FROM lines)
+SELECT log_path, record_line,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       string_agg(line, chr(10) ORDER BY line_no) AS record_text
+FROM tagged GROUP BY 1, 2 HAVING count(*) >= 2"""
+
     o["events_attribution"] = """
 WITH d AS (
   SELECT event_type,
@@ -4439,6 +4533,33 @@ FROM t CROSS JOIN n
 GROUP BY tok, n.total
 HAVING count(*) * 1000000 >= 5000 * n.total"""
 
+    # shifted-slice zip_with twin: 1-based list indexing, range(1, n)
+    # stops at n-1 so (toks[i], toks[i+1]) spans exactly the pairs
+    o["text_bpe_pairs"] = f"""
+WITH t AS (SELECT {TOKS} AS toks FROM documents),
+p AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      FROM t WHERE len(toks) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30"""
+
+    # integer bit-length surprisal: length(bin(total // cnt)) ==
+    # floor(log2) + 1 in both engines; empty-token docs emit no row
+    o["text_surprisal"] = f"""
+WITH t AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM v),
+s AS (SELECT tok, CAST(length(bin(total // cnt)) AS BIGINT) AS sp
+      FROM v CROSS JOIN tot),
+d AS (SELECT t.doc_id, count(*) AS n, sum(sp) AS ssum
+      FROM t JOIN s USING (tok) GROUP BY 1)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(ssum AS BIGINT) AS surprisal_sum,
+       CAST((ssum * 100) // n AS BIGINT) AS mean_x100,
+       CAST(CASE WHEN (ssum * 100) // n BETWEEN 1000 AND 1500
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM d"""
+
     o["text_fingerprint"] = "SELECT doc_id, md5(text) AS fp FROM documents"
 
     o["text_winnow"] = """
@@ -4625,6 +4746,25 @@ e3 AS MATERIALIZED (SELECT e2.s, e2.d FROM e2
      JOIN k3 a ON e2.s = a.s JOIN k3 b ON e2.d = b.s)
 SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS deg
 FROM e3 GROUP BY 1"""
+
+    # und/deg multiply referenced -> MATERIALIZED (CTE-inlining trap);
+    # hub cap mirrored even though the fixture never trips it
+    o["docs_link_prediction"] = f"""WITH {_lsh_ctes},
+pairs AS MATERIALIZED ({_lsh_pairs}),
+und AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM und GROUP BY 1),
+mids AS (SELECT s FROM deg WHERE deg <= 1000),
+hops AS (SELECT l.s AS a, r.d AS b, count(*) AS common
+         FROM und l JOIN mids m ON l.d = m.s JOIN und r ON l.d = r.s
+         WHERE l.s < r.d GROUP BY 1, 2),
+nonadj AS (SELECT h.a, h.b, h.common FROM hops h
+           LEFT JOIN und u ON h.a = u.s AND h.b = u.d
+           WHERE u.s IS NULL)
+SELECT n.a AS doc_a, n.b AS doc_b, CAST(n.common AS BIGINT) AS common,
+       CAST((n.common * 1000) // (da.deg + db.deg - n.common)
+            AS BIGINT) AS jaccard_x1000
+FROM nonadj n JOIN deg da ON n.a = da.s JOIN deg db ON n.b = db.s"""
 
     o["docs_except_all"] = "WITH " + CORPUS_CTE + """
 SELECT md5(text) AS h, count(*) AS n
@@ -5220,6 +5360,14 @@ SELECT event_type, count(*) AS n,
             AS BIGINT) AS sum_vq,
        max(CAST(floor(value * 1e6) AS BIGINT)) AS max_vq
 FROM events GROUP BY 1"""
+
+    # identity proof: the plain join the split form must reproduce
+    o["events_skew_join"] = """
+SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1"""
 
     o["tpch_q6_forecast_revenue"] = """
 SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

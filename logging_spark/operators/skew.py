@@ -59,6 +59,37 @@ def hot_keys(df: DataFrame, key: str = "conv_id", threshold: int = 100_000) -> D
     return df.groupBy(key).count().where(F.col("count") > threshold).select(key)
 
 
+def skew_split_join(fact: DataFrame, dim: DataFrame, key: str,
+                    hot_threshold: int = 100_000,
+                    how: str = "inner") -> DataFrame:
+    """Row-identical to ``fact.join(dim, key, how)`` but immune to a
+    hot join key: fact rows are split on membership in the measured
+    hot-key set, the hot slice joins against a BROADCAST of the dim
+    rows for those few keys (no shuffle can skew — the fact side
+    never moves), and only the cold remainder pays a shuffle join,
+    which is uniform by construction after the split.
+
+    This is the join twin of `salted_agg`: AQE's skew-join splitting
+    handles moderate cases at runtime, but it only subdivides
+    oversized partitions AFTER shuffling the fact side; with a
+    pathological key (one user with 10^9 events) the split-broadcast
+    form never shuffles those rows at all. The hot set comes from
+    `hot_keys` (one map-side-combined count), is heavy-hitter-sized
+    by definition, and both semi/anti probes broadcast it.
+
+    Supports inner and left joins (the shapes whose hot/cold slices
+    union losslessly)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_split_join: unsupported how={how!r}")
+    hot = F.broadcast(hot_keys(fact, key, hot_threshold))
+    fact_hot = fact.join(hot, key, "left_semi")
+    fact_cold = fact.join(hot, key, "left_anti")
+    dim_hot = dim.join(hot, key, "left_semi")
+    hot_side = fact_hot.join(F.broadcast(dim_hot), key, how)
+    cold_side = fact_cold.join(dim, key, how)
+    return hot_side.unionByName(cold_side)
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

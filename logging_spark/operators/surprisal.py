@@ -1,0 +1,65 @@
+"""Unigram surprisal scoring: a perplexity-style quality filter with
+integer-exact arithmetic.
+
+CCNet-style pipelines keep the MIDDLE perplexity band of a corpus
+(too low = boilerplate, too high = garbage). A full LM isn't needed
+for the filter to work — a unigram model over the corpus's own
+vocabulary separates the same tails. The portability twist: token
+surprisal is computed as `length(bin(total DIV count))`, i.e.
+floor(log2(total/count)) + 1 — pure integer bit-length, bit-exact in
+both Spark and DuckDB, where float log() would diverge in the last
+ulp and flip rows at a percentile boundary.
+
+Plan shape (two shuffles, both on narrow rows):
+
+1. explode tokens -> (doc_id, tok); vocabulary = groupBy(tok) with
+   map-side combine (the exchange carries distinct tokens per
+   partition, not token instances);
+2. corpus total rides a broadcast single-row aggregate (crossJoin
+   against one row — never a single-partition window);
+3. token stream joins the surprisal table on `tok` (broadcast when
+   the vocab fits, shuffle-hash otherwise — Zipf makes the vocab
+   orders of magnitude smaller than the stream), then one
+   groupBy(doc_id) sum.
+
+Scores are (surprisal_sum, n_tokens, mean_x100 = sum*100 DIV n);
+empty-token docs have no rows (no tokens, no evidence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logging_spark.functions import text as T
+
+
+def unigram_surprisal(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, surprisal_sum, mean_x100): per-doc unigram
+    surprisal under the corpus's own token distribution."""
+    toks = df.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("_total"))
+    sp = (vocab.crossJoin(F.broadcast(total))
+          .select("tok",
+                  F.length(F.bin(F.expr("_total DIV _cnt"))).cast("long")
+                  .alias("_sp")))
+    return (toks.join(sp, "tok")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("_sp").cast("long").alias("surprisal_sum"))
+            .withColumn("mean_x100",
+                        F.expr("(surprisal_sum * 100) DIV n_tokens")
+                        .cast("long")))
+
+
+def surprisal_band_keep(df: DataFrame, lo_x100: int, hi_x100: int,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Scores + the CCNet-style keep flag: 1 iff mean surprisal sits
+    inside the [lo, hi] band (x100 fixed-point, inclusive)."""
+    s = unigram_surprisal(df, id_col, text_col)
+    return s.withColumn(
+        "keep",
+        F.col("mean_x100").between(lo_x100, hi_x100).cast("int"))

@@ -111,3 +111,27 @@ def test_label_propagation_is_partitioning_invariant(spark):
     rb = sorted((r.node, r.community)
                 for r in label_propagation(b, rounds=3).collect())
     assert ra == rb
+
+
+def test_link_prediction_path_and_triangle(spark):
+    from logging_spark.operators.cluster import link_prediction
+    from pyspark.sql import Row
+    # path a-m-b: (a,b) share m, non-adjacent -> jaccard 1/(1+1-1)=1000
+    # triangle x-y-z: every two-hop pair is adjacent -> no rows from it
+    pairs = spark.createDataFrame(
+        [Row(doc_a="a", doc_b="m"), Row(doc_a="m", doc_b="b"),
+         Row(doc_a="x", doc_b="y"), Row(doc_a="y", doc_b="z"),
+         Row(doc_a="x", doc_b="z")])
+    got = {(r["doc_a"], r["doc_b"]): (r["common"], r["jaccard_x1000"])
+           for r in link_prediction(pairs).collect()}
+    assert got == {("a", "b"): (1, 1000)}
+
+
+def test_link_prediction_hub_cap_drops_middle(spark):
+    from logging_spark.operators.cluster import link_prediction
+    from pyspark.sql import Row
+    # star through hub h (degree 3 > cap 2): no pairs survive
+    pairs = spark.createDataFrame(
+        [Row(doc_a="h", doc_b=f"n{i}") for i in range(3)])
+    assert link_prediction(pairs, max_hub_degree=2).count() == 0
+    assert link_prediction(pairs, max_hub_degree=3).count() == 3
