@@ -90,6 +90,7 @@ from logging_spark.operators.cohort import cohort_retention
 from logging_spark.operators.scd import scd2, scd2_lookup
 from logging_spark.operators.diff import snapshot_diff
 from logging_spark.operators.dq import dq_checks, table_fingerprint
+from logging_spark.operators.export import shard_manifest
 from logging_spark.operators.winsorize import winsorized_stats
 from logging_spark.operators.heavy import heavy_hitters
 from logging_spark.operators.repetition import repetition_signals
@@ -113,6 +114,8 @@ from logging_spark.operators.textdedup import (contamination_hits,
                                                novel_documents,
                                                lsh_candidate_pairs,
                                                containment_pairs,
+                                               contamination_rate,
+                                               minhash_estimate_audit,
                                                ngram_jaccard_pairs, simhash)
 from logging_spark import multimodal as mm
 
@@ -1097,6 +1100,16 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   F.round(F.col("l_extendedprice") * 100).cast("long")],
             group_by=["l_returnflag"])
     q["audit_fingerprint"] = audit_fingerprint
+
+    # -- training-export shard manifest (operators/export.py): shard =
+    # pure fn(seed, doc_id), manifest = per-shard count + commutative
+    # bit_xor content fingerprint a consumer re-verifies with one
+    # DuckDB query — the WebDataset-style export surface.
+    def docs_shard_manifest(spark, sf):
+        d = _read(spark, sf, "documents")
+        return shard_manifest(d, cols=[F.col("doc_id"), F.col("text")],
+                              n_shards=16, seed="exp")
+    q["docs_shard_manifest"] = docs_shard_manifest
 
     # -- time-tolerance dedup (operators/dedup.py debounce): events
     # within 30 min of the previous raw event per user are chatter.
@@ -2236,6 +2249,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_minhash_lsh"] = lambda spark, sf: lsh_pairs_portable(spark, sf)
 
+    # -- audit the sketch (operators/textdedup.py minhash_estimate_
+    # audit): signature-agreement Jaccard estimate vs EXACT shingle-set
+    # Jaccard over the candidate pairs, in integral x1000 — the
+    # HLL-audit pattern applied to MinHash. Reuses the session's
+    # memoized pair graph and shingle build.
+    def dedup_minhash_audit(spark, sf):
+        return minhash_estimate_audit(
+            corpus_df(spark, sf), pairs=lsh_pairs_portable(spark, sf),
+            sh_df=shingles_w3(spark, sf))
+    q["dedup_minhash_audit"] = dedup_minhash_audit
+
     # production-path variant: numeric xxhash64 permutations (rows-only
     # check — DuckDB has no xxhash64; the portable md5 twin above is
     # the value-checked one)
@@ -2563,6 +2587,14 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decontaminate(corpus_df(spark, sf), _benchmark_df(spark, sf),
                              w=3, min_hits=10).select("doc_id")
     q["docs_decontaminate"] = docs_decontaminate
+
+    # graded form: fraction of each doc's distinct shingles found in
+    # the eval set, integral x1000 — what rate-based decon policies
+    # threshold (operators/textdedup.py contamination_rate)
+    def docs_contamination_rate(spark, sf):
+        return contamination_rate(corpus_df(spark, sf),
+                                  _benchmark_df(spark, sf), w=3)
+    q["docs_contamination_rate"] = docs_contamination_rate
 
     # hashed-fingerprint scale path (rows-only: fingerprints use
     # xxhash64, which DuckDB can't express — the exact operator above
@@ -4075,6 +4107,14 @@ SELECT l_returnflag,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag"""
 
+    _shard_row = ("concat_ws(chr(31), coalesce(CAST(doc_id AS VARCHAR), ''),"
+                  " coalesce(CAST(text AS VARCHAR), ''))")
+    o["docs_shard_manifest"] = f"""
+SELECT CAST({hash60_sql('doc_id', 'exp')} % 16 AS INT) AS shard,
+       bit_xor({hash60_sql(_shard_row, 'exp:fp')}) AS fingerprint,
+       count(*) AS n_rows
+FROM documents GROUP BY 1"""
+
     o["events_profile"] = """
 SELECT col_name, n_rows, n_null, n_distinct FROM (
   SELECT 'event_id' AS col_name, count(*) AS n_rows,
@@ -4603,6 +4643,31 @@ FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"""
     o["dedup_minhash_lsh"] = f"WITH {_lsh_ctes}\n{_lsh_pairs}"
 
+    # estimate = matching signature components x1000 / 8; exact =
+    # |A∩B| x1000 / |A∪B| on the (already-distinct) shingle arrays;
+    # both-empty pairs pin exact to 1000 (identical empties)
+    o["dedup_minhash_audit"] = f"""WITH {_lsh_ctes},
+pairs AS MATERIALIZED ({_lsh_pairs}),
+x AS (SELECT
+        (1000 * len(list_filter(range(1, 9),
+                                i -> sa.sig[i] = sb.sig[i]))) // 8 AS est,
+        CASE WHEN len(list_distinct(list_concat(ha.sh, hb.sh))) = 0
+             THEN 1000
+             ELSE (1000 * len(list_intersect(ha.sh, hb.sh)))
+                  // len(list_distinct(list_concat(ha.sh, hb.sh))) END AS ex
+      FROM pairs p
+      JOIN sigs sa ON p.doc_a = sa.doc_id
+      JOIN sigs sb ON p.doc_b = sb.doc_id
+      JOIN sh ha ON p.doc_a = ha.doc_id
+      JOIN sh hb ON p.doc_b = hb.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(est - ex)) // count(*) AS BIGINT)
+         AS mean_abs_err_x1000,
+       CAST(max(abs(est - ex)) AS BIGINT) AS max_abs_err_x1000,
+       CAST(sum(CASE WHEN est > ex THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overestimates
+FROM x"""
+
     # same candidate CTEs + the exact Levenshtein verifier (identical
     # Wagner-Fischer in both engines; Spark's |len_a - len_b| pre-filter
     # is a lower bound, so it never changes the result set)
@@ -4903,6 +4968,17 @@ SELECT doc_id, n_hits FROM hits"""
 WITH {_DECON_CTES}
 SELECT doc_id FROM corpus
 WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hits >= 10)"""
+
+    # inv already carries one row per DISTINCT shingle per doc and
+    # every doc has >= 1 shingle, so totals come straight off inv
+    o["docs_contamination_rate"] = f"""
+WITH {_DECON_CTES},
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM inv GROUP BY 1)
+SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((coalesce(h.n_hits, 0) * 1000) // t.n_shingles AS BIGINT)
+         AS rate_x1000
+FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
 
     # sequence packing: same chunk construction as text_chunks, then
     # pack_idx = floor(per-doc running token count before this chunk /

@@ -664,3 +664,89 @@ def containment_pairs(
                     F.expr("CAST((n_intersection * 10000)"
                            " DIV least(n_a, n_b) AS BIGINT)")
                      .alias("containment_bps")))
+
+
+def minhash_estimate_audit(df: DataFrame, pairs: DataFrame | None = None,
+                           sh_df: DataFrame | None = None,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           num_perm: int = 8, bands: int = 4, w: int = 3,
+                           portable: bool = True,
+                           max_bucket: int = 1000) -> DataFrame:
+    """One-row audit of the MinHash approximation itself: for every
+    LSH candidate pair, the signature-agreement Jaccard estimate
+    (matching components / num_perm) against the EXACT shingle-set
+    Jaccard, aggregated to (n_pairs, mean_abs_err_x1000,
+    max_abs_err_x1000, n_overestimates).
+
+    The same audit-the-sketch pattern as the HLL/quantile audits: the
+    pipeline runs the approximation, the contract proves how far off
+    it is — in integral x1000 ratios so the numbers are engine-exact.
+    Cost is bounded by the candidate set (the pairs already exist);
+    the only new work is two id-keyed joins carrying one signature
+    and one shingle array per side. Pass the session's memoized
+    ``pairs``/``sh_df`` to reuse their builds.
+    """
+    if pairs is None:
+        pairs = lsh_candidate_pairs(df, id_col, text_col, num_perm,
+                                    bands, w, portable, max_bucket)
+    if sh_df is None:
+        sh_df = shingle_frame(df, id_col, text_col, w)
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, w, portable)
+    j = (pairs
+         .join(sigs.select(F.col(id_col).alias("doc_a"),
+                           F.col("signature").alias("_sa")), "doc_a")
+         .join(sigs.select(F.col(id_col).alias("doc_b"),
+                           F.col("signature").alias("_sb")), "doc_b")
+         .join(sh_df.select(F.col(id_col).alias("doc_a"),
+                            F.col("_sh").alias("_ha")), "doc_a")
+         .join(sh_df.select(F.col(id_col).alias("doc_b"),
+                            F.col("_sh").alias("_hb")), "doc_b"))
+    matches = F.size(F.filter(
+        F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda b: b))
+    uni = F.size(F.array_union("_ha", "_hb"))
+    inter = F.size(F.array_intersect("_ha", "_hb"))
+    # integral x1000 ratios via long DIV — no float division anywhere
+    scored = j.select(
+        (matches.cast("long") * 1000).alias("_mn"),
+        uni.cast("long").alias("_u"), inter.cast("long").alias("_i")
+    ).select(
+        F.expr(f"_mn DIV {int(num_perm)}").cast("long").alias("_est"),
+        F.when(F.col("_u") == 0, F.lit(1000).cast("long"))
+         .otherwise(F.expr("(_i * 1000) DIV _u").cast("long")).alias("_ex"))
+    err = F.abs(F.col("_est") - F.col("_ex"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(abs(_est - _ex)) DIV count(1) AS BIGINT)")
+         .alias("mean_abs_err_x1000"),
+        F.max(err).cast("long").alias("max_abs_err_x1000"),
+        F.sum(F.when(F.col("_est") > F.col("_ex"), 1).otherwise(0))
+         .cast("long").alias("n_overestimates"))
+
+
+def contamination_rate(df: DataFrame, benchmark: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       w: int = 3, broadcast: bool = True) -> DataFrame:
+    """(id, n_shingles, n_hits, rate_x1000): what FRACTION of each
+    document's distinct w-gram shingles appears in the benchmark —
+    the graded form of contamination_hits. A threshold on absolute
+    hits treats a 40-token quiz doc and a 40k-token novel the same;
+    the rate is what decontamination policies actually threshold
+    (e.g. drop > 50% overlap, flag > 10%).
+
+    Same plan as contamination_hits (broadcast eval shingles, corpus
+    text never shuffles) plus one narrow per-doc shingle-set-size
+    projection; every doc has >= 1 shingle (short docs shingle to
+    their whole token string), so the integral x1000 ratio is always
+    defined."""
+    totals = df.select(F.col(id_col),
+                       F.size(shingles(text_col, w)).cast("long")
+                       .alias("n_shingles"))
+    hits = contamination_hits(df, benchmark, id_col, text_col, w,
+                              broadcast)
+    return (totals.join(hits, id_col, "left")
+            .select(F.col(id_col), "n_shingles",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .withColumn("rate_x1000",
+                        F.expr("(n_hits * 1000) DIV n_shingles")
+                        .cast("long")))
