@@ -23,7 +23,7 @@ as the parquet layout in sources/layout.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logging_spark.functions.parse import parse_turns
@@ -62,6 +62,35 @@ def tail_log_files(spark: SparkSession, path: str,
         spark.readStream
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .text(path))
+
+
+def logfile_input(spark: SparkSession, path: str) -> DataFrame:
+    """Raw log directory -> the pipeline's input_hint schema
+    (conv_id, turn_idx, role, text, tool, ts) so `run_job.py
+    --input-logs DIR` runs the FULL job straight off log files — the
+    reference's actual ingestion mode end-to-end.
+
+    Raw lines genuinely lack turn/role/tool/ts, so the adapter fills
+    them deterministically: turn_idx = line order within the file
+    (one per-file window — parallel across files, the same unit of
+    parallelism as the scan); role maps from the parsed level the way
+    the routing rules expect; tool = parsed component; ts = a fixed
+    epoch + turn_idx seconds (re-runs produce identical rows, which
+    the resume/dedup surfaces require)."""
+    lines = read_log_files(spark, path)
+    parsed = logfile_turns(lines)
+    w = Window.partitionBy("conv_id").orderBy(F.monotonically_increasing_id())
+    lvl = F.col("parsed.level")
+    return parsed.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(lvl.isin("ERROR", "WARN"), F.lit("assistant"))
+         .when(lvl == "DEBUG", F.lit("user"))
+         .otherwise(F.lit("system")).alias("role"),
+        "text",
+        F.col("parsed.component").alias("tool"),
+        (F.to_timestamp(F.lit("2000-01-01 00:00:00"))
+         + F.make_interval(secs=F.row_number().over(w) - 1)).alias("ts"))
 
 
 def logfile_turns(lines: DataFrame) -> DataFrame:

@@ -25,6 +25,11 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--warehouse", required=True)
     p.add_argument("--input-parquet", default=None)
+    p.add_argument("--input-logs", default=None, metavar="DIR",
+                   help="read raw log FILES (one line per record, "
+                        ".../service/pod.log) via the text source and run "
+                        "the full job on them — the reference's S1 file-"
+                        "tail ingestion mode (see sources/textlog.py)")
     p.add_argument("--lookup-parquet", default=None,
                    help="read the enrichment dimension from parquet instead "
                         "of generating it inline (pair with --input-parquet)")
@@ -79,7 +84,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"gen_input": base, "n_input_turns": n}))
         return 0
 
-    if args.input_parquet:
+    if args.input_logs:
+        from logging_spark.sources.textlog import logfile_input
+        turns = logfile_input(spark, args.input_logs)
+    elif args.input_parquet:
         turns = spark.read.parquet(args.input_parquet)
     else:
         turns = synth.transcripts(

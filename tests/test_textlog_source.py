@@ -64,3 +64,36 @@ def test_tail_log_files_resumes_without_reemit(spark, tmp_path):
     drain()
     got = [r["conv_id"] for r in spark.read.parquet(out).collect()]
     assert len(got) == 4 and got.count("svc-a/pod-3") == 1
+
+
+def test_logfile_input_matches_input_hint_and_runs_pipeline(spark, tmp_path):
+    from logging_spark.sources.textlog import logfile_input
+    from logging_spark.plans.job import run_pipeline
+    from logging_spark.sources.catalog import Catalog
+    from logging_spark import synth
+
+    base = str(tmp_path / "logs")
+    _write_logs(base)
+    turns = logfile_input(spark, f"{base}/*")
+    assert [f.name for f in turns.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in turns.collect()}
+    assert rows[("svc-a/pod-1", 1)]["role"] == "assistant"  # ERROR line
+    assert rows[("svc-a/pod-1", 1)]["tool"] == "comp-2"
+    # deterministic: second read produces identical rows
+    again = {(r["conv_id"], r["turn_idx"]): r
+             for r in logfile_input(spark, f"{base}/*").collect()}
+    assert rows.keys() == again.keys()
+    assert all(rows[k] == again[k] for k in rows)
+
+    # the FULL job runs straight off the log files (S1 end-to-end)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    res = run_pipeline(spark, turns, synth.lookup(spark, 5),
+                       synth.rules(spark), cat, num_buckets=2,
+                       input_snapshot="logs-v1")
+    counts = {r["sink_name"]: r["n_rows"]
+              for r in res.per_sink_counts.collect()}
+    # fan-out: the ERROR and WARN lines land in BOTH their level sink
+    # and assistant_all (role=assistant); the INFO line is unrouted
+    assert counts == {"errors": 1, "warnings": 1, "assistant_all": 2,
+                      "_unrouted": 1}
