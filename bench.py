@@ -104,6 +104,16 @@ HEADLINE = [
     "docs_token_lift",
     "events_equidepth_histogram",
     "pipe_merge_consecutive",
+    # round-4 second-session additions: multiline record assembly
+    # (per-file window + ordered re-join), BPE pair scan, integer
+    # surprisal (two-shuffle vocab join), hot/cold skew-split join,
+    # two-hop link prediction, sketch-vs-exact MinHash audit
+    "pipe_multiline",
+    "text_bpe_pairs",
+    "text_surprisal",
+    "events_skew_join",
+    "docs_link_prediction",
+    "dedup_minhash_audit",
 ]
 
 
