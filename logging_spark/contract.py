@@ -91,6 +91,7 @@ from logging_spark.operators.scd import scd2, scd2_lookup
 from logging_spark.operators.diff import snapshot_diff
 from logging_spark.operators.dq import dq_checks, table_fingerprint
 from logging_spark.operators.export import shard_manifest
+from logging_spark.operators.segments import rfm_segments
 from logging_spark.operators.winsorize import winsorized_stats
 from logging_spark.operators.heavy import heavy_hitters
 from logging_spark.operators.repetition import repetition_signals
@@ -99,7 +100,8 @@ from logging_spark.operators.sample import (budget_head,
                                             deterministic_sample,
                                             deterministic_split, domain_cap,
                                             global_shuffle, hash60, hash60_sql,
-                                            mix_corpora, split_thresholds,
+                                            mix_corpora, mix_temperature,
+                                            split_thresholds,
                                             stratified_balance,
                                             HASH_SPACE)
 from logging_spark.operators.pack import pack_chunks
@@ -2118,6 +2120,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dim_join_rollup"] = dim_join_rollup
 
+    # -- RFM segmentation (operators/segments.py): one map-side-
+    # combined agg -> three lifecycle dimensions; 90-day recency
+    # quarters (capped) + engine-exact log2 tiers for freq/monetary.
+    def dim_rfm_segments(spark, sf):
+        return rfm_segments(_read(spark, sf, "orders"))
+    q["dim_rfm_segments"] = dim_rfm_segments
+
     def window_top3_orders(spark, sf):
         o = _read(spark, sf, "orders")
         w = Window.partitionBy("o_custkey").orderBy(
@@ -2505,6 +2514,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_domain_cap"] = lambda spark, sf: domain_cap(
         _read(spark, sf, "documents"), domain_col="source", k=10,
         id_col="doc_id", seed="cap").select("doc_id", "source")
+
+    # temperature-scaled source mixing (operators/sample.py
+    # mix_temperature): quota ~ sqrt(source bytes) — T=0.5 rebalancing;
+    # IEEE sqrt is correctly rounded so floor(sqrt) is engine-exact
+    q["sample_temperature"] = lambda spark, sf: mix_temperature(
+        _read(spark, sf, "documents"), source_col="source",
+        size_col="n_chars", budget=10000)
 
     # class balance: every lang downsampled to the SMALLEST lang's
     # count (data-derived cap, broadcast single-row min), deterministic
@@ -4361,6 +4377,24 @@ SELECT coalesce(l_returnflag, 'ALL') AS rf,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)"""
 
+    o["dim_rfm_segments"] = """
+WITH per AS (SELECT o_custkey AS cust,
+                    max(CAST(o_orderdate AS DATE)) AS last_d,
+                    count(*) AS frequency,
+                    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS monetary_cents
+             FROM orders GROUP BY 1),
+f AS (SELECT cust,
+             CAST(datediff('day', last_d, DATE '2002-01-01') AS BIGINT)
+               AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency, monetary_cents
+      FROM per)
+SELECT cust, recency_days, frequency, monetary_cents,
+       CAST(least(recency_days // 90, 7) AS BIGINT) AS r_bin,
+       CAST(length(bin(frequency)) AS BIGINT) AS f_bin,
+       CAST(length(bin(monetary_cents // 100)) AS BIGINT) AS m_bin
+FROM f"""
+
     o["dim_join_rollup"] = """
 SELECT r_name, n_name, count(*) AS n_customers,
        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
@@ -5065,6 +5099,19 @@ WHERE {hash60_sql("doc_id", "bench:replay")} < {int(0.9 * HASH_SPACE)}
 UNION ALL
 SELECT doc_id, 'web' AS source FROM documents
 WHERE {hash60_sql("doc_id", "bench:web")} < {int(0.5 * HASH_SPACE)}"""
+
+    o["sample_temperature"] = """
+WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_chars) AS BIGINT) AS size
+             FROM documents GROUP BY 1),
+w AS (SELECT source, n_docs, size,
+             CAST(floor(sqrt(size)) AS BIGINT) AS weight FROM per),
+t AS (SELECT sum(weight) AS tw FROM w)
+SELECT source, n_docs, size, weight,
+       CAST((weight * 1000000) // tw AS BIGINT) AS share_ppm,
+       CAST(((weight * 1000000) // tw) * 10000 // 1000000 AS BIGINT)
+         AS quota
+FROM w CROSS JOIN t"""
 
     o["sample_domain_cap"] = """
 SELECT doc_id, source FROM documents

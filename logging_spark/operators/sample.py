@@ -253,3 +253,36 @@ def stratified_balance(df: DataFrame, group_col: str,
     return (out.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= F.col("_k"))
             .drop("_rn", "_k"))
+
+
+def mix_temperature(df: DataFrame, source_col: str = "source",
+                    size_col: str | None = None,
+                    budget: int = 10_000) -> DataFrame:
+    """Temperature-scaled source mixing (T = 0.5): per-source quota
+    proportional to sqrt(size) — the standard multilingual/multi-
+    source rebalancing (size^alpha re-weighting, public methodology
+    from the multilingual-LM literature) that up-weights small sources
+    without letting one giant corpus drown the mix.
+
+    (source, n_docs, size, weight, share_ppm, quota): weight =
+    floor(sqrt(size)) — IEEE sqrt is correctly rounded, so the floor
+    is bit-identical in Spark and DuckDB; shares and quotas are
+    integral ppm ratios. One map-side-combined aggregate plus a
+    broadcast single-row total — no window, no second shuffle. Feed
+    `quota` to domain_cap/deterministic_sample to materialize the mix.
+    """
+    size = (F.sum(size_col) if size_col
+            else F.count(F.lit(1))).cast("long")
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        size.alias("size"))
+    per = per.withColumn(
+        "weight", F.floor(F.sqrt(F.col("size"))).cast("long"))
+    tot = per.agg(F.sum("weight").alias("_tw"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "size", "weight",
+                    F.expr("(weight * 1000000) DIV _tw").cast("long")
+                    .alias("share_ppm"))
+            .withColumn("quota",
+                        F.expr(f"(share_ppm * {int(budget)}) DIV 1000000")
+                        .cast("long")))

@@ -152,3 +152,49 @@ def test_budget_head_has_no_global_window(spark):
     plan = _plan(spark, "docs_token_budget")
     assert "Window" not in plan
     assert "MapInPandas" in plan
+
+
+def test_bpe_topk_is_take_ordered(spark):
+    # top-k must plan as per-partition heaps + driver k-merge, never a
+    # global sort of the whole pair vocabulary
+    plan = _plan(spark, "text_bpe_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert _n_exchanges(plan) <= 1  # the pair-count agg only
+
+
+def test_multiline_groupby_reuses_window_clustering(spark):
+    # one per-file window exchange (+ _spread's under-split-input
+    # repartition, a no-op on real multi-file tables); the re-join
+    # groupBy must NOT add a third — partial+final aggregate sit
+    # directly on the window's (file) clustering via the subset rule
+    plan = _plan(spark, "pipe_multiline")
+    assert _n_exchanges(plan) <= 2
+    # tree prints parents above children: both aggregate phases must
+    # sit ABOVE (= downstream of) every exchange — nothing reshuffles
+    # between the window and the final aggregate
+    lines = plan.splitlines()
+    last_agg = max(i for i, l in enumerate(lines[:40])
+                   if "HashAggregate" in l)
+    first_exch = min(i for i, l in enumerate(lines[:40])
+                     if "Exchange" in l)
+    assert last_agg < first_exch
+
+
+def test_surprisal_vocab_join_no_extra_shuffle(spark):
+    # vocab agg + token join + per-doc agg; the scalar total must ride
+    # a broadcast (never a single-partition exchange of the stream)
+    plan = _plan(spark, "text_surprisal")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total crossJoin
+    assert _n_exchanges(plan) <= 4
+
+
+def test_skew_join_hot_side_broadcasts(spark):
+    plan = _plan(spark, "events_skew_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rfm_single_aggregation(spark):
+    # one groupBy over orders; the binning is pure projection work
+    plan = _plan(spark, "dim_rfm_segments")
+    assert _n_exchanges(plan) <= 1
+    assert "Window" not in plan
