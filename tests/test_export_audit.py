@@ -60,3 +60,15 @@ def test_contamination_rate_bounds_and_zero(spark):
     got = {r["doc_id"]: r for r in contamination_rate(corpus, bench).collect()}
     assert got[1]["rate_x1000"] == 1000 and got[1]["n_hits"] == 3
     assert got[2]["rate_x1000"] == 0 and got[2]["n_hits"] == 0
+
+
+def test_write_shards_one_file_group_per_shard(spark, tmp_path):
+    import glob
+    d = _docs(spark, 60)
+    path = str(tmp_path / "tree")
+    write_shards(d, path, cols=["doc_id"], n_shards=4)
+    for k in range(4):
+        files = glob.glob(f"{path}/shard={k}/*.parquet")
+        # shard-keyed repartition: each shard's rows arrive at ONE
+        # task, so exactly one parquet file per shard directory
+        assert len(files) == 1, (k, files)
