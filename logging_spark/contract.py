@@ -100,7 +100,8 @@ from logging_spark.operators.sample import (budget_head,
                                             deterministic_sample,
                                             deterministic_split, domain_cap,
                                             global_shuffle, hash60, hash60_sql,
-                                            mix_corpora, mix_temperature,
+                                            global_order, mix_corpora,
+                                            mix_temperature,
                                             split_thresholds,
                                             stratified_balance,
                                             HASH_SPACE)
@@ -2521,6 +2522,23 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_temperature"] = lambda spark, sf: mix_temperature(
         _read(spark, sf, "documents"), source_col="source",
         size_col="n_chars", budget=10000)
+
+    # curriculum order (operators/sample.py global_order): contiguous
+    # global training rank by (difficulty ASC, deterministic hash) —
+    # the windowless distributed row_number; easy docs first, shuffled
+    # within a difficulty tier. Plan-tested: no single-partition
+    # window (tests/test_plans.py).
+    def sample_curriculum(spark, sf):
+        d = _read(spark, sf, "documents").select(
+            "doc_id",
+            F.length(F.bin("n_chars")).cast("long")
+             .alias("difficulty_bin"),
+            F.md5(F.concat(F.lit("cur:"),
+                           F.col("doc_id").cast("string"))).alias("_k"))
+        out = global_order(d, ["difficulty_bin", "_k", "doc_id"],
+                           rank_col="train_rank")
+        return out.select("doc_id", "difficulty_bin", "train_rank")
+    q["sample_curriculum"] = sample_curriculum
 
     # class balance: every lang downsampled to the SMALLEST lang's
     # count (data-derived cap, broadcast single-row min), deterministic
@@ -5099,6 +5117,13 @@ WHERE {hash60_sql("doc_id", "bench:replay")} < {int(0.9 * HASH_SPACE)}
 UNION ALL
 SELECT doc_id, 'web' AS source FROM documents
 WHERE {hash60_sql("doc_id", "bench:web")} < {int(0.5 * HASH_SPACE)}"""
+
+    o["sample_curriculum"] = """
+SELECT doc_id, CAST(length(bin(n_chars)) AS BIGINT) AS difficulty_bin,
+       CAST(row_number() OVER (ORDER BY length(bin(n_chars)),
+            md5('cur:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+            AS BIGINT) AS train_rank
+FROM documents"""
 
     o["sample_temperature"] = """
 WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

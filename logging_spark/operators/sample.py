@@ -286,3 +286,51 @@ def mix_temperature(df: DataFrame, source_col: str = "source",
             .withColumn("quota",
                         F.expr(f"(share_ppm * {int(budget)}) DIV 1000000")
                         .cast("long")))
+
+
+def global_order(df: DataFrame, order_cols: list,
+                 rank_col: str = "rank",
+                 num_partitions: int | None = None) -> DataFrame:
+    """Contiguous 0-based global rank under a TOTAL order (make
+    `order_cols` total — end with a unique id) WITHOUT the
+    single-partition window that `row_number() OVER (ORDER BY ...)`
+    plans: range-partition + sort (the physical shape of ORDER BY),
+    localCheckpoint to pin the sampled range bounds across the two
+    actions, per-partition row counts -> exclusive offsets on the
+    driver (one row per partition), then an Arrow kernel adds each
+    partition's offset to its local positions. The primitive behind
+    deterministic training-order assignment (curriculum, resumable
+    epoch order): every row learns its exact global position and no
+    task ever sees more than its partition.
+
+    Same two-phase machinery as `budget_head` with amount == 1 and no
+    early stop; the emitted rank is partitioning-independent, hence
+    oracle-checkable against row_number().
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    parted = (df.repartitionByRange(num_partitions, *order_cols)
+              if num_partitions else df.repartitionByRange(*order_cols))
+    d = parted.sortWithinPartitions(*order_cols).localCheckpoint()
+
+    counts = (d.groupBy(F.spark_partition_id().alias("_pid"))
+              .agg(F.count(F.lit(1)).alias("_n")).collect())
+    offsets: dict[int, int] = {}
+    run = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = run
+        run += int(row["_n"])
+
+    schema = StructType(d.schema.fields + [StructField(rank_col, LongType())])
+
+    def kernel(batches):
+        import numpy as np
+        from pyspark import TaskContext
+        pos = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            n = len(pdf)
+            yield pdf.assign(**{rank_col: np.arange(pos, pos + n,
+                                                    dtype="int64")})
+            pos += n
+
+    return d.mapInPandas(kernel, schema)

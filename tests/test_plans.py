@@ -198,3 +198,11 @@ def test_rfm_single_aggregation(spark):
     plan = _plan(spark, "dim_rfm_segments")
     assert _n_exchanges(plan) <= 1
     assert "Window" not in plan
+
+
+def test_curriculum_no_single_partition_window(spark):
+    # the global rank must come from the two-phase prefix machinery,
+    # never a row_number() window with empty partitionBy
+    plan = _plan(spark, "sample_curriculum")
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan

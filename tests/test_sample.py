@@ -155,3 +155,19 @@ def test_stratified_balance_fixed_k(spark):
     counts = {r["lang"]: r["n"] for r in
               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {"a": 5, "b": 2}  # k caps, short groups untouched
+
+
+def test_global_order_is_partitioning_independent(spark):
+    from logging_spark.operators.sample import global_order
+    from pyspark.sql import Row
+    import random
+    rows = [Row(id=i, v=(i * 37) % 100) for i in range(500)]
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows)
+    for nparts in (1, 7):
+        out = global_order(df.repartition(11), ["v", "id"],
+                           num_partitions=nparts).collect()
+        got = sorted((r["rank"], r["v"], r["id"]) for r in out)
+        expect = sorted(rows, key=lambda r: (r.v, r.id))
+        assert [g[0] for g in got] == list(range(500))
+        assert [(g[1], g[2]) for g in got] == [(r.v, r.id) for r in expect]
