@@ -2853,6 +2853,44 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.round(F.element_at("feature", 1), 4).alias("f0"))
     q["mm_features_png"] = mm_features_png
 
+    def mm_image_dhash(spark, sf):
+        # rows-only: perceptual near-dup images — synthesize PNGs in 5
+        # pattern classes (same class = same gradient image) with a
+        # small brightness dent on odd ids (near-but-not-exact dup),
+        # dHash the decoded pixels, pair via banded Hamming <= 6
+        imgs = (media_df(spark, sf).where(F.col("kind") == "image")
+                .select("media_id"))
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+            from logging_spark.functions import png as png_mod
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                payloads = []
+                for mid in pdf["media_id"]:
+                    mid = int(mid)
+                    cls = mid % 5
+                    y, x = np.mgrid[0:24, 0:24]
+                    g = ((x // (cls + 1) + y // (cls + 2)) % 2) * 255
+                    arr = np.stack([g, g, g], axis=2).astype("uint8")
+                    if mid % 2:
+                        # small dent: invert one corner, few bits flip
+                        arr[:6, :6, :] = 255 - arr[:6, :6, :]
+                    payloads.append(png_mod.encode_png(arr))
+                yield pd.DataFrame({"media_id": pdf["media_id"],
+                                    "payload": payloads})
+
+        pngs = imgs.mapInPandas(kernel, "media_id long, payload binary")
+        hashes = mm.image_dhash(pngs)
+        pairs = mm.near_dup_images(hashes, max_hamming=6)
+        # aggregate: pair counts by hamming distance (bounded output)
+        return (pairs.groupBy("hamming")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+    q["mm_image_dhash"] = mm_image_dhash
+
     def mm_features_wav(spark, sf):
         # rows-only: REAL audio decode — deterministic PCM WAV payloads
         # are synthesized per audio media row (pure-stdlib codec,

@@ -170,3 +170,68 @@ def per_kind_stats(df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"),
              F.sum("n_bytes").alias("total_bytes"))
     )
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id") -> DataFrame:
+    """(id, dhash): 64-bit perceptual difference hash from DECODED
+    pixels — grayscale mean over channels, nearest-neighbor resample
+    to a 9x8 grid, bit (r, c) set iff g[r, c] > g[r, c+1]. The
+    industry-standard near-dup-image fingerprint (public dHash
+    construction): robust to re-encoding, resizing and mild edits,
+    which byte-level hashing (exact_duplicates on payload md5)
+    misses entirely.
+
+    Narrow mapInPandas over PNG payloads (functions/png.py pure-
+    stdlib decode); payload bytes never shuffle — only the 8-byte
+    hash leaves the scan stage. Packed via int.from_bytes(signed)
+    so the full 64 bits fit a Spark long."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from logging_spark.functions import png as png_mod
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = png_mod.decode_png(bytes(payload))
+                gray = arr.astype("float64").mean(axis=2)
+                h, w = gray.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                g = gray[np.ix_(ys, xs)]
+                bits = (g[:, :-1] > g[:, 1:]).flatten()
+                out.append(int.from_bytes(np.packbits(bits).tobytes(),
+                                          "big", signed=True))
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": out})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, dhash long")
+
+
+def near_dup_images(hashes: DataFrame, max_hamming: int = 6,
+                    id_col: str = "media_id") -> DataFrame:
+    """(id_a, id_b, hamming): image pairs whose dHashes differ in at
+    most `max_hamming` of 64 bits. Candidate generation is the
+    SimHash banding trick: split the hash into 4 16-bit bands — any
+    pair within Hamming distance 6 agrees exactly on >= 1 band
+    (pigeonhole over 4 bands guarantees recall up to distance 3 and
+    catches virtually all at 6 since edits cluster) — equi-join on
+    (band_idx, band_value), then verify with bit_count(a ^ b). Never
+    an all-pairs comparison; the verify set is bucket-bounded."""
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band_idx"),
+                 F.shiftrightunsigned(F.col("dhash"), b * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("band_val"))
+        for b in range(4)])
+    banded = (hashes.select(F.col(id_col), F.col("dhash"),
+                            F.explode(bands).alias("b"))
+              .select(id_col, "dhash", "b.band_idx", "b.band_val")
+              .localCheckpoint())
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_val") == F.col("b.band_val"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.expr("bit_count(a.dhash ^ b.dhash)").cast("int")
+                     .alias("hamming"))
+             .distinct())
+    return pairs.where(F.col("hamming") <= max_hamming)

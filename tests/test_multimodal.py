@@ -305,3 +305,49 @@ def test_extract_features_mixed_png_wav_batch(spark):
     with pytest.raises(Exception) as exc:
         mm.extract_features(bad, decode_stub=False).collect()
     assert "NotImplementedError" in str(exc.value) or "pyav" in str(exc.value)
+
+
+def _png(arr):
+    from logging_spark.functions import png as png_mod
+    return png_mod.encode_png(arr)
+
+
+def _grad(cls, dent=False):
+    import numpy as np
+    y, x = np.mgrid[0:24, 0:24]
+    g = ((x // (cls + 1) + y // (cls + 2)) % 2) * 255
+    arr = np.stack([g, g, g], axis=2).astype("uint8")
+    if dent:
+        arr[:6, :6, :] = 255 - arr[:6, :6, :]
+    return arr
+
+
+def test_dhash_is_pixel_function_not_payload_function(spark):
+    # +1 brightness everywhere: very different PNG bytes, identical
+    # gradient relations -> identical dHash (the perceptual property)
+    import numpy as np
+    from logging_spark.multimodal import image_dhash
+    from pyspark.sql import Row
+    base = _grad(1)
+    bright = np.clip(base.astype("int16") + 1, 0, 255).astype("uint8")
+    pa, pb = _png(base), _png(bright)
+    assert pa != pb
+    df = spark.createDataFrame([Row(media_id=1, payload=bytearray(pa)),
+                                Row(media_id=2, payload=bytearray(pb))])
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got[1] == got[2]
+
+
+def test_near_dup_images_pairs_same_class_only(spark):
+    from logging_spark.multimodal import image_dhash, near_dup_images
+    from pyspark.sql import Row
+    rows = [Row(media_id=i, payload=bytearray(_png(_grad(i % 2, dent=(i >= 2)))))
+            for i in range(4)]
+    # ids 0,2 share class 0 (2 dented); ids 1,3 share class 1
+    pairs = near_dup_images(image_dhash(spark.createDataFrame(rows)),
+                            max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert set(got) == {(0, 2), (1, 3)}
+    assert all(h <= 6 for h in got.values())
+    # the dent flips at least one bit vs the undented same-class image
+    assert any(h > 0 for h in got.values())
