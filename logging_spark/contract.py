@@ -2630,6 +2630,26 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   _benchmark_df(spark, sf), w=3)
     q["docs_contamination_rate"] = docs_contamination_rate
 
+    # -- per-doc novelty (first-occurrence attribution): fraction of a
+    # doc's distinct shingles this doc introduces to the corpus (by
+    # doc_id order) — exact dups of earlier docs score 0, fresh
+    # content scores 1000. The marginal-data-value profile: min-doc
+    # inverted index + one per-doc agg, shares the memoized shingle
+    # build.
+    def docs_novelty(spark, sf):
+        inv = shingles_w3(spark, sf).select(
+            "doc_id", F.explode("_sh").alias("_s"))
+        first = inv.groupBy("_s").agg(F.min("doc_id").alias("_fd"))
+        per = (inv.join(first, "_s")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                    F.sum(F.when(F.col("doc_id") == F.col("_fd"), 1)
+                          .otherwise(0)).cast("long").alias("n_novel")))
+        return per.withColumn(
+            "novel_x1000",
+            F.expr("(n_novel * 1000) DIV n_shingles").cast("long"))
+    q["docs_novelty"] = docs_novelty
+
     # hashed-fingerprint scale path (rows-only: fingerprints use
     # xxhash64, which DuckDB can't express — the exact operator above
     # IS the value-checked twin; test_textdedup pins the subset
@@ -5061,6 +5081,18 @@ WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hits >= 10)"""
 
     # inv already carries one row per DISTINCT shingle per doc and
     # every doc has >= 1 shingle, so totals come straight off inv
+    o["docs_novelty"] = f"""
+WITH {CORPUS_CTE},
+ct AS (SELECT doc_id, {TOKS} AS toks FROM corpus),
+inv AS (SELECT doc_id, unnest({SHINGLES}) AS s FROM ct),
+fst AS (SELECT s, min(doc_id) AS fd FROM inv GROUP BY 1)
+SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN i.doc_id = f.fd THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((sum(CASE WHEN i.doc_id = f.fd THEN 1 ELSE 0 END) * 1000)
+            // count(*) AS BIGINT) AS novel_x1000
+FROM inv i JOIN fst f ON i.s = f.s GROUP BY 1"""
+
     o["docs_contamination_rate"] = f"""
 WITH {_DECON_CTES},
 tot AS (SELECT doc_id, count(*) AS n_shingles FROM inv GROUP BY 1)
