@@ -3162,6 +3162,93 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .alias("n_distinct_vals"))
     q["pipe_kv_udtf"] = pipe_kv_udtf
 
+    # -- URL extraction + domain blocklist (functions/text.py
+    # extract_urls/url_domain): the C4-style URL-filtering stage.
+    # Turns are augmented with two deterministic URLs (md5-prefix host
+    # + a ref host on every third turn), extracted with a shared
+    # RE2-safe grammar, blocked domains dropped, rolled up per domain.
+    # Scale: one scan-side projection + one small groupBy — the
+    # blocklist is a literal (broadcast at real size).
+    def text_url_domains(spark, sf):
+        t = turns_df(spark, sf)
+        aug = F.concat(
+            F.col("text"), F.lit(" url=https://h"),
+            F.substring(F.md5("conv_id"), 1, 2), F.lit(".example.com/p/"),
+            F.regexp_extract("text", r"code=(\d+)", 1),
+            F.when(F.col("turn_idx") % 3 == 0,
+                   F.lit(" ref=http://blog.example.org/latest"))
+            .otherwise(F.lit("")))
+        d = (t.select("conv_id", F.explode(T.extract_urls(aug)).alias("url"))
+             .select("conv_id", T.url_domain("url").alias("domain")))
+        blocked = ["h00.example.com", "hff.example.com", "blog.example.org"]
+        return (d.where(~F.col("domain").isin(blocked))
+                .groupBy("domain")
+                .agg(F.count(F.lit(1)).alias("n_urls"),
+                     F.count_distinct("conv_id").alias("n_convs")))
+    q["text_url_domains"] = text_url_domains
+
+    # -- conversation template-prefix dedup: boilerplate openers.  Each
+    # conversation's first 4 turns are masked to templates
+    # (mask_template) and chained into running prefix hashes; prefixes
+    # shared by >= 2 conversations are reported with the canonical
+    # keeper.  The two windows share one (conv_id, turn_idx) sort —
+    # a single shuffle; hashes (not text) enter the groupBy.
+    def pipe_prefix_dedup(spark, sf):
+        t = turns_df(spark, sf)
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        r = (t.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= 4))
+        wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pref = r.select(
+            "conv_id", F.col("rn").alias("prefix_len"),
+            F.md5(F.concat_ws(
+                "\x1f",
+                F.collect_list(T.mask_template("text")).over(wp)))
+            .alias("prefix_hash"))
+        return (pref.groupBy("prefix_len", "prefix_hash")
+                .agg(F.count(F.lit(1)).alias("n_convs"),
+                     F.min("conv_id").alias("keep_conv"))
+                .where(F.col("n_convs") >= 2))
+    q["pipe_prefix_dedup"] = pipe_prefix_dedup
+
+    # -- leakage-free group split: split membership decided on the
+    # GROUP key (conv_id), so every turn of a conversation lands in
+    # one split — the heldout-hygiene rule for multi-turn data.  The
+    # audit is in-query: n_leaked counts conversations seen in >1
+    # split (must be 0 by construction).
+    def sample_group_split(spark, sf):
+        t = turns_df(spark, sf)
+        s = deterministic_split(t, {"train": 0.8, "val": 0.1, "test": 0.1},
+                                seed="gs", id_col="conv_id")
+        per_conv = s.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count_distinct("split").alias("_nsplits"),
+            F.min("split").alias("split"))
+        return (per_conv.groupBy("split")
+                .agg(F.count(F.lit(1)).alias("n_convs"),
+                     F.sum("n_turns").alias("n_turns"),
+                     F.sum((F.col("_nsplits") > 1).cast("long"))
+                     .alias("n_leaked")))
+    q["sample_group_split"] = sample_group_split
+
+    # -- corpus datacard: the per-source governance rollup every
+    # corpus release ships — volume, token mass, language spread,
+    # exact-dup permille (integer DIV), mean doc tokens.  One groupBy
+    # over scan-side expressions; distincts are per-group hashes.
+    def docs_datacard(spark, sf):
+        d = _read(spark, sf, "documents")
+        g = d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(T.tokens("text")).cast("long")).alias("n_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.count_distinct(F.md5("text")).alias("_uniq"))
+        return g.select(
+            "source", "n_docs", "n_tokens", "n_langs",
+            F.expr("((n_docs - _uniq) * 1000) DIV n_docs")
+            .alias("dup_permille"),
+            F.expr("n_tokens DIV n_docs").alias("mean_tokens"))
+    q["docs_datacard"] = docs_datacard
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -5722,5 +5809,80 @@ kv AS (
 SELECT key, count(*) AS n,
        CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_vals
 FROM kv GROUP BY 1"""
+
+    # same augmentation + the shared RE2-safe URL grammar
+    o["text_url_domains"] = "WITH " + TURNS_CTE + r""",
+aug AS (
+  SELECT conv_id,
+         concat(text, ' url=https://h', substr(md5(conv_id), 1, 2),
+                '.example.com/p/', regexp_extract(text, 'code=(\d+)', 1),
+                CASE WHEN turn_idx % 3 = 0
+                     THEN ' ref=http://blog.example.org/latest'
+                     ELSE '' END) AS txt
+  FROM turns),
+doms AS (
+  SELECT conv_id,
+         regexp_extract(unnest(regexp_extract_all(
+             txt, '(https?://[A-Za-z0-9.-]+[/A-Za-z0-9._%-]*)', 1)),
+           'https?://([^/]+)', 1) AS domain
+  FROM aug)
+SELECT domain, count(*) AS n_urls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM doms
+WHERE domain NOT IN ('h00.example.com', 'hff.example.com',
+                     'blog.example.org')
+GROUP BY 1"""
+
+    # running template-prefix hash via ordered string_agg window
+    o["pipe_prefix_dedup"] = "WITH " + TURNS_CTE + r""",
+r AS (
+  SELECT conv_id, turn_idx,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[0-9a-f]{8,}', '<HEX>', 'g'),
+             '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+           '\d+', '<N>', 'g') AS tmpl,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM turns),
+p AS (
+  SELECT conv_id, CAST(rn AS INT) AS prefix_len,
+         md5(string_agg(tmpl, chr(31)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS prefix_hash
+  FROM r WHERE rn <= 4)
+SELECT prefix_len, prefix_hash, count(*) AS n_convs,
+       min(conv_id) AS keep_conv
+FROM p GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+    _gs = hash60_sql("conv_id", "gs")
+    _gthr = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    o["sample_group_split"] = "WITH " + TURNS_CTE + f""",
+s AS (
+  SELECT conv_id,
+         CASE WHEN {_gs} < {_gthr[0][1]} THEN 'train'
+              WHEN {_gs} < {_gthr[1][1]} THEN 'val'
+              ELSE 'test' END AS split
+  FROM turns),
+pc AS (
+  SELECT conv_id, count(*) AS n_turns,
+         count(DISTINCT split) AS nsplits, min(split) AS split
+  FROM s GROUP BY 1)
+SELECT split, count(*) AS n_convs,
+       CAST(sum(n_turns) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked
+FROM pc GROUP BY 1"""
+
+    o["docs_datacard"] = f"""
+WITH g AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({TOKS})) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         count(DISTINCT md5(text)) AS uniq
+  FROM documents GROUP BY 1)
+SELECT source, n_docs, n_tokens, n_langs,
+       ((n_docs - uniq) * 1000) // n_docs AS dup_permille,
+       n_tokens // n_docs AS mean_tokens
+FROM g"""
 
     return o

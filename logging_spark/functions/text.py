@@ -382,6 +382,32 @@ def mask_template(text: Column | str) -> Column:
     return t
 
 
+# URL grammar shared by extract_urls and the contract oracle: scheme,
+# host (letters/digits/dots/dashes), optional path. RE2-safe (no
+# backrefs/lookaround) so the same pattern runs in Spark (Java regex)
+# and DuckDB (RE2).
+URL_PATTERN = r"(https?://[A-Za-z0-9.-]+[/A-Za-z0-9._%-]*)"
+HOST_PATTERN = r"https?://([^/]+)"
+
+
+def extract_urls(text: Column | str) -> Column:
+    """All URLs in a text column as array<string> — the first step of
+    C4-style URL/domain filtering (robots blocklists, per-domain caps,
+    ad-domain scrubbing). Pure codegen `regexp_extract_all`; one scan
+    pass, no Python. Compose with `url_domain` + an anti-join against
+    a broadcast blocklist for the filter stage."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(text, F.lit(URL_PATTERN), 1)
+
+
+def url_domain(url: Column | str) -> Column:
+    """Host part of a URL ('' when the input is not URL-shaped).
+    Regex-based so the oracle can mirror it exactly — Spark's
+    parse_url() has no DuckDB twin."""
+    url = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(url, HOST_PATTERN, 1)
+
+
 def normalize(text: Column | str) -> Column:
     """C4-style text normalization: lowercase, strip everything but
     word characters and whitespace, collapse whitespace runs, trim.

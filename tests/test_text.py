@@ -237,3 +237,24 @@ def test_mask_template_order_and_coverage(spark):
     # unit, digits masked); the two hex ids collapse to one
     assert out[0] == out[1] == "GET /api/v<N>/users/<N> from <IP> took <N>ms"
     assert out[2] == out[3] == "req <HEX> failed"
+
+
+def test_extract_urls_and_domains(spark):
+    from pyspark.sql import functions as F
+    from logging_spark.functions import text as T
+    rows = [
+        ("see https://a.example.com/p/1 and http://b.org/x?y",),
+        ("no urls here",),
+        ("trailing https://c.net",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.u for r in df.select(T.extract_urls("text").alias("u")).collect()]
+    # '?' is outside the path grammar: the query string is cut, the
+    # host+path prefix is kept — the blocklist keys on the domain anyway
+    assert got[0] == ["https://a.example.com/p/1", "http://b.org/x"]
+    assert got[1] == []
+    assert got[2] == ["https://c.net"]
+    doms = [r.d for r in df.select(F.explode_outer(
+        T.extract_urls("text")).alias("u")).select(
+        T.url_domain("u").alias("d")).collect()]
+    assert doms == ["a.example.com", "b.org", None, "c.net"]
