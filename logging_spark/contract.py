@@ -23,9 +23,12 @@ Engine-portability rules used throughout (learned the hard way):
   `portable=True` paths of dedup/minhash use it;
 - integral ratios: compute both operands as x100/x10000 longs, then
   Spark `a DIV b` == DuckDB `a // b` for non-negative operands —
-  never decimal division (engine-specific scale/rounding). For
-  possibly-negative numerators the two differ (trunc vs floor):
-  restructure to keep numerators non-negative;
+  never decimal division (engine-specific scale/rounding). Measured
+  round 4: BOTH engines truncate toward zero for BIGINT negatives
+  (-7 DIV 2 == -7 // 2 == -3), so negative numerators agree too —
+  but PYTHON's // floors (-4): pure-Python brute-force twins in
+  tests must use trunc division, and keeping numerators non-negative
+  stays the safe default;
 - bit_xor is an aggregate in BOTH engines → portable commutative
   fingerprints (sum of hashes would overflow / throw under ANSI);
 - null-safe compares: Spark eqNullSafe ↔ DuckDB IS [NOT] DISTINCT
@@ -66,7 +69,9 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 negative_samples,
                                                 plane_signs,
                                                 quantize_int8_summary)
+from logging_spark.operators.bm25 import bm25_topk
 from logging_spark.operators.bpe import pair_counts
+from logging_spark.operators.kmeans import kmeans_summary
 from logging_spark.operators.multiline import assemble_multiline
 from logging_spark.operators.surprisal import surprisal_band_keep
 from logging_spark.operators.cluster import (duplicate_clusters,
@@ -134,6 +139,11 @@ RULES = [
     Rule("assistant_trunc", expr="*", role_filter="assistant", max_length=25),
     Rule("disabled_catchall", expr="*", enabled=False),
 ]
+
+# fixed retrieval queries for text_bm25_topk (terms from the synthetic
+# corpus vocabulary so every query has hits)
+BM25_QUERIES = [("q_shuffle", "spark window merge"),
+                ("q_join", "hash join order stream")]
 
 _LEVEL_CASE = {"error": "ERROR", "view": "WARN", "click": "DEBUG",
                "purchase": "INFO", "signup": "INFO"}
@@ -3249,6 +3259,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr("n_tokens DIV n_docs").alias("mean_tokens"))
     q["docs_datacard"] = docs_datacard
 
+    # -- BM25 retrieval (operators/bm25.py): integer-exact Okapi BM25
+    # top-k per query — eval-support mining over the corpus. The
+    # corpus is semi-joined to the broadcast query-term table before
+    # any wide stage; doc bodies never shuffle.
+    q["text_bm25_topk"] = lambda spark, sf: bm25_topk(
+        _read(spark, sf, "documents"), BM25_QUERIES, k=5)
+
+    # -- distributed integer-exact Lloyd k-means (operators/kmeans.py):
+    # the SemDeDup cell pass, 2 rounds from deterministic seeds;
+    # oracle unrolls both rounds. Per-cluster size + exact inertia.
+    q["sim_kmeans"] = lambda spark, sf: kmeans_summary(
+        _read(spark, sf, "embeddings"), k=4, rounds=2)
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -5884,5 +5907,80 @@ SELECT source, n_docs, n_tokens, n_langs,
        ((n_docs - uniq) * 1000) // n_docs AS dup_permille,
        n_tokens // n_docs AS mean_tokens
 FROM g"""
+
+    # integer-exact Okapi BM25 (operators/bm25.py docstring derivation;
+    # k1_x10=12, b_x100=75 -> numerator coeff 100000*22, denominator
+    # 1000*tf*A + 300*A + 90000*dl with A = avgdl_x100)
+    _bm25_vals = ", ".join(
+        f"('{qid}', '{t.lower()}')"
+        for qid, qtext in BM25_QUERIES
+        for t in sorted(set(qtext.split())))
+    o["text_bm25_topk"] = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+  GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_x100
+  FROM dl),
+qt AS (SELECT * FROM (VALUES {_bm25_vals}) AS t(query_id, term)),
+hit AS (
+  SELECT q.query_id, f.doc_id, f.term, f.tf,
+         count(*) OVER (PARTITION BY q.query_id, f.term) AS df
+  FROM tf f JOIN qt q USING (term)),
+agg AS (
+  SELECT h.query_id, h.doc_id,
+         CAST(sum(((s.n_docs * 1000000) // h.df) *
+                  ((100000 * h.tf * 22 * s.avgdl_x100) //
+                   (1000 * h.tf * s.avgdl_x100
+                    + 300 * s.avgdl_x100 + 90000 * d.dl)))
+              AS BIGINT) AS score
+  FROM hit h JOIN dl d USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM agg)
+WHERE rank <= 5"""
+
+    # k-means unrolled: seed centroids = vec_id < 4, two Lloyd rounds,
+    # integer means (// count) and exact integer squared distances
+    _km_pts = """
+q AS (SELECT vec_id,
+             list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                            x -> CAST(floor(x * 10000) AS BIGINT)) AS qv
+      FROM embeddings),
+pts AS (SELECT vec_id, unnest(qv) AS val,
+               generate_subscripts(qv, 1) AS pos
+        FROM q)"""
+    o["sim_kmeans"] = f"""
+WITH {_km_pts},
+c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM pts WHERE vec_id < 4),
+d1 AS (SELECT p.vec_id, c.cid,
+              CAST(sum((p.val - c.cval) * (p.val - c.cval)) AS BIGINT) AS dist
+       FROM pts p JOIN c0 c USING (pos) GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cid AS cluster
+       FROM (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+             FROM d1)
+       WHERE rn = 1),
+c1 AS (SELECT a.cluster AS cid, p.pos,
+              CAST(sum(p.val) AS BIGINT) // count(*) AS cval
+       FROM a1 a JOIN pts p USING (vec_id) GROUP BY 1, 2),
+d2 AS (SELECT p.vec_id, c.cid,
+              CAST(sum((p.val - c.cval) * (p.val - c.cval)) AS BIGINT) AS dist
+       FROM pts p JOIN c1 c USING (pos) GROUP BY 1, 2),
+a2 AS (SELECT vec_id, cid AS cluster, dist
+       FROM (SELECT vec_id, cid, dist,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+             FROM d2)
+       WHERE rn = 1)
+SELECT cluster, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia
+FROM a2 GROUP BY 1"""
 
     return o

@@ -1,0 +1,97 @@
+"""Distributed Lloyd k-means over an embedding column — integer-exact.
+
+The SemDeDup/IVF curation primitive: partition a 10^9-vector embedding
+table into k semantic cells (then dedup / sample / balance WITHIN each
+cell). `similarity.ivf_topk` already trains float centroids on a
+DRIVER-SIDE sample (`_kmeans_centroids`) — fine for routing, but its
+float argmin near a Voronoi boundary is summation-order dependent, so
+it can't be oracle-checked. This operator is the distributed,
+INTEGER-exact tier (the same two-tier pattern as
+`embedding_near_duplicates`'s `exact=True`): components are quantized
+floor(x * scale) -> BIGINT, every distance is exact integer
+arithmetic, assignment ties break on centroid id — bit-identical in
+any engine, so a DuckDB oracle can unroll the rounds.
+
+Shapes (rounds = R, k centroids, dim d):
+- vectors live in LONG FORM (vec_id, pos, val) — one posexplode at the
+  scan, localCheckpoint-pinned because every round re-reads it (the
+  link_prediction lesson: Spark re-executes shared lazy subtrees).
+- assignment: pts x broadcast(centroids-long) joined ON pos — a k-way
+  fan-out of the d-row-per-vector frame, then one (vec_id, cid) sum
+  and a windowless argmin (min over (dist, cid) structs, the repo's
+  global-argmax trick — no per-vector row_number window).
+- update: assignment joined back to pts, one (cluster, pos) groupBy;
+  new centroid component = sum(val) DIV count (integer mean).
+Per round: two shuffles, both on uniform keys; centroids stay tiny
+(k*d rows) and ride a broadcast. Overflow budget: with scale = 1e4
+and |x| <= 1, per-dim squared diff <= 4e8, per-pair distance <= 4e8*d;
+inertia sums over n vectors — keep n * 4e8 * d < 2^63 (documented;
+at 1e9 vectors and d = 64 the inertia sum peaks ~2.6e19: report
+per-cluster inertia, never a single global sum, past ~1e8 vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 10_000
+
+
+def quantized_points(vectors: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     scale: int = QUANT) -> DataFrame:
+    """(id, pos, val): long-form quantized components. pos is
+    1-based to match SQL generate_subscripts."""
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * scale)
+                    .cast("long"))
+    return (vectors.select(F.col(id_col), F.posexplode(q)
+                           .alias("_p0", "val"))
+            .select(id_col, (F.col("_p0") + 1).alias("pos"), "val"))
+
+
+def kmeans_assign(vectors: DataFrame, k: int = 4, rounds: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  scale: int = QUANT) -> DataFrame:
+    """(id, cluster, dist): Voronoi assignment after `rounds` Lloyd
+    iterations from deterministic seeds (the k lowest ids). dist is
+    the exact integer squared L2 distance to the winning centroid
+    at the FINAL assignment. rounds >= 1."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    pts = quantized_points(vectors, id_col=id_col, vec_col=vec_col,
+                           scale=scale).localCheckpoint(eager=False)
+    cent = (pts.where(F.col(id_col) < k)
+            .select(F.col(id_col).alias("cid"), "pos",
+                    F.col("val").alias("cval")))
+    assign = None
+    for r in range(rounds):
+        d = (pts.join(F.broadcast(cent), "pos")
+             .groupBy(id_col, "cid")
+             .agg(F.sum((F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval")))
+                  .cast("long").alias("dist")))
+        m = (d.groupBy(id_col)
+             .agg(F.min(F.struct("dist", "cid")).alias("_m")))
+        assign = m.select(id_col, F.col("_m.cid").alias("cluster"),
+                          F.col("_m.dist").alias("dist"))
+        if r < rounds - 1:
+            cent = (assign.join(pts, id_col)
+                    .groupBy("cluster", "pos")
+                    .agg(F.expr("CAST(sum(val) AS BIGINT) DIV count(*)")
+                         .alias("cval"))
+                    .select(F.col("cluster").alias("cid"), "pos", "cval"))
+    return assign
+
+
+def kmeans_summary(vectors: DataFrame, k: int = 4, rounds: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   scale: int = QUANT) -> DataFrame:
+    """(cluster, n, inertia): cell sizes + exact per-cluster inertia —
+    the audit row a curation run logs per k-means pass."""
+    a = kmeans_assign(vectors, k=k, rounds=rounds, id_col=id_col,
+                      vec_col=vec_col, scale=scale)
+    return (a.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("dist").cast("long").alias("inertia")))

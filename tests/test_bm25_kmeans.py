@@ -1,0 +1,104 @@
+"""Unit tests for operators/bm25.py and operators/kmeans.py against
+pure-Python brute-force references using the SAME integer rules."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from logging_spark.operators.bm25 import SCALE, bm25_scores, bm25_topk
+from logging_spark.operators.kmeans import kmeans_assign, kmeans_summary
+
+
+def _bm25_brute(docs, queries, k1_x10=12, b_x100=75, scale=SCALE):
+    toks = {d: t.split() for d, t in docs}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n, s = len(docs), sum(dl.values())
+    avgdl_x100 = (100 * s) // n
+    out = {}
+    for qid, qtext in queries:
+        for term in sorted(set(qtext.lower().split())):
+            hits = {d: ts.count(term) for d, ts in toks.items()
+                    if term in ts}
+            if not hits:
+                continue
+            df = len(hits)
+            idf = (n * scale) // df
+            for d, tf in hits.items():
+                core = (100000 * tf * (k1_x10 + 10) * avgdl_x100) // (
+                    1000 * tf * avgdl_x100
+                    + k1_x10 * (100 - b_x100) * avgdl_x100
+                    + 100 * k1_x10 * b_x100 * dl[d])
+                out[(qid, d)] = out.get((qid, d), 0) + idf * core
+    return out
+
+
+def test_bm25_matches_brute_force(spark):
+    docs = [(0, "red fox jumps over the red dog"),
+            (1, "red red red red"),
+            (2, "the quick brown fox"),
+            (3, "dog sleeps"),
+            (4, "fox fox dog red quick")]
+    queries = [("qa", "red fox"), ("qb", "quick dog")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.query_id, r.doc_id): r.score
+           for r in bm25_scores(df, queries).collect()}
+    assert got == _bm25_brute(docs, queries)
+
+
+def test_bm25_topk_rank_and_saturation(spark):
+    # tf saturation: doc 1 (4x 'red', short) must not beat doc 0
+    # 4x over — and ranks are dense 1..k with doc-id tie-breaks
+    docs = [(0, "red fox"), (1, "red red red red red red red red"),
+            (2, "red fox"), (3, "blue")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = bm25_topk(df, [("q", "red fox")], k=3).collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    # docs 0 and 2 are identical: tie broken by doc_id
+    ranked = [r.doc_id for r in rows]
+    assert ranked.index(0) < ranked.index(2)
+
+
+def _kmeans_brute(vecs, k, rounds, scale=10_000):
+    q = np.floor(np.asarray(vecs, dtype=np.float64) * scale).astype(
+        np.int64)
+    cent = {c: q[c].copy() for c in range(k)}
+    assign, dist = {}, {}
+    for r in range(rounds):
+        for i in range(len(q)):
+            best = min(((int(((q[i] - cv) ** 2).sum()), c)
+                        for c, cv in cent.items()))
+            dist[i], assign[i] = best
+        if r < rounds - 1:
+            cent = {}
+            for c in set(assign.values()):
+                members = [i for i in assign if assign[i] == c]
+                sums = np.sum([q[i] for i in members], axis=0,
+                              dtype=np.int64)
+                # TRUNCATING integer mean: Spark DIV and DuckDB //
+                # both truncate toward zero (Python // floors)
+                cent[c] = np.sign(sums) * (np.abs(sums)
+                                           // len(members))
+    return assign, dist
+
+
+def test_kmeans_matches_brute_force(spark):
+    rng = np.random.default_rng(7)
+    vecs = np.concatenate([
+        rng.normal(0.5, 0.05, (10, 8)),
+        rng.normal(-0.5, 0.05, (10, 8)),
+        rng.normal(0.0, 0.05, (10, 8))]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.cluster, r.dist)
+           for r in kmeans_assign(df, k=3, rounds=3).collect()}
+    assign, dist = _kmeans_brute(vecs, k=3, rounds=3)
+    assert got == {i: (assign[i], dist[i]) for i in assign}
+    # summary is consistent with the assignment
+    summ = {r.cluster: (r.n, r.inertia)
+            for r in kmeans_summary(df, k=3, rounds=3).collect()}
+    for c in summ:
+        members = [i for i in assign if assign[i] == c]
+        assert summ[c] == (len(members),
+                           sum(dist[i] for i in members))
