@@ -3266,6 +3266,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bm25_topk"] = lambda spark, sf: bm25_topk(
         _read(spark, sf, "documents"), BM25_QUERIES, k=5)
 
+    # -- BPE merge learning (operators/bpe.py learn_merges): 4 greedy
+    # rounds of count -> argmax -> rewrite. Inherently sequential
+    # (round r's counts depend on r-1's rewrite) -> rows-only by
+    # design; the single-round pair count IS oracle-checked
+    # (text_bpe_pairs) and the loop is pinned against a pure-Python
+    # reference in tests/test_bpe_surprisal.py.
+    def text_bpe_learn(spark, sf):
+        from logging_spark.operators.bpe import learn_merges
+        m = learn_merges(_read(spark, sf, "documents"), n_merges=4)
+        return spark.createDataFrame(
+            m, "rank int, left string, right string, n long")
+    q["text_bpe_learn"] = text_bpe_learn
+
     # -- distributed integer-exact Lloyd k-means (operators/kmeans.py):
     # the SemDeDup cell pass, 2 rounds from deterministic seeds;
     # oracle unrolls both rounds. Per-cluster size + exact inertia.
