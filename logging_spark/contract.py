@@ -3266,6 +3266,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bm25_topk"] = lambda spark, sf: bm25_topk(
         _read(spark, sf, "documents"), BM25_QUERIES, k=5)
 
+    # -- count-min sketch audit (operators/sketch.py): the frequency
+    # sketch as a d x w relational table (md5-bucket groupBy), probed
+    # for every distinct key and audited against exact counts — the
+    # one-sided guarantee (n_underestimates = 0) plus quantified
+    # collision overcounts. Fully oracle-checked because the sketch
+    # state itself is engine-portable.
+    def agg_countmin_audit(spark, sf):
+        from logging_spark.operators.sketch import countmin_audit
+        return countmin_audit(_read(spark, sf, "events"), "user_id",
+                              depth=4, width=1024)
+    q["agg_countmin_audit"] = agg_countmin_audit
+
     # -- BPE merge learning (operators/bpe.py learn_merges): 4 greedy
     # rounds of count -> argmax -> rewrite. Inherently sequential
     # (round r's counts depend on r-1's rewrite) -> rows-only by
@@ -5958,6 +5970,27 @@ FROM (SELECT query_id, doc_id, score,
                                 ORDER BY score DESC, doc_id) AS rank
       FROM agg)
 WHERE rank <= 5"""
+
+    # count-min mirror: same md5 bucket hashes, same d x w sketch
+    _cm_h = [hash60_sql("user_id", f"cm{r}") for r in range(4)]
+    _cm_sketch = " UNION ALL ".join(
+        f"SELECT {r} AS r, ({h}) % 1024 AS bucket FROM events"
+        for r, h in enumerate(_cm_h))
+    _cm_probe = " UNION ALL ".join(
+        f"SELECT user_id, n_exact, {r} AS r, ({h}) % 1024 AS bucket FROM ex"
+        for r, h in enumerate(_cm_h))
+    o["agg_countmin_audit"] = f"""
+WITH ex AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+sk AS (SELECT r, bucket, count(*) AS c FROM ({_cm_sketch}) GROUP BY 1, 2),
+pr AS ({_cm_probe}),
+est AS (SELECT user_id, n_exact, min(c) AS est
+        FROM pr JOIN sk USING (r, bucket) GROUP BY 1, 2)
+SELECT count(*) AS n_keys,
+       CAST(sum(CASE WHEN est < n_exact THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_underestimates,
+       CAST(sum(est - n_exact) AS BIGINT) AS total_overcount,
+       CAST(max(est - n_exact) AS BIGINT) AS max_overcount
+FROM est"""
 
     # k-means unrolled: seed centroids = vec_id < 4, two Lloyd rounds,
     # integer means (// count) and exact integer squared distances

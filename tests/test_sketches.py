@@ -33,3 +33,28 @@ def test_approx_percentile_within_rank_error(spark):
     assert abs(rank - n / 2) <= n / 1000 + 1
     # and the values themselves are close on this distribution
     assert abs(approx_median - exact_median) / exact_median < 0.05
+
+
+def test_countmin_one_sided_and_mergeable(spark):
+    from logging_spark.operators.sketch import (countmin_estimates,
+                                                countmin_sketch)
+    rows = [(k,) for k in
+            ["a"] * 50 + ["b"] * 30 + ["c"] * 5 + ["d"] * 1 + ["e"] * 9]
+    df = spark.createDataFrame(rows, "k string")
+    est = {r.k: (r.n_exact, r.est)
+           for r in countmin_estimates(df, "k", depth=4,
+                                       width=64).collect()}
+    assert set(est) == {"a", "b", "c", "d", "e"}
+    for k, (exact, e) in est.items():
+        assert e >= exact, k  # one-sided guarantee
+    # mergeability: sketch(part1 UNION part2) == elementwise-summed
+    # sketches — union + re-groupBy is the merge
+    from pyspark.sql import functions as F
+    p1 = df.where(F.col("k").isin("a", "b"))
+    p2 = df.where(~F.col("k").isin("a", "b"))
+    s_all = countmin_sketch(df, "k", depth=2, width=32)
+    merged = (countmin_sketch(p1, "k", depth=2, width=32)
+              .unionAll(countmin_sketch(p2, "k", depth=2, width=32))
+              .groupBy("r", "bucket").agg(F.sum("c").cast("long").alias("c")))
+    assert sorted(map(tuple, s_all.collect())) == \
+        sorted(map(tuple, merged.collect()))
