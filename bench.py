@@ -114,6 +114,16 @@ HEADLINE = [
     "events_skew_join",
     "docs_link_prediction",
     "dedup_minhash_audit",
+    # round-4 third-session additions: BM25 retrieval (query-term
+    # semi-join), 2-round integer Lloyd k-means (long-form joins),
+    # count-min build+probe, URL filtering, template-prefix dedup,
+    # per-source datacard
+    "text_bm25_topk",
+    "sim_kmeans",
+    "agg_countmin_audit",
+    "text_url_domains",
+    "pipe_prefix_dedup",
+    "docs_datacard",
 ]
 
 

@@ -3266,6 +3266,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bm25_topk"] = lambda spark, sf: bm25_topk(
         _read(spark, sf, "documents"), BM25_QUERIES, k=5)
 
+    # -- k-anonymity audit: the privacy-governance twin of dq_checks.
+    # Quasi-identifier combos (namespace, node_name, pod_name) whose
+    # population is below k are re-identification risks; the audit
+    # returns exactly those groups. One groupBy over the dimension —
+    # at scale the QI rollup is map-side combined to the combo count.
+    def dq_k_anonymity(spark, sf):
+        lk = lookup_df(spark, sf)
+        return (lk.groupBy("namespace", "node_name", "pod_name")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") < 5))
+    q["dq_k_anonymity"] = dq_k_anonymity
+
     # -- count-min sketch audit (operators/sketch.py): the frequency
     # sketch as a d x w relational table (md5-bucket groupBy), probed
     # for every distinct key and audited against exact counts — the
@@ -5970,6 +5982,10 @@ FROM (SELECT query_id, doc_id, score,
                                 ORDER BY score DESC, doc_id) AS rank
       FROM agg)
 WHERE rank <= 5"""
+
+    o["dq_k_anonymity"] = "WITH " + LOOKUP_CTE + """
+SELECT namespace, node_name, pod_name, count(*) AS n
+FROM lookup GROUP BY 1, 2, 3 HAVING count(*) < 5"""
 
     # count-min mirror: same md5 bucket hashes, same d x w sketch
     _cm_h = [hash60_sql("user_id", f"cm{r}") for r in range(4)]
