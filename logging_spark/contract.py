@@ -78,6 +78,7 @@ from logging_spark.operators.cluster import (duplicate_clusters,
                                              graph_summary, kcore_peel,
                                              keep_canonical,
                                              label_propagation,
+                                             bfs_layers,
                                              link_prediction)
 from logging_spark.operators.funnel import funnel_counts
 from logging_spark.operators.importance import (importance_scores,
@@ -2367,6 +2368,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  iterations=3)
                 .withColumnRenamed("node", "doc_id"))
     q["docs_pagerank"] = docs_pagerank
+
+    # -- BFS neighborhood layers (operators/cluster.py bfs_layers):
+    # min-hop distance from seed docs (id % 101 == 0) over the LSH
+    # pair graph, 3 hops — the contamination-blast-radius query;
+    # oracle unrolls the hops with MATERIALIZED layers.
+    def docs_bfs_layers(spark, sf):
+        return bfs_layers(lsh_pairs_portable(spark, sf),
+                          lambda c: c % 101 == 0, hops=3)
+    q["docs_bfs_layers"] = docs_bfs_layers
 
     # -- k-core peel (operators/cluster.py): 3 synchronized rounds of
     # sub-k-degree removal over the LSH pair graph — the dense-core
@@ -5068,6 +5078,28 @@ e3 AS MATERIALIZED (SELECT e2.s, e2.d FROM e2
      JOIN k3 a ON e2.s = a.s JOIN k3 b ON e2.d = b.s)
 SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS deg
 FROM e3 GROUP BY 1"""
+
+    # 3 unrolled BFS hops; every layer MATERIALIZED (each feeds the
+    # next hop's join AND the anti-membership check)
+    o["docs_bfs_layers"] = f"""WITH {_lsh_ctes},
+pairs AS MATERIALIZED ({_lsh_pairs}),
+und AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS id FROM und WHERE s % 101 = 0),
+l1 AS MATERIALIZED (
+  SELECT DISTINCT u.d AS id FROM l0 JOIN und u ON u.s = l0.id
+  WHERE u.d NOT IN (SELECT id FROM l0)),
+l2 AS MATERIALIZED (
+  SELECT DISTINCT u.d AS id FROM l1 JOIN und u ON u.s = l1.id
+  WHERE u.d NOT IN (SELECT id FROM l0 UNION ALL SELECT id FROM l1)),
+l3 AS MATERIALIZED (
+  SELECT DISTINCT u.d AS id FROM l2 JOIN und u ON u.s = l2.id
+  WHERE u.d NOT IN (SELECT id FROM l0 UNION ALL SELECT id FROM l1
+                    UNION ALL SELECT id FROM l2))
+SELECT id AS doc_id, CAST(0 AS INT) AS dist FROM l0
+UNION ALL SELECT id, 1 FROM l1
+UNION ALL SELECT id, 2 FROM l2
+UNION ALL SELECT id, 3 FROM l3"""
 
     # und/deg multiply referenced -> MATERIALIZED (CTE-inlining trap);
     # hub cap mirrored even though the fixture never trips it

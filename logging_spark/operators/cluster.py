@@ -285,3 +285,40 @@ def link_prediction(pairs: DataFrame, src: str = "doc_a",
                     F.col("common").cast("long").alias("common"),
                     F.expr("(common * 1000) DIV (_da + _db - common)")
                     .cast("long").alias("jaccard_x1000")))
+
+
+def bfs_layers(pairs: DataFrame, seed_pred, hops: int = 3,
+               src: str = "doc_a", dst: str = "doc_b",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, dist): minimum-hop distance from a seed set over the
+    undirected pair graph, bounded to `hops` — the neighborhood-
+    expansion primitive (contamination blast radius: "everything
+    within 3 dedup-hops of a benchmark document", or labeled-seed
+    propagation for curation audits).
+
+    `seed_pred` is a Column predicate over the node id selecting the
+    seeds from the graph's node set. Synchronized frontier expansion
+    like kcore_peel: per hop, one join frontier->edges, one distinct,
+    one anti-join against the reached set; frontier and edge list are
+    localCheckpoint-pinned so hop h never re-executes hops 1..h-1
+    (each layer is an INPUT to the next — the lineage otherwise grows
+    a join-tree per hop). Layers shrink monotonically; at 10^12 edges
+    every wide row carries one id.
+    """
+    und = (pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+           .union(pairs.select(F.col(dst).alias("s"),
+                               F.col(src).alias("d")))
+           .distinct().localCheckpoint())
+    frontier = (und.select(F.col("s").alias("id")).distinct()
+                .where(seed_pred(F.col("id"))).localCheckpoint())
+    reached = frontier.select("id", F.lit(0).alias("dist"))
+    for h in range(1, hops + 1):
+        nxt = (frontier.join(und, frontier["id"] == und["s"])
+               .select(F.col("d").alias("id")).distinct()
+               .join(reached.select("id"), "id", "left_anti")
+               .localCheckpoint())
+        reached = reached.unionAll(nxt.select("id",
+                                              F.lit(h).alias("dist")))
+        frontier = nxt
+    return reached.select(F.col("id").alias(id_col),
+                          F.col("dist").cast("int").alias("dist"))

@@ -135,3 +135,18 @@ def test_link_prediction_hub_cap_drops_middle(spark):
         [Row(doc_a="h", doc_b=f"n{i}") for i in range(3)])
     assert link_prediction(pairs, max_hub_degree=2).count() == 0
     assert link_prediction(pairs, max_hub_degree=3).count() == 3
+
+
+def test_bfs_layers_min_hop_distances(spark):
+    from logging_spark.operators.cluster import bfs_layers
+    from pyspark.sql import functions as F
+    # 0-1-2-3-4 path, 10-11 separate edge, 5 reachable from 0 and 2
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (0, 5), (2, 5)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.dist
+           for r in bfs_layers(df, lambda c: c.isin(0, 10),
+                               hops=3).collect()}
+    # min-hop wins: 5 is dist 1 (via 0), not 3 (via 2)
+    assert got == {0: 0, 10: 0, 1: 1, 5: 1, 11: 1, 2: 2, 3: 3}
+    # hops bound: 4 (dist 4) not reported
+    assert 4 not in got
