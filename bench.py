@@ -124,6 +124,7 @@ HEADLINE = [
     "text_url_domains",
     "pipe_prefix_dedup",
     "docs_datacard",
+    "docs_export_e2e",
 ]
 
 

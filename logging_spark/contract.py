@@ -96,7 +96,7 @@ from logging_spark.operators.cohort import cohort_retention
 from logging_spark.operators.scd import scd2, scd2_lookup
 from logging_spark.operators.diff import snapshot_diff
 from logging_spark.operators.dq import dq_checks, table_fingerprint
-from logging_spark.operators.export import shard_manifest
+from logging_spark.operators.export import shard_id, shard_manifest
 from logging_spark.operators.segments import rfm_segments
 from logging_spark.operators.winsorize import winsorized_stats
 from logging_spark.operators.heavy import heavy_hitters
@@ -3269,6 +3269,33 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr("n_tokens DIV n_docs").alias("mean_tokens"))
     q["docs_datacard"] = docs_datacard
 
+    # -- training-export e2e (flagship chain): quality filter -> exact
+    # dedup keep-first -> leakage-free split -> per-(split, shard)
+    # verifiable manifest, ONE lazy plan.  Every stage is an operator
+    # the contract already value-checks in isolation; this pins their
+    # composition (the actual job a corpus release runs). Distinct
+    # hash seeds for split vs shard assignment so the two can never
+    # correlate (the export.py seed rule).
+    def docs_export_e2e(spark, sf):
+        from logging_spark.operators.dq import table_fingerprint
+        d = _read(spark, sf, "documents")
+        kept = d.where(T.quality_keep("text", min_tokens=20,
+                                      min_distinct_ratio_pct=30))
+        w = Window.partitionBy(F.md5("text"))
+        ded = (kept.withColumn("_m", F.min("doc_id").over(w))
+               .where(F.col("doc_id") == F.col("_m")))
+        s = deterministic_split(ded.select("doc_id", "text"),
+                                {"train": 0.9, "val": 0.1},
+                                seed="exps", id_col="doc_id")
+        tagged = s.withColumn("_shard", shard_id("doc_id", 8,
+                                                 seed="expd"))
+        out = table_fingerprint(tagged,
+                                [F.col("doc_id"), F.col("text")],
+                                group_by=["split", "_shard"],
+                                seed="expd:fp")
+        return out.withColumnRenamed("_shard", "shard")
+    q["docs_export_e2e"] = docs_export_e2e
+
     # -- BM25 retrieval (operators/bm25.py): integer-exact Okapi BM25
     # top-k per query — eval-support mining over the corpus. The
     # corpus is semi-joined to the broadcast query-term table before
@@ -5964,6 +5991,30 @@ SELECT split, count(*) AS n_convs,
        CAST(sum(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_leaked
 FROM pc GROUP BY 1"""
+
+    _ee_thr = split_thresholds({"train": 0.9, "val": 0.1})[0][1]
+    _ee_row = ("concat_ws(chr(31), coalesce(CAST(doc_id AS VARCHAR), ''),"
+               " coalesce(CAST(text AS VARCHAR), ''))")
+    o["docs_export_e2e"] = f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+kept AS (SELECT doc_id, text FROM t
+         WHERE len(toks) >= 20 AND len(toks) <= 100000
+           AND len(list_filter(toks, x -> length(x) > 20)) * 100
+               <= len(toks) * 10
+           AND len(list_distinct(toks)) * 100 >= len(toks) * 30),
+ded AS (SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS _m
+          FROM kept)
+        WHERE doc_id = _m),
+s AS (SELECT doc_id, text,
+             CASE WHEN {hash60_sql("doc_id", "exps")} < {_ee_thr}
+                  THEN 'train' ELSE 'val' END AS split
+      FROM ded)
+SELECT split, CAST({hash60_sql("doc_id", "expd")} % 8 AS INT) AS shard,
+       bit_xor({hash60_sql(_ee_row, "expd:fp")}) AS fingerprint,
+       count(*) AS n_rows
+FROM s GROUP BY 1, 2"""
 
     o["docs_datacard"] = f"""
 WITH g AS (

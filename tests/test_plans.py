@@ -34,6 +34,12 @@ def _plan(spark, name: str) -> str:
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
 
+def _plan_exec(spark, name: str) -> str:
+    """executedPlan tree string (shows partitioning expressions)."""
+    df = contract.build_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_enrich_is_broadcast_join(spark):
     plan = _plan(spark, "pipe_enrich_j4")
     assert "BroadcastHashJoin" in plan
@@ -205,4 +211,47 @@ def test_curriculum_no_single_partition_window(spark):
     # never a row_number() window with empty partitionBy
     plan = _plan(spark, "sample_curriculum")
     assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bm25_query_terms_broadcast(spark):
+    # the query-term table must broadcast and non-query terms must die
+    # pre-shuffle; the stats scalar rides a broadcast nested loop
+    plan = _plan(spark, "text_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert _n_exchanges(plan) <= 5
+
+
+def test_kmeans_centroids_broadcast(spark):
+    # centroids (k x dim rows) must broadcast in every round — the
+    # point frame never shuffles for the assignment join
+    plan = _plan(spark, "sim_kmeans")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert _n_exchanges(plan) <= 6
+
+
+def test_countmin_sketch_probe_broadcasts(spark):
+    # the d x w sketch table broadcasts to the probe side
+    plan = _plan(spark, "agg_countmin_audit")
+    assert "BroadcastHashJoin" in plan
+    assert _n_exchanges(plan) <= 3
+
+
+def test_prefix_dedup_single_sort(spark):
+    # rank window + running-prefix window share one (conv_id) shuffle;
+    # + the final group agg + the fixture's _spread repartition (a
+    # no-op on real multi-file tables) = 3
+    plan = _plan(spark, "pipe_prefix_dedup")
+    assert _n_exchanges(plan) <= 3
+    # the two windows must NOT each get a sort+exchange: exactly one
+    # hashpartitioning(conv_id) in the executed tree
+    ex = _plan_exec(spark, "pipe_prefix_dedup")
+    assert ex.count("Exchange hashpartitioning(conv_id") == 1
+
+
+def test_export_e2e_chain_shuffles_bounded(spark):
+    # filter -> dedup window -> split -> manifest: the only wide ops
+    # are the md5(text) window and the final (split, shard) aggregate
+    plan = _plan(spark, "docs_export_e2e")
+    assert _n_exchanges(plan) <= 3
     assert "SinglePartition" not in plan
