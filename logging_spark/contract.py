@@ -3315,6 +3315,52 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("n") < 5))
     q["dq_k_anonymity"] = dq_k_anonymity
 
+    # -- JSON validity audit: schema-on-read governance for the raw
+    # props payload — parse rate, required-key presence, type
+    # conformance, rolled up per event type. from_json is the
+    # codegen'd validator; corrupt payloads surface as NULL structs
+    # (the JSONL dead-letter stance, measured not assumed).
+    def dq_json_validity(spark, sf):
+        # corrupt 1/7 of payloads (truncate -> malformed) and strip k
+        # from 1/11 (valid, key missing) so BOTH failure modes are
+        # exercised — never trust the fixture to cover the twins
+        ev = _read(spark, sf, "events")
+        props = (F.when(F.col("event_id") % 7 == 0,
+                        F.substring("props", 1,
+                                    F.length("props") - 1))
+                 .when(F.col("event_id") % 11 == 0, F.lit('{"x": 1}'))
+                 .otherwise(F.col("props")))
+        # PERMISSIVE from_json NEVER yields a NULL struct (malformed
+        # input -> all-NULL fields, measured) — parse success is only
+        # observable via the corrupt-record column in the schema
+        parsed = ev.withColumn(
+            "_j", F.from_json(props, "k int, _bad string",
+                              {"columnNameOfCorruptRecord": "_bad"}))
+        return (parsed.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_j._bad").isNull().cast("long")).cast("long")
+            .alias("n_parsed"),
+            F.sum(F.col("_j.k").isNotNull().cast("long")).cast("long")
+            .alias("n_with_k")))
+    q["dq_json_validity"] = dq_json_validity
+
+    # -- pooled label centroids: integer-exact per-label mean
+    # embedding in long form (the class-prototype op for semantic
+    # balance audits / nearest-class-mean labeling). Reuses the
+    # k-means quantized-points machinery; output is (label, pos,
+    # cval) rows — never a collected array.
+    def sim_label_centroids(spark, sf):
+        from logging_spark.operators.kmeans import quantized_points
+        emb = _read(spark, sf, "embeddings")
+        pts = quantized_points(emb, id_col="vec_id")
+        lab = emb.select("vec_id", "label")
+        return (pts.join(lab, "vec_id")
+                .groupBy("label", "pos")
+                .agg(F.expr("CAST(sum(val) AS BIGINT) DIV count(*)")
+                     .alias("cval"),
+                     F.count(F.lit(1)).cast("long").alias("n")))
+    q["sim_label_centroids"] = sim_label_centroids
+
     # -- count-min sketch audit (operators/sketch.py): the frequency
     # sketch as a d x w relational table (md5-bucket groupBy), probed
     # for every distinct key and audited against exact counts — the
@@ -6069,6 +6115,39 @@ WHERE rank <= 5"""
     o["dq_k_anonymity"] = "WITH " + LOOKUP_CTE + """
 SELECT namespace, node_name, pod_name, count(*) AS n
 FROM lookup GROUP BY 1, 2, 3 HAVING count(*) < 5"""
+
+    o["dq_json_validity"] = """
+WITH aug AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0
+                THEN substr(props, 1, length(props) - 1)
+              WHEN event_id % 11 = 0 THEN '{"x": 1}'
+              ELSE props END AS props
+  FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_parsed,
+       CAST(sum(CASE WHEN json_valid(props)
+                     AND json_extract(props, '$.k') IS NOT NULL
+                     AND json_type(json_extract(props, '$.k'))
+                         IN ('INTEGER', 'UBIGINT', 'BIGINT')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k
+FROM aug GROUP BY 1"""
+
+    o["sim_label_centroids"] = """
+WITH q AS (SELECT vec_id, label,
+                  list_transform(list_transform(embedding,
+                                                x -> CAST(x AS DOUBLE)),
+                                 x -> CAST(floor(x * 10000) AS BIGINT))
+                    AS qv
+           FROM embeddings),
+pts AS (SELECT vec_id, label, unnest(qv) AS val,
+               generate_subscripts(qv, 1) AS pos
+        FROM q)
+SELECT label, pos,
+       CAST(sum(val) AS BIGINT) // count(*) AS cval,
+       count(*) AS n
+FROM pts GROUP BY 1, 2"""
 
     # count-min mirror: same md5 bucket hashes, same d x w sketch
     _cm_h = [hash60_sql("user_id", f"cm{r}") for r in range(4)]
