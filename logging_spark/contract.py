@@ -3386,6 +3386,37 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             m, "rank int, left string, right string, n long")
     q["text_bpe_learn"] = text_bpe_learn
 
+    # -- n-gram diversity (self-BLEU-adjacent): distinct-trigram
+    # permille per source — the generated-data diversity audit (low
+    # values = mode collapse / boilerplate). One explode + one agg;
+    # trigram text shuffles once, hashed by the agg keys.
+    def text_ngram_diversity(spark, sf):
+        d = _read(spark, sf, "documents")
+        g = d.select("source", F.explode(T.ngrams("text", 3))
+                     .alias("ngram"))
+        return (g.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                     F.count_distinct("ngram").alias("n_distinct"))
+                .select("source", "n_ngrams", "n_distinct",
+                        F.expr("(n_distinct * 1000) DIV n_ngrams")
+                        .alias("diversity_permille")))
+    q["text_ngram_diversity"] = text_ngram_diversity
+
+    # -- Zipf rank-frequency profile: token types per power-of-two
+    # frequency bin (integer log2 via length(bin(n)) — the portable
+    # log trick). The vocabulary health report: a healthy natural
+    # corpus decays smoothly; synthetic/templated text piles into a
+    # few bins. Two aggs over the vocab, never the corpus.
+    def text_zipf_bins(spark, sf):
+        d = _read(spark, sf, "documents")
+        vocab = (d.select(F.explode(T.tokens("text")).alias("tok"))
+                 .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+        return (vocab.groupBy(F.length(F.bin("n")).cast("int")
+                              .alias("freq_bin"))
+                .agg(F.count(F.lit(1)).alias("n_types"),
+                     F.sum("n").cast("long").alias("n_tokens")))
+    q["text_zipf_bins"] = text_zipf_bins
+
     # -- distributed integer-exact Lloyd k-means (operators/kmeans.py):
     # the SemDeDup cell pass, 2 rounds from deterministic seeds;
     # oracle unrolls both rounds. Per-cluster size + exact inertia.
@@ -6073,6 +6104,27 @@ SELECT source, n_docs, n_tokens, n_langs,
        ((n_docs - uniq) * 1000) // n_docs AS dup_permille,
        n_tokens // n_docs AS mean_tokens
 FROM g"""
+
+    o["text_ngram_diversity"] = f"""
+WITH t AS (SELECT source, {TOKS} AS toks FROM documents),
+g AS (SELECT source, unnest(CASE WHEN len(toks) >= 3 THEN list_transform(
+             range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END) AS ngram FROM t),
+a AS (SELECT source, count(*) AS n_ngrams,
+             CAST(count(DISTINCT ngram) AS BIGINT) AS n_distinct
+      FROM g GROUP BY 1)
+SELECT source, n_ngrams, n_distinct,
+       (n_distinct * 1000) // n_ngrams AS diversity_permille
+FROM a"""
+
+    o["text_zipf_bins"] = f"""
+WITH v AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest({TOKS}) AS tok FROM documents)
+  GROUP BY 1)
+SELECT CAST(length(bin(n)) AS INT) AS freq_bin,
+       count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_tokens
+FROM v GROUP BY 1"""
 
     # integer-exact Okapi BM25 (operators/bm25.py docstring derivation;
     # k1_x10=12, b_x100=75 -> numerator coeff 100000*22, denominator
