@@ -11,9 +11,13 @@ from logging_spark.operators.kmeans import kmeans_assign, kmeans_summary
 
 
 def _bm25_brute(docs, queries, k1_x10=12, b_x100=75, scale=SCALE):
-    toks = {d: t.split() for d, t in docs}
+    # token-less docs are excluded from the corpus stats, mirroring
+    # the operator's where(size > 0)
+    toks = {d: t.split() for d, t in docs if t.split()}
     dl = {d: len(ts) for d, ts in toks.items()}
-    n, s = len(docs), sum(dl.values())
+    n, s = len(toks), sum(dl.values())
+    if n == 0:
+        return {}
     avgdl_x100 = (100 * s) // n
     out = {}
     for qid, qtext in queries:
@@ -102,3 +106,41 @@ def test_kmeans_matches_brute_force(spark):
         members = [i for i in assign if assign[i] == c]
         assert summ[c] == (len(members),
                            sum(dist[i] for i in members))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["red", "fox", "dog", "the", "run", "blue"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=st.lists(st.lists(_word, min_size=0, max_size=12),
+                     min_size=1, max_size=12),
+       qterms=st.lists(_word, min_size=1, max_size=3))
+def test_bm25_property_matches_brute(spark_prop, docs, qterms):
+    spark = spark_prop
+    texts = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    queries = [("q", " ".join(qterms))]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {(r.query_id, r.doc_id): r.score
+           for r in bm25_scores(df, queries).collect()}
+    assert got == _bm25_brute(texts, queries)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_kmeans_property_matches_brute(spark_prop, data):
+    spark = spark_prop
+    n = data.draw(st.integers(min_value=4, max_value=20))
+    dim = data.draw(st.integers(min_value=2, max_value=6))
+    vecs = [[data.draw(st.floats(min_value=-1, max_value=1,
+                                 allow_nan=False, width=32))
+             for _ in range(dim)] for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.cluster, r.dist)
+           for r in kmeans_assign(df, k=3, rounds=2).collect()}
+    assign, dist = _kmeans_brute(vecs, k=3, rounds=2)
+    assert got == {i: (assign[i], dist[i]) for i in assign}
