@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
                         "scale — each salt multiplies sink file count")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the steady-state warm-up pass (cold-start timing)")
+    p.add_argument("--export-jsonl", default=None, metavar="DIR",
+                   help="after the run, export each sink as sharded "
+                        "JSONL under DIR/<sink>/ (training-consumer "
+                        "format; deterministic conv_id shards)")
+    p.add_argument("--export-shards", type=int, default=4)
     args = p.parse_args(argv)
 
     # spark-submit provides the session config (master, shuffle
@@ -140,6 +145,20 @@ def main(argv: list[str] | None = None) -> int:
         "buckets_skipped": res.buckets_skipped,
         "per_sink_counts": counts,
     }))
+
+    if args.export_jsonl:
+        from logging_spark.plans.job import read_sink
+        from logging_spark.sources.jsonl import write_jsonl
+        base = args.export_jsonl.rstrip("/")
+        exported = {}
+        for sink in sorted(counts):
+            df = read_sink(cat, sink)
+            write_jsonl(df, f"{base}/{sink}",
+                        n_shards=args.export_shards, id_col="conv_id")
+            exported[sink] = counts[sink]["n_rows"]
+        print(json.dumps({"export_jsonl": base,
+                          "shards_per_sink": args.export_shards,
+                          "exported_rows": exported}))
     return 0
 
 

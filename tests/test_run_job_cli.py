@@ -65,3 +65,28 @@ def test_gen_input_then_table_run_matches_synth_run(spark, tmp_path, capsys):
     via_synth = run([], "s1")
     assert via_table["per_sink_counts"] == via_synth["per_sink_counts"]
     assert via_table["n_input_turns"] == via_synth["n_input_turns"]
+
+
+def test_export_jsonl_sinks_roundtrip(spark, tmp_path, capsys):
+    """--export-jsonl writes each sink as sharded JSONL whose row
+    counts match the committed per-sink aggregates (the consumer-side
+    verification a training run performs before reading)."""
+    sys.path.insert(0, "/root/repo")
+    import run_job
+
+    out = str(tmp_path / "jx")
+    rc = run_job.main([
+        "--warehouse", str(tmp_path / "wh"),
+        "--n-conversations", "30", "--turns-per-conv", "10",
+        "--num-buckets", "4", "--snapshot", "cli-jx",
+        "--export-jsonl", out, "--export-shards", "2",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    stats = json.loads(lines[-2])
+    exp = json.loads(lines[-1])
+    assert exp["export_jsonl"] == out
+    for sink, n in exp["exported_rows"].items():
+        assert n == stats["per_sink_counts"][sink]["n_rows"]
+        back = spark.read.text(f"{out}/{sink}")
+        assert back.count() == n
