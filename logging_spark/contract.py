@@ -2511,6 +2511,28 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.col("blend_ppm").desc(), "doc_id").limit(20))
     q["docs_rank_fusion"] = docs_rank_fusion
 
+    # -- reciprocal-rank fusion (operators/fusion.py): the rank-based
+    # fusion twin of docs_rank_fusion's score blend — RRF over two
+    # top-50 rankers (distinct-token quality, raw length). Bounded:
+    # the fusion joins two 50-row lists, never the corpus.
+    def docs_rrf(spark, sf):
+        from logging_spark.operators.fusion import ranked_topk, rrf_fuse
+        d = _read(spark, sf, "documents")
+        qf = T.quality_features("text")
+        dq = (d.select("doc_id", qf.alias("_q"))
+              .select("doc_id", F.col("_q.n_tokens").alias("nt"),
+                      F.col("_q.n_distinct_tokens").alias("nd"))
+              .withColumn("qs", F.expr(
+                  "CAST(CASE WHEN nt = 0 THEN 0"
+                  " ELSE (nd * 1000) DIV nt END AS BIGINT)")))
+        r_q = ranked_topk(dq, [F.col("qs").desc(), F.col("doc_id")], 50)
+        r_len = ranked_topk(d, [F.col("n_chars").desc(),
+                                F.col("doc_id")], 50)
+        fused = rrf_fuse([r_q, r_len], k=60)
+        return (fused.orderBy(F.col("rrf_score").desc(), "doc_id")
+                .limit(20))
+    q["docs_rrf"] = docs_rrf
+
     # -- deterministic sampling / splitting / mixing ------------------------
     # integer-exact md5 thresholds (operators/sample.py): membership is
     # a pure function of (seed, id), reproducible on any engine
@@ -6125,6 +6147,30 @@ WITH v AS (
 SELECT CAST(length(bin(n)) AS INT) AS freq_bin,
        count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_tokens
 FROM v GROUP BY 1"""
+
+    o["docs_rrf"] = f"""
+WITH t AS (SELECT doc_id, n_chars, {TOKS} AS toks FROM documents),
+dq AS (SELECT doc_id,
+              CASE WHEN len(toks) = 0 THEN 0
+                   ELSE (CAST(len(list_distinct(toks)) AS BIGINT) * 1000)
+                        // len(toks) END AS qs
+       FROM t),
+rq AS (SELECT doc_id, row_number() OVER (ORDER BY qs DESC, doc_id)
+                AS rank
+       FROM dq ORDER BY qs DESC, doc_id LIMIT 50),
+rl AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                AS rank
+       FROM t ORDER BY n_chars DESC, doc_id LIMIT 50),
+fused AS (
+  SELECT coalesce(rq.doc_id, rl.doc_id) AS doc_id,
+         coalesce(1000000 // (60 + rq.rank), 0)
+           + coalesce(1000000 // (60 + rl.rank), 0) AS rrf_score,
+         (CASE WHEN rq.rank IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN rl.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_lists
+  FROM rq FULL OUTER JOIN rl ON rq.doc_id = rl.doc_id)
+SELECT doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+       CAST(n_lists AS INT) AS n_lists
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20"""
 
     # integer-exact Okapi BM25 (operators/bm25.py docstring derivation;
     # k1_x10=12, b_x100=75 -> numerator coeff 100000*22, denominator

@@ -144,3 +144,22 @@ def test_kmeans_property_matches_brute(spark_prop, data):
            for r in kmeans_assign(df, k=3, rounds=2).collect()}
     assign, dist = _kmeans_brute(vecs, k=3, rounds=2)
     assert got == {i: (assign[i], dist[i]) for i in assign}
+
+
+def test_rrf_fuse_missing_docs_and_order(spark):
+    from logging_spark.operators.fusion import rrf_fuse
+    r1 = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)],
+                               "doc_id string, rank long")
+    r2 = spark.createDataFrame([("c", 1), ("a", 2)],
+                               "doc_id string, rank long")
+    got = {r.doc_id: (r.rrf_score, r.n_lists)
+           for r in rrf_fuse([r1, r2], k=60).collect()}
+    s = 1_000_000
+    assert got == {
+        "a": (s // 61 + s // 62, 2),
+        "b": (s // 62, 1),          # absent from r2: contributes 0
+        "c": (s // 63 + s // 61, 2),
+    }
+    # consensus doc (a) outranks the single-list doc even though b
+    # holds the same rank-2 slot in its list
+    assert got["a"][0] > got["b"][0]
