@@ -64,6 +64,9 @@ def bm25_scores(docs: DataFrame, queries: list[tuple[str, str]],
                 scale: int = SCALE) -> DataFrame:
     """(query_id, doc_id, score) for every document sharing at least
     one term with the query. Integer-exact; see module docstring.
+    Query terms are lowercased; corpus tokens are matched AS IS —
+    lower the text upstream (functions/text.normalize) for
+    case-insensitive retrieval.
 
     Plan shape: TWO corpus scans total. Scan 1 is a narrow agg for
     (n_docs, total_tokens). Scan 2 explodes tokens and immediately

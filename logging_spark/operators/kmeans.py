@@ -55,9 +55,11 @@ def kmeans_assign(vectors: DataFrame, k: int = 4, rounds: int = 2,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   scale: int = QUANT) -> DataFrame:
     """(id, cluster, dist): Voronoi assignment after `rounds` Lloyd
-    iterations from deterministic seeds (the k lowest ids). dist is
-    the exact integer squared L2 distance to the winning centroid
-    at the FINAL assignment. rounds >= 1."""
+    iterations from deterministic seeds (ids 0..k-1 — assumes dense
+    vector ids, like similarity.negative_samples' checked default;
+    with sparse ids remap upstream or fewer seeds silently apply).
+    dist is the exact integer squared L2 distance to the winning
+    centroid at the FINAL assignment. rounds >= 1."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     pts = quantized_points(vectors, id_col=id_col, vec_col=vec_col,
