@@ -3366,6 +3366,40 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("n_with_k")))
     q["dq_json_validity"] = dq_json_validity
 
+    # -- week-over-week change report: weekly event counts + lag()
+    # delta in basis points (integer DIV; prior week rides one lag
+    # window over the already-tiny weekly rollup, never the raw scan).
+    def events_wow_change(spark, sf):
+        ev = _read(spark, sf, "events")
+        wk = (ev.groupBy(F.date_trunc("week", F.col("ts"))
+                         .cast("date").alias("week"),
+                         F.col("event_type"))
+              .agg(F.count(F.lit(1)).alias("n")))
+        w = Window.partitionBy("event_type").orderBy("week")
+        prev = F.lag("n").over(w)
+        # first week: prev_n = -1 sentinel, chg_bps = 0 (NULL-free
+        # output — the contract comparator's None-vs-int rule)
+        return (wk.withColumn("prev_n",
+                              F.coalesce(prev, F.lit(-1)).cast("long"))
+                .withColumn("chg_bps", F.when(
+                    F.col("prev_n") > 0,
+                    F.expr("((n - prev_n) * 10000) DIV prev_n"))
+                    .otherwise(F.lit(0)).cast("long")))
+    q["events_wow_change"] = events_wow_change
+
+    # -- IP-subnet rollup (P7's ips[] projection downstream): /16
+    # prefix accounting over the enrichment dimension — the network
+    # locality report. explode + split are scan-side; one tiny agg.
+    def pipe_ip_subnets(spark, sf):
+        lk = lookup_df(spark, sf)
+        ip = lk.select(F.explode("ips").alias("ip"))
+        sub = F.concat_ws(".", F.split(F.col("ip"), r"\.")[0],
+                          F.split(F.col("ip"), r"\.")[1])
+        return (ip.select(sub.alias("subnet16"))
+                .groupBy("subnet16")
+                .agg(F.count(F.lit(1)).alias("n_ips")))
+    q["pipe_ip_subnets"] = pipe_ip_subnets
+
     # -- pooled label centroids: integer-exact per-label mean
     # embedding in long form (the class-prototype op for semantic
     # balance audits / nearest-class-mean labeling). Reuses the
@@ -6213,6 +6247,28 @@ WHERE rank <= 5"""
     o["dq_k_anonymity"] = "WITH " + LOOKUP_CTE + """
 SELECT namespace, node_name, pod_name, count(*) AS n
 FROM lookup GROUP BY 1, 2, 3 HAVING count(*) < 5"""
+
+    o["events_wow_change"] = """
+WITH wk AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+l AS (SELECT week, event_type, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+      FROM wk)
+SELECT week, event_type, n,
+       CAST(coalesce(prev, -1) AS BIGINT) AS prev_n,
+       CAST(CASE WHEN coalesce(prev, -1) > 0
+                 THEN ((n - prev) * 10000) // prev
+                 ELSE 0 END AS BIGINT) AS chg_bps
+FROM l"""
+
+    o["pipe_ip_subnets"] = "WITH " + LOOKUP_CTE + """,
+ip AS (SELECT unnest(ips) AS ip FROM lookup)
+SELECT concat(string_split(ip, '.')[1], '.',
+              string_split(ip, '.')[2]) AS subnet16,
+       count(*) AS n_ips
+FROM ip GROUP BY 1"""
 
     o["dq_json_validity"] = """
 WITH aug AS (
