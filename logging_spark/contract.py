@@ -3400,6 +3400,23 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("n_ips")))
     q["pipe_ip_subnets"] = pipe_ip_subnets
 
+    # -- phonetic blocking (functions/text.py soundex_code): group
+    # part-name lead words by American-Soundex code; blocks holding
+    # >= 2 DISTINCT words are entity-resolution candidate sets (the
+    # bounded-block pattern: verify within blocks only). The code is
+    # a pure expression (NARA spec + Spark-builtin parity pinned in
+    # tests) because no engine-portable soundex builtin exists.
+    def text_phonetic_blocking(spark, sf):
+        pt = _read(spark, sf, "part")
+        coded = (pt.select(F.split(F.col("p_name"), " ")[0]
+                           .alias("word"))
+                 .select("word", T.soundex_code("word").alias("code")))
+        return (coded.groupBy("code")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.count_distinct("word").alias("n_words"))
+                .where(F.col("n_words") >= 2))
+    q["text_phonetic_blocking"] = text_phonetic_blocking
+
     # -- pooled label centroids: integer-exact per-label mean
     # embedding in long form (the class-prototype op for semantic
     # balance audits / nearest-class-mean labeling). Reuses the
@@ -6247,6 +6264,38 @@ WHERE rank <= 5"""
     o["dq_k_anonymity"] = "WITH " + LOOKUP_CTE + """
 SELECT namespace, node_name, pod_name, count(*) AS n
 FROM lookup GROUP BY 1, 2, 3 HAVING count(*) < 5"""
+
+    # the same NARA algorithm, DuckDB edition (1-based index lambdas)
+    o["text_phonetic_blocking"] = """
+WITH w AS (SELECT string_split(p_name, ' ')[1] AS word FROM part),
+u AS (SELECT word,
+             upper(regexp_replace(word, '[^a-zA-Z]', '', 'g')) AS uu
+      FROM w),
+c AS (SELECT word, uu,
+             translate(uu, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                       '01230127022455012623017202') AS codes
+      FROM u),
+a AS (SELECT word, uu,
+             list_transform(range(1, length(codes) + 1),
+                            i -> codes[i:i]) AS arr
+      FROM c),
+t AS (SELECT word, uu,
+             list_concat(arr[1:1],
+                         list_filter(arr[2:], x -> x != '7')) AS tl
+      FROM a),
+cl AS (SELECT word, uu,
+              list_filter(tl, (x, i) -> i = 1 OR tl[i-1] != x) AS cla
+       FROM t),
+s AS (SELECT word,
+             CASE WHEN length(uu) = 0 THEN ''
+                  ELSE substr(rpad(uu[1:1] ||
+                         array_to_string(
+                           list_filter(cla[2:], x -> x != '0'), ''),
+                         4, '0'), 1, 4) END AS code
+      FROM cl)
+SELECT code, count(*) AS n_rows,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM s GROUP BY 1 HAVING count(DISTINCT word) >= 2"""
 
     o["events_wow_change"] = """
 WITH wk AS (

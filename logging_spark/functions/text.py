@@ -382,6 +382,68 @@ def mask_template(text: Column | str) -> Column:
     return t
 
 
+# letter -> Soundex digit map (American Soundex, NARA spec). H and W
+# map to the marker '7' (they neither code nor break a same-code run);
+# vowels + Y map to '0' (no code, but they DO break runs).
+SOUNDEX_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+SOUNDEX_TO = "01230127022455012623017202"
+
+
+def soundex_code(name: Column | str) -> Column:
+    """American Soundex, NARA edition, as pure expressions — the
+    phonetic-blocking key for entity resolution (group candidate
+    records by code, verify within blocks; the same bounded-block
+    pattern as the LSH dedups). Spark HAS a soundex() builtin but no
+    engine-portable twin exists (DuckDB: none; RE2: no backreferences
+    for the collapse), so the contract needs this expression form;
+    parity with the official NARA examples AND the builtin is pinned
+    in tests.
+
+    Exact rule set implemented: keep the first letter; code every
+    letter; drop H/W from position 2+ BEFORE collapsing (same-code
+    letters separated by h/w merge — the Ashcraft->A261 rule); then
+    collapse adjacent equal codes (the first letter's run absorbs
+    following same-code letters: Pfister->P236); drop the first run
+    (it is the letter), drop '0's (vowels break runs but emit no
+    code), pad/truncate to 4."""
+    n = F.col(name) if isinstance(name, str) else name
+    u = F.upper(F.regexp_replace(n, "[^A-Za-z]", ""))
+
+    def with_u(uu: Column) -> Column:
+        codes = F.translate(uu, SOUNDEX_FROM, SOUNDEX_TO)
+
+        def with_codes(c: Column) -> Column:
+            arr = F.transform(F.sequence(F.lit(1), F.length(c)),
+                              lambda i: c.substr(i, F.lit(1)))
+
+            def with_tail(t: Column) -> Column:
+                collapsed = F.filter(
+                    t, lambda x, i: F.when(i == 0, F.lit(True))
+                    .otherwise(F.element_at(t, i) != x))
+
+                def with_collapsed(cl: Column) -> Column:
+                    rest = F.filter(
+                        F.slice(cl, 2, F.greatest(F.size(cl) - 1,
+                                                  F.lit(0))),
+                        lambda x: x != "0")
+                    return F.substring(
+                        F.rpad(F.concat(uu.substr(1, 1),
+                                        F.array_join(rest, "")),
+                               4, "0"), 1, 4)
+                return let(collapsed, with_collapsed)
+
+            # H/W ('7') dropped from position 2+ only, pre-collapse
+            tail = F.concat(
+                F.slice(arr, 1, 1),
+                F.filter(F.slice(arr, 2, F.greatest(F.size(arr) - 1,
+                                                    F.lit(0))),
+                         lambda x: x != "7"))
+            return let(tail, with_tail)
+        return F.when(F.length(uu) == 0, F.lit("")).otherwise(
+            let(codes, with_codes))
+    return let(u, with_u)
+
+
 # URL grammar shared by extract_urls and the contract oracle: scheme,
 # host (letters/digits/dots/dashes), optional path. RE2-safe (no
 # backrefs/lookaround) so the same pattern runs in Spark (Java regex)

@@ -258,3 +258,23 @@ def test_extract_urls_and_domains(spark):
         T.extract_urls("text")).alias("u")).select(
         T.url_domain("u").alias("d")).collect()]
     assert doms == ["a.example.com", "b.org", None, "c.net"]
+
+
+def test_soundex_official_examples_and_builtin_parity(spark):
+    from pyspark.sql import functions as F
+    from logging_spark.functions import text as T
+    # NARA's published American Soundex examples (public spec)
+    official = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Jackson": "J250", "Washington": "W252",
+        "Lee": "L000", "Gutierrez": "G362", "VanDeusen": "V532",
+        "Deusen": "D250", "O'Brien": "O165", "": "",
+    }
+    df = spark.createDataFrame([(k,) for k in official], "name string")
+    rows = df.select("name", T.soundex_code("name").alias("ours"),
+                     F.soundex("name").alias("builtin")).collect()
+    for r in rows:
+        assert r.ours == official[r.name], (r.name, r.ours)
+        if r.name:  # full parity with Spark's builtin, hw rule incl.
+            assert r.ours == r.builtin, (r.name, r.ours, r.builtin)
