@@ -3408,7 +3408,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests) because no engine-portable soundex builtin exists.
     def text_phonetic_blocking(spark, sf):
         pt = _read(spark, sf, "part")
-        coded = (pt.select(F.split(F.col("p_name"), " ")[0]
+        coded = (pt.select(F.explode(F.split(F.col("p_name"), " "))
                            .alias("word"))
                  .select("word", T.soundex_code("word").alias("code")))
         return (coded.groupBy("code")
@@ -6267,7 +6267,7 @@ FROM lookup GROUP BY 1, 2, 3 HAVING count(*) < 5"""
 
     # the same NARA algorithm, DuckDB edition (1-based index lambdas)
     o["text_phonetic_blocking"] = """
-WITH w AS (SELECT string_split(p_name, ' ')[1] AS word FROM part),
+WITH w AS (SELECT unnest(string_split(p_name, ' ')) AS word FROM part),
 u AS (SELECT word,
              upper(regexp_replace(word, '[^a-zA-Z]', '', 'g')) AS uu
       FROM w),
