@@ -125,6 +125,9 @@ HEADLINE = [
     "pipe_prefix_dedup",
     "docs_datacard",
     "docs_export_e2e",
+    "text_phonetic_blocking",
+    "docs_rrf",
+    "docs_bfs_layers",
 ]
 
 
