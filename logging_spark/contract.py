@@ -3417,6 +3417,32 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("n_words") >= 2))
     q["text_phonetic_blocking"] = text_phonetic_blocking
 
+    # -- token-mass concentration (Pareto report): share of corpus
+    # character mass held by docs at/above the exact p87.5 size edge.
+    # 7/8 is a dyadic fraction, so percentile interpolation over the
+    # BIGINT n_chars is exact double arithmetic in both engines (the
+    # equidepth lesson); the share is an integer DIV. One agg for the
+    # edge (broadcast scalar), one conditional agg for the shares.
+    def docs_token_concentration(spark, sf):
+        d = _read(spark, sf, "documents")
+        e = (d.agg(F.expr("percentile(n_chars, 0.875D)").alias("_e"))
+             .select(F.floor(F.col("_e") * 1000).cast("long")
+                     .alias("edge_x1000")))
+        j = d.crossJoin(F.broadcast(e))
+        g = j.agg(
+            F.min("edge_x1000").alias("edge_x1000"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_chars") * 1000 >= F.col("edge_x1000"),
+                         F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long").alias("_top"),
+            F.sum("n_chars").cast("long").alias("_tot"),
+            F.sum((F.col("n_chars") * 1000 >= F.col("edge_x1000"))
+                  .cast("long")).cast("long").alias("n_top_docs"))
+        return g.select("edge_x1000", "n_docs", "n_top_docs",
+                        F.expr("(_top * 10000) DIV _tot")
+                        .alias("share_bps"))
+    q["docs_token_concentration"] = docs_token_concentration
+
     # -- pooled label centroids: integer-exact per-label mean
     # embedding in long form (the class-prototype op for semantic
     # balance audits / nearest-class-mean labeling). Reuses the
@@ -6264,6 +6290,18 @@ WHERE rank <= 5"""
     o["dq_k_anonymity"] = "WITH " + LOOKUP_CTE + """
 SELECT namespace, node_name, pod_name, count(*) AS n
 FROM lookup GROUP BY 1, 2, 3 HAVING count(*) < 5"""
+
+    o["docs_token_concentration"] = """
+WITH e AS (SELECT CAST(floor(quantile_cont(n_chars, 0.875) * 1000)
+                       AS BIGINT) AS edge_x1000 FROM documents)
+SELECT e.edge_x1000, count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.n_chars * 1000 >= e.edge_x1000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_top_docs,
+       (CAST(sum(CASE WHEN d.n_chars * 1000 >= e.edge_x1000
+                      THEN d.n_chars ELSE 0 END) AS BIGINT) * 10000)
+         // CAST(sum(d.n_chars) AS BIGINT) AS share_bps
+FROM documents d CROSS JOIN e
+GROUP BY 1"""
 
     # the same NARA algorithm, DuckDB edition (1-based index lambdas)
     o["text_phonetic_blocking"] = """
