@@ -2789,6 +2789,34 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.round("cosine", 4).alias("cosine"))
     q["sim_hard_negatives"] = sim_hard_negatives
 
+    # -- kNN label agreement (label-noise mining, Confident-Learning-
+    # adjacent): fraction of each anchor's top-5 exact-cosine
+    # neighbors sharing its label, rolled up per label — low agreement
+    # flags mislabeled regions. Composition of the oracle-checked
+    # exact top-k with two label joins; anchors bounded like
+    # sim_topk_cosine (the kernel/sharded tiers are the scale path).
+    def sim_label_agreement(spark, sf):
+        e = _read(spark, sf, "embeddings")
+        topk = brute_force_topk_expr(e.where(F.col("vec_id") < 40),
+                                     e, k=5)
+        lab = _read(spark, sf, "embeddings").select("vec_id", "label")
+        j = (topk
+             .join(lab.select(F.col("vec_id").alias("query_id"),
+                              F.col("label").alias("qlab")), "query_id")
+             .join(lab.select(F.col("vec_id").alias("neighbor_id"),
+                              F.col("label").alias("nlab")),
+                   "neighbor_id"))
+        per = (j.groupBy("query_id", "qlab")
+               .agg(F.sum((F.col("nlab") == F.col("qlab"))
+                          .cast("long")).alias("agree")))
+        return (per.groupBy(F.col("qlab").alias("label"))
+                .agg(F.count(F.lit(1)).alias("n_anchors"),
+                     F.sum("agree").cast("long").alias("n_agree"),
+                     F.expr("(CAST(sum(agree) AS BIGINT) * 1000)"
+                            " DIV (count(1) * 5)")
+                     .alias("agreement_permille")))
+    q["sim_label_agreement"] = sim_label_agreement
+
     # int8 symmetric quantization audit: scale/sum/saturation per
     # vector, pure expression projection (no shuffle)
     def sim_quantize_int8(spark, sf):
@@ -5799,6 +5827,27 @@ SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, round(cos, 4) AS cosine
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rnk
       FROM scored) WHERE rnk <= 5"""
+
+    o["sim_label_agreement"] = f"""
+WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS qid, a.label AS qlab, b.vec_id AS nid,
+         b.label AS nlab, {_vcos} AS cos
+  FROM v a JOIN v b ON a.vec_id != b.vec_id WHERE a.vec_id < 40),
+top AS (SELECT qid, qlab, nlab
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY cos DESC, nid) AS rnk FROM scored)
+        WHERE rnk <= 5),
+per AS (SELECT qid, qlab,
+               sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS agree
+        FROM top GROUP BY 1, 2)
+SELECT qlab AS label, count(*) AS n_anchors,
+       CAST(sum(agree) AS BIGINT) AS n_agree,
+       (CAST(sum(agree) AS BIGINT) * 1000) // (count(*) * 5)
+         AS agreement_permille
+FROM per GROUP BY 1"""
 
     o["sim_near_dup_exact"] = f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
