@@ -3319,6 +3319,28 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr("n_tokens DIV n_docs").alias("mean_tokens"))
     q["docs_datacard"] = docs_datacard
 
+    # -- duplicate provenance: for every exact-dup family (md5(text),
+    # n >= 2), does it live inside ONE source (re-crawl / re-ingest)
+    # or span sources (syndication / boilerplate)? The split decides
+    # the fix — dedup-at-ingest vs corpus-level — so the rollup is a
+    # standing governance row. Two aggs over hashes, text never
+    # shuffles twice.
+    def dedup_provenance(spark, sf):
+        d = _read(spark, sf, "documents")
+        fam = (d.groupBy(F.md5("text").alias("fp"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.count_distinct("source").alias("n_sources"))
+               .where(F.col("n_docs") >= 2))
+        kind = F.when(F.col("n_sources") == 1,
+                      F.lit("intra_source")).otherwise(
+                          F.lit("cross_source"))
+        return (fam.groupBy(kind.alias("kind"))
+                .agg(F.count(F.lit(1)).alias("n_families"),
+                     F.sum("n_docs").cast("long").alias("n_docs"),
+                     F.sum(F.col("n_docs") - 1).cast("long")
+                     .alias("n_removable")))
+    q["dedup_provenance"] = dedup_provenance
+
     # -- training-export e2e (flagship chain): quality filter -> exact
     # dedup keep-first -> leakage-free split -> per-(split, shard)
     # verifiable manifest, ONE lazy plan.  Every stage is an operator
@@ -3427,6 +3449,26 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy("subnet16")
                 .agg(F.count(F.lit(1)).alias("n_ips")))
     q["pipe_ip_subnets"] = pipe_ip_subnets
+
+    # -- time-to-first-tool-call: per conversation, how many turns
+    # until the first tool turn (the agent-behavior latency metric);
+    # -1 when the conversation never calls a tool. One groupBy with
+    # conditional-min aggregates — no window, no second pass.
+    def pipe_time_to_tool(spark, sf):
+        t = turns_df(spark, sf)
+        g = t.groupBy("conv_id").agg(
+            F.min("turn_idx").alias("_first"),
+            F.min(F.when(F.col("role") == "tool", F.col("turn_idx")))
+            .alias("_first_tool"))
+        ttt = F.when(F.col("_first_tool").isNull(), F.lit(-1))                .otherwise(F.col("_first_tool") - F.col("_first"))
+        # bounded rollup: log2 bins of the gap (+2 so -1 and 0 bin
+        # distinctly: -1 -> 0, 0 -> 1, 1.. -> length(bin(gap+1)))
+        return (g.select(ttt.alias("gap"))
+                .groupBy(F.when(F.col("gap") < 0, F.lit(0))
+                         .otherwise(F.length(F.bin(F.col("gap") + 1)))
+                         .cast("int").alias("gap_bin"))
+                .agg(F.count(F.lit(1)).alias("n_convs")))
+    q["pipe_time_to_tool"] = pipe_time_to_tool
 
     # -- phonetic blocking (functions/text.py soundex_code): group
     # part-name lead words by American-Soundex code; blocks holding
@@ -6240,6 +6282,29 @@ SELECT split, CAST({hash60_sql("doc_id", "expd")} % 8 AS INT) AS shard,
        bit_xor({hash60_sql(_ee_row, "expd:fp")}) AS fingerprint,
        count(*) AS n_rows
 FROM s GROUP BY 1, 2"""
+
+    o["dedup_provenance"] = """
+WITH fam AS (
+  SELECT md5(text) AS fp, count(*) AS n_docs,
+         count(DISTINCT source) AS n_sources
+  FROM documents GROUP BY 1 HAVING count(*) >= 2)
+SELECT CASE WHEN n_sources = 1 THEN 'intra_source'
+            ELSE 'cross_source' END AS kind,
+       count(*) AS n_families,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(n_docs - 1) AS BIGINT) AS n_removable
+FROM fam GROUP BY 1"""
+
+    o["pipe_time_to_tool"] = "WITH " + TURNS_CTE + """,
+g AS (SELECT conv_id, min(turn_idx) AS f,
+             min(CASE WHEN role = 'tool' THEN turn_idx END) AS ft
+      FROM turns GROUP BY 1),
+gap AS (SELECT CASE WHEN ft IS NULL THEN -1 ELSE ft - f END AS gap
+        FROM g)
+SELECT CAST(CASE WHEN gap < 0 THEN 0
+            ELSE length(bin(gap + 1)) END AS INT) AS gap_bin,
+       count(*) AS n_convs
+FROM gap GROUP BY 1"""
 
     o["docs_datacard"] = f"""
 WITH g AS (
