@@ -70,6 +70,10 @@ from logging_spark.operators.similarity import (brute_force_topk_expr,
                                                 plane_signs,
                                                 quantize_int8_summary)
 from logging_spark.operators.bm25 import bm25_topk
+from logging_spark.operators.kmv import (KMV_SPACE, grouped_sketch,
+                                         hash56_sql, kmv_audit,
+                                         kmv_estimate, kmv_sketch,
+                                         merge_sketches)
 from logging_spark.operators.bpe import pair_counts
 from logging_spark.operators.kmeans import kmeans_summary
 from logging_spark.operators.multiline import assemble_multiline
@@ -3592,6 +3596,35 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_kmeans"] = lambda spark, sf: kmeans_summary(
         _read(spark, sf, "embeddings"), k=4, rounds=2)
 
+    # -- KMV distinct sketch (operators/kmv.py): the mergeable
+    # approximate-distinct primitive (theta-sketch family), audited
+    # against the exact count — the repo's standard approximate-op
+    # audit shape. 56-bit md5 hashes + integer estimate, so the
+    # whole audit is engine-identical.
+    def agg_kmv_audit(spark, sf):
+        return kmv_audit(_read(spark, sf, "events"), "user_id", k=64)
+    q["agg_kmv_audit"] = agg_kmv_audit
+
+    # -- KMV mergeability proof: estimate from MERGED per-day sketches
+    # equals the direct global sketch's estimate EXACTLY (min-k of
+    # unioned per-day min-ks IS the global min-k — every global
+    # survivor has at most k-1 smaller hashes in its own day). The
+    # sketch twin of the daily-FROM-hourly aggregate-merge proof:
+    # raw values never leave their shard, only k hashes do.
+    def agg_kmv_merge_proof(spark, sf):
+        ev = _read(spark, sf, "events").withColumn(
+            "day", F.to_date("ts"))
+        daily = grouped_sketch(ev, "user_id", ["day"], k=64)
+        merged = kmv_estimate(merge_sketches(daily, k=64))
+        direct = kmv_estimate(kmv_sketch(ev, "user_id", k=64))
+        return (merged.select(F.col("est_distinct").alias("est_merged"))
+                .crossJoin(direct.select(
+                    F.col("est_distinct").alias("est_direct")))
+                .withColumn("merged_equals_direct",
+                            (F.col("est_merged") == F.col("est_direct"))
+                            .cast("int")))
+    q["agg_kmv_merge_proof"] = agg_kmv_merge_proof
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -6561,5 +6594,41 @@ a2 AS (SELECT vec_id, cid AS cluster, dist
        WHERE rn = 1)
 SELECT cluster, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia
 FROM a2 GROUP BY 1"""
+
+    # KMV mirrors: same 56-bit md5 hashes, same integer estimate.
+    _kmv_h = hash56_sql("user_id", "kmv")
+    o["agg_kmv_audit"] = f"""
+WITH h AS (SELECT DISTINCT {_kmv_h} AS hv FROM events),
+sk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+est0 AS (SELECT count(*) AS k_used, max(hv) AS kth FROM sk),
+est AS (SELECT k_used, ((k_used - 1) * {KMV_SPACE}) // kth
+                         AS est_distinct
+        FROM est0),
+ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events),
+j AS (SELECT k_used, est_distinct, exact_distinct,
+             (abs(est_distinct - exact_distinct) * 1000)
+               // exact_distinct AS err_permille
+      FROM est, ex)
+SELECT k_used, est_distinct, exact_distinct, err_permille,
+       CAST(CASE WHEN err_permille <= 375 THEN 1 ELSE 0 END AS INT)
+         AS within_budget
+FROM j"""
+
+    o["agg_kmv_merge_proof"] = f"""
+WITH h AS (SELECT DISTINCT CAST(ts AS DATE) AS day, {_kmv_h} AS hv
+           FROM events),
+daily AS (SELECT day, hv FROM h
+          QUALIFY row_number() OVER (PARTITION BY day ORDER BY hv)
+                    <= 64),
+msk AS (SELECT DISTINCT hv FROM daily ORDER BY hv LIMIT 64),
+dsk AS (SELECT DISTINCT hv FROM h ORDER BY hv LIMIT 64),
+m AS (SELECT ((count(*) - 1) * {KMV_SPACE}) // max(hv) AS est_merged
+      FROM msk),
+d AS (SELECT ((count(*) - 1) * {KMV_SPACE}) // max(hv) AS est_direct
+      FROM dsk)
+SELECT est_merged, est_direct,
+       CAST(CASE WHEN est_merged = est_direct THEN 1 ELSE 0 END AS INT)
+         AS merged_equals_direct
+FROM m, d"""
 
     return o

@@ -58,3 +58,31 @@ def test_countmin_one_sided_and_mergeable(spark):
               .groupBy("r", "bucket").agg(F.sum("c").cast("long").alias("c")))
     assert sorted(map(tuple, s_all.collect())) == \
         sorted(map(tuple, merged.collect()))
+
+
+def test_kmv_merge_identity_and_accuracy(spark):
+    """KMV: merged per-shard sketches == direct global sketch (exact
+    identity), and the estimate lands within 3/sqrt(k) of truth on
+    a 5000-distinct crafted input."""
+    from logging_spark.operators.kmv import (kmv_audit, kmv_estimate,
+                                             kmv_sketch, grouped_sketch,
+                                             merge_sketches)
+    df = spark.range(20000).select(
+        (F.col("id") % 5000).alias("v"),
+        (F.col("id") % 7).alias("shard"))
+    aud = kmv_audit(df, "v", k=128).first()
+    assert aud["k_used"] == 128
+    assert aud["within_budget"] == 1
+    assert abs(aud["est_distinct"] - 5000) <= 5000 * 3 / (128 ** 0.5)
+    per = grouped_sketch(df, "v", ["shard"], k=128)
+    merged = kmv_estimate(merge_sketches(per, k=128)).first()
+    direct = kmv_estimate(kmv_sketch(df, "v", k=128)).first()
+    assert merged["kth_hash"] == direct["kth_hash"]
+    assert merged["est_distinct"] == direct["est_distinct"]
+
+
+def test_kmv_small_input_holds_all_values(spark):
+    from logging_spark.operators.kmv import kmv_estimate, kmv_sketch
+    df = spark.range(10).select(F.col("id").alias("v"))
+    est = kmv_estimate(kmv_sketch(df, "v", k=64)).first()
+    assert est["k_used"] == 10  # fewer distinct than k: sketch = all
