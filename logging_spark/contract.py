@@ -3596,6 +3596,113 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_kmeans"] = lambda spark, sf: kmeans_summary(
         _read(spark, sf, "embeddings"), k=4, rounds=2)
 
+    # -- PII detection + redaction (functions/text.py PII_*): the
+    # governance pass every training export runs. The corpus text is
+    # digit-free by construction, so both sides deterministically
+    # inject email/IPv4/PAN tokens from doc_id, then detect (counts
+    # on raw text) and redact (typed tokens, email->IP->PAN order) —
+    # the real regexes are exercised end-to-end with nonzero counts.
+    def text_pii_redact(spark, sf):
+        d = _read(spark, sf, "documents")
+        aug = d.withColumn("aug", F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 200).cast("string"), F.lit("."),
+                (F.col("doc_id") % 250).cast("string"), F.lit("."),
+                (F.col("doc_id") % 97).cast("string")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.concat(
+                F.lit(" card 4111"),
+                F.lpad((F.col("doc_id") % 1000000).cast("string"),
+                       12, "0"))).otherwise(F.lit(""))))
+        c = aug.select(
+            "source", T.pii_counts("aug").alias("_c"),
+            F.length(T.redact_pii("aug")).alias("_redlen"),
+            F.length("aug").alias("_rawlen"))
+        return (c.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("_c.n_emails").cast("long").alias("n_emails"),
+                     F.sum("_c.n_ipv4").cast("long").alias("n_ipv4"),
+                     F.sum("_c.n_pan").cast("long").alias("n_pan"),
+                     F.sum("_rawlen").cast("long").alias("raw_chars"),
+                     F.sum("_redlen").cast("long")
+                     .alias("redacted_chars")))
+    q["text_pii_redact"] = text_pii_redact
+
+    # -- autocorrelation moments (operators/timeseries.lag_moments):
+    # hourly event-count series, lags 1-3. Integer moment sums + the
+    # exact covariance numerator; Pearson r is the consumer's one
+    # float. Grid key = hours-since-epoch (integer DIV — ts is NTZ,
+    # session tz pinned UTC so unix_micros is epoch-faithful).
+    def events_autocorr(spark, sf):
+        from logging_spark.operators.timeseries import lag_moments
+        hr = (_read(spark, sf, "events")
+              .groupBy(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) "
+                              "DIV 3600000000").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n")))
+        return lag_moments(hr, "hour", "n", lags=[1, 2, 3])
+    q["events_autocorr"] = events_autocorr
+
+    # -- per-key skew report: the shuffle-planning census (is this
+    # groupBy key safe, or does it need salting?). Exact dyadic
+    # percentiles over BIGINT counts + top-1 share in permille.
+    def agg_skew_report(spark, sf):
+        per = (_read(spark, sf, "events")
+               .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
+        return (per.agg(F.count(F.lit(1)).alias("n_keys"),
+                        F.sum("n").cast("long").alias("total"),
+                        F.max("n").alias("max_n"),
+                        F.expr("percentile(n, 0.5D)").alias("p50_n"),
+                        F.expr("percentile(n, 0.75D)").alias("p75_n"))
+                .withColumn("top1_permille",
+                            F.expr("max_n * 1000 DIV total")))
+    q["agg_skew_report"] = agg_skew_report
+
+    # -- FK join-cardinality audit (operators/dq.fk_cardinality):
+    # parent-side multiplicity buckets + orphan-child count for
+    # recent orders -> customer. Time-restricted child side so the
+    # '0' bucket is non-empty on this dense synthetic data (the
+    # dormant-customer census).
+    def dq_join_cardinality(spark, sf):
+        from logging_spark.operators.dq import fk_cardinality
+        recent = (_read(spark, sf, "orders")
+                  .where("o_orderdate >= DATE '2001-01-01'"))
+        return fk_cardinality(recent, _read(spark, sf, "customer"),
+                              "o_custkey", "c_custkey")
+    q["dq_join_cardinality"] = dq_join_cardinality
+
+    # -- record linkage (operators/linkage.py): Fellegi-Sunter-lite —
+    # block candidate pairs on the part-name noun (cap-before-expand,
+    # like every LSH family here), score integer agreement weights
+    # over (first word, brand, type, size-within-2), classify by two
+    # thresholds. The per-class census is the ER tuning report.
+    def dim_entity_matches(spark, sf):
+        from logging_spark.operators.linkage import (blocked_pairs,
+                                                     match_scores)
+        p = _read(spark, sf, "part").select(
+            "p_partkey", "p_brand", "p_type", "p_size",
+            F.split("p_name", " ").getItem(0).alias("w1"),
+            F.split("p_name", " ").getItem(1).alias("w2"))
+        pairs = blocked_pairs(p, "p_partkey", "w2", max_block=1000)
+        rules = [
+            (F.col("a.w1") == F.col("b.w1"), 3, -2),
+            (F.col("a.p_brand") == F.col("b.p_brand"), 2, -1),
+            (F.col("a.p_type") == F.col("b.p_type"), 1, -1),
+            (F.abs(F.col("a.p_size") - F.col("b.p_size")) <= 2, 1, -1),
+        ]
+        scored = match_scores(pairs, "p_partkey", rules,
+                              t_match=4, t_possible=0)
+        return (scored.groupBy("match_class")
+                .agg(F.count(F.lit(1)).alias("n_pairs"),
+                     F.min("score").alias("min_score"),
+                     F.max("score").alias("max_score")))
+    q["dim_entity_matches"] = dim_entity_matches
+
     # -- KMV distinct sketch (operators/kmv.py): the mergeable
     # approximate-distinct primitive (theta-sketch family), audited
     # against the exact count — the repo's standard approximate-op
@@ -6594,6 +6701,110 @@ a2 AS (SELECT vec_id, cid AS cluster, dist
        WHERE rn = 1)
 SELECT cluster, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia
 FROM a2 GROUP BY 1"""
+
+    # PII mirror: same injected tokens, same RE2/Java-portable
+    # patterns (no lookaround), same replacement order. DuckDB
+    # regexp_replace needs the explicit 'g' flag.
+    _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _pii_ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    _pii_pan = "\\b\\d{13,19}\\b"
+    o["text_pii_redact"] = f"""
+WITH aug AS (
+  SELECT source, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+                 || CAST(doc_id % 250 AS VARCHAR) || '.'
+                 || CAST(doc_id % 97 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' card 4111'
+                 || lpad(CAST(doc_id % 1000000 AS VARCHAR), 12, '0')
+            ELSE '' END AS aug
+  FROM documents),
+r AS (SELECT source, aug,
+             len(regexp_extract_all(aug, '{_pii_email}')) AS n_emails,
+             len(regexp_extract_all(aug, '{_pii_ip}')) AS n_ipv4,
+             len(regexp_extract_all(aug, '{_pii_pan}')) AS n_pan,
+             regexp_replace(regexp_replace(regexp_replace(aug,
+               '{_pii_email}', '<EMAIL>', 'g'),
+               '{_pii_ip}', '<IP>', 'g'),
+               '{_pii_pan}', '<PAN>', 'g') AS red
+      FROM aug)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(sum(n_pan) AS BIGINT) AS n_pan,
+       CAST(sum(length(aug)) AS BIGINT) AS raw_chars,
+       CAST(sum(length(red)) AS BIGINT) AS redacted_chars
+FROM r GROUP BY 1"""
+
+    o["events_autocorr"] = """
+WITH hr AS (SELECT epoch_us(ts) // 3600000000 AS hour, count(*) AS n
+            FROM events GROUP BY 1),
+sh AS (SELECT CAST(l.lag AS INT) AS lag, hour + l.lag AS hour,
+              n AS n_prev
+       FROM hr, (VALUES (1), (2), (3)) AS l(lag)),
+j AS (SELECT s.lag, h.n AS x, s.n_prev AS y
+      FROM hr h JOIN sh s USING (hour))
+SELECT lag, count(*) AS n_pairs,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(y * y) AS BIGINT) AS sum_yy,
+       count(*) * CAST(sum(x * y) AS BIGINT)
+         - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS cov_num
+FROM j GROUP BY 1"""
+
+    o["agg_skew_report"] = """
+WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total,
+       max(n) AS max_n,
+       quantile_cont(n, 0.5) AS p50_n,
+       quantile_cont(n, 0.75) AS p75_n,
+       (max(n) * 1000) // CAST(sum(n) AS BIGINT) AS top1_permille
+FROM per"""
+
+    o["dq_join_cardinality"] = """
+WITH recent AS (SELECT * FROM orders
+                WHERE o_orderdate >= DATE '2001-01-01'),
+cnt AS (SELECT o_custkey AS k, count(*) AS n FROM recent GROUP BY 1),
+per AS (SELECT coalesce(cnt.n, 0) AS n
+        FROM customer LEFT JOIN cnt ON c_custkey = cnt.k),
+b AS (SELECT CASE WHEN n = 0 THEN '0' WHEN n = 1 THEN '1'
+                  WHEN n <= 10 THEN '2-10' ELSE '>10' END AS bucket,
+             count(*) AS n
+      FROM per GROUP BY 1),
+orph AS (SELECT 'orphan_child_rows' AS bucket,
+                CAST(coalesce(sum(n), 0) AS BIGINT) AS n
+         FROM cnt WHERE k NOT IN (SELECT c_custkey FROM customer))
+SELECT bucket, n FROM b UNION ALL SELECT bucket, n FROM orph"""
+
+    o["dim_entity_matches"] = """
+WITH e AS (SELECT p_partkey,
+                  string_split(p_name, ' ')[1] AS w1,
+                  string_split(p_name, ' ')[2] AS w2,
+                  p_brand, p_type, p_size
+           FROM part),
+blk AS (SELECT * FROM e
+        QUALIFY count(*) OVER (PARTITION BY w2) <= 1000),
+pr AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+              (CASE WHEN a.w1 = b.w1 THEN 3 ELSE -2 END
+               + CASE WHEN a.p_brand = b.p_brand THEN 2 ELSE -1 END
+               + CASE WHEN a.p_type = b.p_type THEN 1 ELSE -1 END
+               + CASE WHEN abs(a.p_size - b.p_size) <= 2
+                      THEN 1 ELSE -1 END) AS score
+       FROM blk a JOIN blk b
+         ON a.w2 = b.w2 AND a.p_partkey < b.p_partkey)
+SELECT CASE WHEN score >= 4 THEN 'match'
+            WHEN score >= 0 THEN 'possible'
+            ELSE 'non_match' END AS match_class,
+       count(*) AS n_pairs,
+       CAST(min(score) AS INT) AS min_score,
+       CAST(max(score) AS INT) AS max_score
+FROM pr GROUP BY 1"""
 
     # KMV mirrors: same 56-bit md5 hashes, same integer estimate.
     _kmv_h = hash56_sql("user_id", "kmv")

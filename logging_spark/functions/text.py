@@ -481,3 +481,33 @@ def normalize(text: Column | str) -> Column:
     t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+# PII surface patterns — deliberately conservative, regex-dialect-
+# portable (no lookaround: RE2 has none; \b and bounded repetition
+# work in both Java regex and RE2). Luhn validation for the digit
+# runs lives in luhn_valid; these are the detection/redaction layer.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONG_DIGITS = r"\b\d{13,19}\b"  # PAN-length runs; 20+ won't match
+
+
+def pii_counts(text: Column | str) -> Column:
+    """struct(n_emails, n_ipv4, n_pan) — match counts per PII class
+    on the RAW text (an IP inside an email's domain counts in both
+    classes; redaction order below resolves the overlap)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_LONG_DIGITS)).alias("n_pan"))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace each PII class with a typed token. Order matters:
+    emails first (their local parts/domains may contain digit runs
+    and dots), then IPs, then bare PAN-length digit runs."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IPV4, "<IP>")
+    return F.regexp_replace(t, PII_LONG_DIGITS, "<PAN>")

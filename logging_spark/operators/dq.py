@@ -148,3 +148,34 @@ def table_fingerprint(
     if group_by:
         return hashed.groupBy(*group_by).agg(*aggs)
     return hashed.agg(*aggs)
+
+
+def fk_cardinality(child: DataFrame, parent: DataFrame,
+                   child_key: str, parent_key: str) -> DataFrame:
+    """Join-cardinality audit for a foreign key: how many child rows
+    does each parent key actually match? Returns (bucket, n):
+    parent-side multiplicity buckets '0' / '1' / '2-10' / '>10'
+    (n = parent keys in that bucket) plus one 'orphan_child_rows'
+    row (child rows whose key has NO parent — the referential-
+    integrity violation count).
+
+    Two aggregates and one equi-join, all on the key columns; child
+    row WIDTH never shuffles (only the key + count). The '0' bucket
+    is the anti-join census, the '>10' bucket is the fan-out-blowup
+    early warning for downstream joins."""
+    cnt = (child.groupBy(F.col(child_key).alias("_k"))
+           .agg(F.count(F.lit(1)).alias("_n")))
+    pk = parent.select(F.col(parent_key).alias("_k"))
+    per = (pk.join(cnt, "_k", "left")
+           .select(F.coalesce("_n", F.lit(0)).alias("_n")))
+    bucket = (F.when(F.col("_n") == 0, "0")
+              .when(F.col("_n") == 1, "1")
+              .when(F.col("_n") <= 10, "2-10")
+              .otherwise(">10"))
+    parents = (per.groupBy(bucket.alias("bucket"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    orphans = (cnt.join(pk, "_k", "left_anti")
+               .agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("long")
+                    .alias("n"))
+               .select(F.lit("orphan_child_rows").alias("bucket"), "n"))
+    return parents.unionByName(orphans)

@@ -132,3 +132,43 @@ def cusum_fold(df: DataFrame, key: str, order_col: str, value_col: str,
                      .alias("peak_cusum"),
                     F.expr(f"CAST({fold}.pos AS BIGINT)")
                      .alias("peak_pos")))
+
+
+def lag_moments(series: DataFrame, key_col: str, val_col: str,
+                lags: list[int]) -> DataFrame:
+    """Integer autocovariance MOMENTS of a regular integer series at
+    each lag: (lag, n_pairs, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+    cov_num) where cov_num = n*sum_xy - sum_x*sum_y (the exact
+    integer covariance numerator; Pearson r = cov_num /
+    sqrt((n*sxx - sx^2)(n*syy - sy^2)) is one float the CONSUMER
+    computes — the engine-portable split used by every fixed-point
+    stat here).
+
+    Shape: one shifted-union of the (tiny, already-aggregated) series
+    per lag, then one equi-join on the grid key and one grouped agg —
+    distributed end to end, no single-partition ordering window, so
+    the same plan holds when the series is per-entity x hourly at
+    10^9 rows (add the entity to key_col upstream).
+    """
+    base = series.select(F.col(key_col).alias("_k"),
+                         F.col(val_col).cast("long").alias("_x"))
+    shifted = None
+    for lag in lags:
+        s = series.select(
+            F.lit(lag).cast("int").alias("lag"),
+            (F.col(key_col) + lag).alias("_k"),
+            F.col(val_col).cast("long").alias("_y"))
+        shifted = s if shifted is None else shifted.unionByName(s)
+    j = base.join(shifted, "_k")
+    return (j.groupBy("lag")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("_x").cast("long").alias("sum_x"),
+                 F.sum("_y").cast("long").alias("sum_y"),
+                 F.sum(F.col("_x") * F.col("_y")).cast("long")
+                 .alias("sum_xy"),
+                 F.sum(F.col("_x") * F.col("_x")).cast("long")
+                 .alias("sum_xx"),
+                 F.sum(F.col("_y") * F.col("_y")).cast("long")
+                 .alias("sum_yy"))
+            .withColumn("cov_num",
+                        F.expr("n_pairs * sum_xy - sum_x * sum_y")))

@@ -278,3 +278,37 @@ def test_soundex_official_examples_and_builtin_parity(spark):
         assert r.ours == official[r.name], (r.name, r.ours)
         if r.name:  # full parity with Spark's builtin, hw rule incl.
             assert r.ours == r.builtin, (r.name, r.ours, r.builtin)
+
+
+def test_pii_counts_and_redact(spark):
+    from logging_spark.functions import text as T
+    rows = [
+        ("a", "mail me at jo.doe+x@sub.example.org thanks"),
+        ("b", "server 192.168.0.1 and 10.0.0.255 up"),
+        ("c", "card 4111111111111111 ok"),          # 16 digits
+        ("d", "run 12345678901234567890 ignored"),  # 20 digits: no PAN
+        ("e", "short 123456789012 ignored"),        # 12 digits: no PAN
+        ("f", "plain text, no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t string")
+    out = {r["k"]: r for r in df.select(
+        "k", T.pii_counts("t").alias("c"),
+        T.redact_pii("t").alias("red")).collect()}
+    assert out["a"]["c"]["n_emails"] == 1
+    assert "<EMAIL>" in out["a"]["red"] and "@" not in out["a"]["red"]
+    assert out["b"]["c"]["n_ipv4"] == 2
+    assert out["b"]["red"].count("<IP>") == 2
+    assert out["c"]["c"]["n_pan"] == 1
+    assert "<PAN>" in out["c"]["red"]
+    assert out["d"]["c"]["n_pan"] == 0  # \b guards: 20-digit run
+    assert out["e"]["c"]["n_pan"] == 0
+    assert out["f"]["red"] == "plain text, no pii at all"
+
+
+def test_email_with_digit_run_redacts_once(spark):
+    from logging_spark.functions import text as T
+    df = spark.createDataFrame(
+        [("x4111111111111111@bank.com ok",)], "t string")
+    red = df.select(T.redact_pii("t").alias("r")).first()["r"]
+    # email wins (replaced first): no <PAN> inside the local part
+    assert red == "<EMAIL> ok"
