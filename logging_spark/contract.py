@@ -75,7 +75,7 @@ from logging_spark.operators.kmv import (KMV_SPACE, grouped_sketch,
                                          kmv_estimate, kmv_sketch,
                                          merge_sketches)
 from logging_spark.operators.bpe import pair_counts
-from logging_spark.operators.kmeans import kmeans_summary
+from logging_spark.operators.kmeans import kmeans_summary, semdedup_summary
 from logging_spark.operators.multiline import assemble_multiline
 from logging_spark.operators.surprisal import surprisal_band_keep
 from logging_spark.operators.cluster import (duplicate_clusters,
@@ -3596,6 +3596,47 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_kmeans"] = lambda spark, sf: kmeans_summary(
         _read(spark, sf, "embeddings"), k=4, rounds=2)
 
+    # -- SemDeDup (operators/kmeans.semdedup_summary): k-means cells,
+    # then first-wins drop of within-cell cosine >= 2/5 neighbors.
+    # The whole chain — Lloyd rounds AND the similarity test — is
+    # integer-exact, so the oracle unrolls all of it.
+    q["sim_semdedup"] = lambda spark, sf: semdedup_summary(
+        _read(spark, sf, "embeddings"), k=4, rounds=2)
+
+    # -- semantic decontamination: eval-set embeddings (vec_id % 97
+    # == 0, standing in for the benchmark's encoded prompts) are
+    # BROADCAST; one pass over the corpus flags vectors with
+    # quantized cosine >= 7/20 to ANY eval vector. The embedding twin
+    # of docs_contamination_hits — corpus vectors never shuffle.
+    def sim_decontaminate(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        qv = F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"))
+        nn = F.aggregate(F.transform("qv", lambda x: x * x),
+                         F.lit(0).cast("long"), lambda a, x: a + x)
+        v = (emb.select("vec_id", "label", qv.alias("qv"))
+             .withColumn("nn", nn))
+        ev = (v.where(F.col("vec_id") % 97 == 0)
+              .select(F.col("qv").alias("eqv"),
+                      F.col("nn").alias("enn")))
+        corpus = v.where(F.col("vec_id") % 97 != 0)
+        d = F.aggregate(F.zip_with("qv", "eqv", lambda x, y: x * y),
+                        F.lit(0).cast("long"), lambda a, x: a + x)
+        hits = (corpus.crossJoin(F.broadcast(ev))
+                .withColumn("d", d)
+                .where((F.col("d") > 0)
+                       & (F.lit(400) * F.col("d") * F.col("d")
+                          >= F.lit(49) * F.col("nn") * F.col("enn")))
+                .select("vec_id").distinct()
+                .withColumn("_hit", F.lit(1)))
+        return (corpus.join(hits, "vec_id", "left")
+                .groupBy("label")
+                .agg(F.count(F.lit(1)).alias("n_vectors"),
+                     F.sum(F.coalesce("_hit", F.lit(0))).cast("long")
+                     .alias("n_flagged")))
+    q["sim_decontaminate"] = sim_decontaminate
+
     # -- PII detection + redaction (functions/text.py PII_*): the
     # governance pass every training export runs. The corpus text is
     # digit-free by construction, so both sides deterministically
@@ -6675,8 +6716,7 @@ q AS (SELECT vec_id,
 pts AS (SELECT vec_id, unnest(qv) AS val,
                generate_subscripts(qv, 1) AS pos
         FROM q)"""
-    o["sim_kmeans"] = f"""
-WITH {_km_pts},
+    _km_unroll = """
 c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM pts WHERE vec_id < 4),
 d1 AS (SELECT p.vec_id, c.cid,
               CAST(sum((p.val - c.cval) * (p.val - c.cval)) AS BIGINT) AS dist
@@ -6698,9 +6738,66 @@ a2 AS (SELECT vec_id, cid AS cluster, dist
                     row_number() OVER (PARTITION BY vec_id
                                        ORDER BY dist, cid) AS rn
              FROM d2)
-       WHERE rn = 1)
+       WHERE rn = 1)"""
+
+    o["sim_kmeans"] = f"""
+WITH {_km_pts},
+{_km_unroll}
 SELECT cluster, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia
 FROM a2 GROUP BY 1"""
+
+    # SemDeDup mirror: the same Lloyd unroll, then within-cell pairs
+    # at sim_scale=1000 (cos >= 2/5 as 25 d^2 >= 4 na nb, d > 0).
+    # vv feeds three joins -> AS MATERIALIZED (DuckDB re-inlines
+    # multiply-referenced CTEs otherwise — the pagerank lesson).
+    o["sim_semdedup"] = f"""
+WITH {_km_pts},
+{_km_unroll},
+q1 AS (SELECT vec_id,
+              list_transform(list_transform(embedding,
+                                            x -> CAST(x AS DOUBLE)),
+                             x -> CAST(floor(x * 1000) AS BIGINT))
+                AS qv
+       FROM embeddings),
+vv AS MATERIALIZED (
+  SELECT q1.vec_id, a2.cluster, q1.qv,
+         CAST(list_dot_product(q1.qv, q1.qv) AS BIGINT) AS nn
+  FROM q1 JOIN a2 USING (vec_id)),
+pr AS (SELECT b.vec_id AS vid_b,
+              CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS d,
+              a.nn AS na, b.nn AS nb
+       FROM vv a JOIN vv b
+         ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+drp AS (SELECT DISTINCT vid_b AS vec_id FROM pr
+        WHERE d > 0 AND 25 * d * d >= 4 * na * nb)
+SELECT cluster, count(*) AS n,
+       CAST(sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM vv LEFT JOIN drp USING (vec_id) GROUP BY 1"""
+
+    o["sim_decontaminate"] = """
+WITH q AS (SELECT vec_id, label,
+                  list_transform(list_transform(embedding,
+                                                x -> CAST(x AS DOUBLE)),
+                                 x -> CAST(floor(x * 1000) AS BIGINT))
+                    AS qv
+           FROM embeddings),
+n AS MATERIALIZED (
+  SELECT vec_id, label, qv,
+         CAST(list_dot_product(qv, qv) AS BIGINT) AS nn
+  FROM q),
+e AS (SELECT qv AS eqv, nn AS enn FROM n WHERE vec_id % 97 = 0),
+c AS (SELECT * FROM n WHERE vec_id % 97 <> 0),
+pr AS (SELECT c.vec_id,
+              CAST(list_dot_product(c.qv, e.eqv) AS BIGINT) AS d,
+              c.nn, e.enn
+       FROM c, e),
+hits AS (SELECT DISTINCT vec_id FROM pr
+         WHERE d > 0 AND 400 * d * d >= 49 * nn * enn)
+SELECT label, count(*) AS n_vectors,
+       CAST(sum(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM c LEFT JOIN hits h USING (vec_id) GROUP BY 1"""
 
     # PII mirror: same injected tokens, same RE2/Java-portable
     # patterns (no lookaround), same replacement order. DuckDB

@@ -97,3 +97,58 @@ def kmeans_summary(vectors: DataFrame, k: int = 4, rounds: int = 2,
     return (a.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("dist").cast("long").alias("inertia")))
+
+
+def semdedup_summary(vectors: DataFrame, k: int = 4, rounds: int = 2,
+                     sim_p: int = 2, sim_q: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     sim_scale: int = 1_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space into
+    semantic cells, then WITHIN each cell drop every vector that has
+    an earlier (lower-id) cell-mate with cosine >= sim_p/sim_q — the
+    first-wins convention shared with embedding_near_duplicates.
+    Returns (cluster, n, n_dropped).
+
+    The similarity test is integer-exact: components quantized at
+    `sim_scale` (1e3, NOT the assignment's 1e4 — the threshold test
+    squares the dot product, and (d * q)^2 must stay inside int64:
+    with |x|<=1, dim<=64, d <= 64e6, so q^2 d^2 <= 25 * 4.1e15 ~ 1e17),
+    and cos >= p/q decided as d > 0 AND q^2 d^2 >= p^2 na nb — no
+    sqrt, no float, oracle-mirrorable.
+
+    Scale shape: the quadratic work is per-cell (that's the POINT of
+    SemDeDup — k grows with n so cells stay bounded); the join is one
+    shuffle on cluster id. Each pair row carries two quantized arrays;
+    norms are precomputed per vector, not per pair."""
+    assign = kmeans_assign(vectors, k=k, rounds=rounds, id_col=id_col,
+                           vec_col=vec_col)
+    qv = F.transform(F.col(vec_col),
+                     lambda x: F.floor(x.cast("double") * sim_scale)
+                     .cast("long"))
+    dot = F.aggregate(
+        F.zip_with("qv", "eqv", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    v = (vectors.select(F.col(id_col), qv.alias("qv"))
+         .withColumn("nn", F.aggregate(
+             F.transform("qv", lambda x: x * x),
+             F.lit(0).cast("long"), lambda acc, x: acc + x))
+         .join(assign.select(id_col, "cluster"), id_col))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("qv").alias("qv"),
+                 F.col("nn").alias("na"), "cluster")
+    b = v.select(F.col(id_col).alias("id_b"), F.col("qv").alias("eqv"),
+                 F.col("nn").alias("nb"), "cluster")
+    pairs = (a.join(b, ["cluster"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("d", dot))
+    dropped = (pairs.where((F.col("d") > 0)
+                           & (F.lit(sim_q * sim_q) * F.col("d")
+                              * F.col("d")
+                              >= F.lit(sim_p * sim_p) * F.col("na")
+                              * F.col("nb")))
+               .select(F.col("id_b").alias(id_col)).distinct()
+               .withColumn("_dropped", F.lit(1)))
+    return (v.join(dropped, id_col, "left")
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.coalesce("_dropped", F.lit(0))).cast("long")
+                 .alias("n_dropped")))

@@ -163,3 +163,30 @@ def test_rrf_fuse_missing_docs_and_order(spark):
     # consensus doc (a) outranks the single-list doc even though b
     # holds the same rank-2 slot in its list
     assert got["a"][0] > got["b"][0]
+
+
+def test_semdedup_drops_near_parallel_cellmates(spark):
+    """Crafted geometry: ids 0-3 seed 4 cells; 4 extra vectors are
+    near-copies of seeds 0/1 (must drop, first-wins) or near-opposite
+    (d < 0: must survive even though |cos| is large)."""
+    from logging_spark.operators.kmeans import semdedup_summary
+    import numpy as np
+    rng = np.random.RandomState(7)
+    seeds = [np.eye(8)[i] for i in range(4)]
+    rows = [(i, seeds[i].tolist()) for i in range(4)]
+    rows.append((4, (seeds[0] * 0.9 + 0.01).tolist()))   # ~cos 1 to 0
+    rows.append((5, (seeds[1] * 0.7 + 0.02).tolist()))   # ~cos 1 to 1
+    rows.append((6, (-seeds[2]).tolist()))               # cos -1 to 2
+    rows.append((7, (rng.rand(8) * 0.05 + seeds[3] * 0.0
+                     + np.eye(8)[7]).tolist()))          # own direction
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    out = {r["cluster"]: (r["n"], r["n_dropped"])
+           for r in semdedup_summary(df, k=4, rounds=2,
+                                     sim_p=4, sim_q=5).collect()}
+    # clusters of seeds 0 and 1 each contain one near-duplicate
+    total_n = sum(n for n, _ in out.values())
+    total_drop = sum(d for _, d in out.values())
+    assert total_n == 8
+    assert total_drop == 2  # ids 4 and 5 only; 6 (antiparallel) kept
