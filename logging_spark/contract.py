@@ -3623,14 +3623,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = v.where(F.col("vec_id") % 97 != 0)
         d = F.aggregate(F.zip_with("qv", "eqv", lambda x, y: x * y),
                         F.lit(0).cast("long"), lambda a, x: a + x)
+        # let-bind the dot product: the filter collapses into the
+        # join condition, where an unbound `d` would re-run the
+        # zip_with aggregate 3x per pair (the quality_features
+        # subexpression lesson)
+        cond = T.let(d, lambda dd: (dd > 0)
+                     & (F.lit(400) * dd * dd
+                        >= F.lit(49) * F.col("nn") * F.col("enn")))
         hits = (corpus.crossJoin(F.broadcast(ev))
-                .withColumn("d", d)
-                .where((F.col("d") > 0)
-                       & (F.lit(400) * F.col("d") * F.col("d")
-                          >= F.lit(49) * F.col("nn") * F.col("enn")))
+                .where(cond)
                 .select("vec_id").distinct()
                 .withColumn("_hit", F.lit(1)))
-        return (corpus.join(hits, "vec_id", "left")
+        return (corpus.join(F.broadcast(hits), "vec_id", "left")
                 .groupBy("label")
                 .agg(F.count(F.lit(1)).alias("n_vectors"),
                      F.sum(F.coalesce("_hit", F.lit(0))).cast("long")

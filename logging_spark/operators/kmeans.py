@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from logging_spark.functions.expr import let
+
 QUANT = 10_000
 
 
@@ -137,17 +139,19 @@ def semdedup_summary(vectors: DataFrame, k: int = 4, rounds: int = 2,
                  F.col("nn").alias("na"), "cluster")
     b = v.select(F.col(id_col).alias("id_b"), F.col("qv").alias("eqv"),
                  F.col("nn").alias("nb"), "cluster")
+    # let-bind the dot product: the similarity filter collapses into
+    # the join condition, where an unbound column would re-run the
+    # zip_with aggregate 3x per pair (interpreted expressions don't
+    # share subexpressions — see functions/expr.let)
+    cond = let(dot, lambda d: (d > 0)
+               & (F.lit(sim_q * sim_q) * d * d
+                  >= F.lit(sim_p * sim_p) * F.col("na") * F.col("nb")))
     pairs = (a.join(b, ["cluster"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .withColumn("d", dot))
-    dropped = (pairs.where((F.col("d") > 0)
-                           & (F.lit(sim_q * sim_q) * F.col("d")
-                              * F.col("d")
-                              >= F.lit(sim_p * sim_p) * F.col("na")
-                              * F.col("nb")))
+             .where(F.col("id_a") < F.col("id_b")))
+    dropped = (pairs.where(cond)
                .select(F.col("id_b").alias(id_col)).distinct()
                .withColumn("_dropped", F.lit(1)))
-    return (v.join(dropped, id_col, "left")
+    return (v.join(F.broadcast(dropped), id_col, "left")
             .groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.coalesce("_dropped", F.lit(0))).cast("long")

@@ -255,3 +255,28 @@ def test_export_e2e_chain_shuffles_bounded(spark):
     plan = _plan(spark, "docs_export_e2e")
     assert _n_exchanges(plan) <= 3
     assert "SinglePartition" not in plan
+
+
+def test_kmv_sketch_is_take_ordered(spark):
+    # min-k must be TakeOrderedAndProject (per-partition heaps), not
+    # a global sort; audit joins two single-row aggregates.
+    plan = _plan(spark, "agg_kmv_audit")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    # corpus vectors must NOT shuffle: the eval side rides a
+    # broadcast into a nested-loop kernel, like hard_negatives.
+    plan = _plan(spark, "sim_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_entity_matches_one_block_join(spark):
+    # block self-join + class agg: the pair expansion happens in ONE
+    # equi-join (however Spark shuffles or broadcasts the sides —
+    # never a cartesian).
+    plan = _plan(spark, "dim_entity_matches")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
