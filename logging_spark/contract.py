@@ -3641,6 +3641,102 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_flagged")))
     q["sim_decontaminate"] = sim_decontaminate
 
+    # -- bigram conditional surprisal (operators/surprisal.py): the
+    # KenLM-band substitute one rung up from the unigram filter —
+    # floor(log2(c(w1)/c(w1 w2))) + 1 per bigram, integer bit-length.
+    # Per-source census of the per-doc means.
+    def text_bigram_surprisal(spark, sf):
+        from logging_spark.operators.surprisal import bigram_surprisal
+        d = _read(spark, sf, "documents")
+        per = bigram_surprisal(d)
+        return (per.join(d.select("doc_id", "source"), "doc_id")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+                     F.sum("surprisal_sum").cast("long")
+                     .alias("surprisal_sum"),
+                     F.min("mean_x100").alias("min_mean_x100"),
+                     F.max("mean_x100").alias("max_mean_x100"))
+                .withColumn("corpus_mean_x100",
+                            F.expr("surprisal_sum * 100 DIV n_bigrams")))
+    q["text_bigram_surprisal"] = text_bigram_surprisal
+
+    # -- theta-sketch intersection (operators/kmv.py): distinct-user
+    # overlap between clickers and high-value purchasers (user_id %
+    # 3 == 0 restriction keeps the overlap a strict subset on this
+    # dense data), estimated from two 64-row sketches that never see
+    # the raw id sets — audited against the exact distinct join.
+    def agg_kmv_intersection(spark, sf):
+        from logging_spark.operators.kmv import kmv_intersect_estimate
+        ev = _read(spark, sf, "events")
+        a = kmv_sketch(ev.where("event_type = 'click'"),
+                       "user_id", k=64)
+        b = kmv_sketch(ev.where("event_type = 'purchase' "
+                                "AND user_id % 3 = 0"),
+                       "user_id", k=64)
+        est = kmv_intersect_estimate(a, b)
+        ua = (ev.where("event_type = 'click'")
+              .select("user_id").distinct())
+        ub = (ev.where("event_type = 'purchase' AND user_id % 3 = 0")
+              .select("user_id").distinct())
+        exact = ua.join(ub, "user_id").agg(
+            F.count(F.lit(1)).alias("exact_intersection"))
+        return (est.crossJoin(exact)
+                .select("n_common", "est_intersection",
+                        "exact_intersection",
+                        F.expr("abs(est_intersection - "
+                               "exact_intersection) * 1000 DIV "
+                               "exact_intersection")
+                        .alias("err_permille"))
+                .withColumn("within_budget",
+                            (F.col("err_permille") <= 600).cast("int")))
+    q["agg_kmv_intersection"] = agg_kmv_intersection
+
+    # -- positional-index phrase search (operators/bm25.phrase_hits):
+    # exact token-adjacency match for 'slow join', term postings
+    # filtered BEFORE the position join. Per-source hit census.
+    def text_phrase_search(spark, sf):
+        from logging_spark.operators.bm25 import phrase_hits
+        d = _read(spark, sf, "documents")
+        hits = phrase_hits(d, "slow join")
+        return (hits.join(d.select("doc_id", "source"), "doc_id")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs_hit"),
+                     F.sum("n_occurrences").cast("long")
+                     .alias("n_occurrences")))
+    q["text_phrase_search"] = text_phrase_search
+
+    # -- embedding centroid drift: per-label integer centroid of the
+    # even-id half vs the odd-id half, squared L2 between them — the
+    # train/serve drift monitor (a healthy embedding table's halves
+    # agree; a re-embedding mid-table shows up as per-label drift).
+    def sim_centroid_drift(spark, sf):
+        from logging_spark.operators.kmeans import quantized_points
+        emb = _read(spark, sf, "embeddings")
+        pts = quantized_points(emb).join(
+            emb.select("vec_id", "label",
+                       (F.col("vec_id") % 2).cast("int").alias("half")),
+            "vec_id")
+        cent = (pts.groupBy("label", "half", "pos")
+                .agg(F.expr("CAST(sum(val) AS BIGINT) DIV count(*)")
+                     .alias("cval"),
+                     F.count(F.lit(1)).alias("_n")))
+        piv = (cent.groupBy("label", "pos")
+               .agg(F.max(F.when(F.col("half") == 0, F.col("cval")))
+                    .alias("c0"),
+                    F.max(F.when(F.col("half") == 1, F.col("cval")))
+                    .alias("c1"),
+                    F.max(F.when(F.col("half") == 0, F.col("_n")))
+                    .alias("n0"),
+                    F.max(F.when(F.col("half") == 1, F.col("_n")))
+                    .alias("n1")))
+        return (piv.groupBy("label")
+                .agg(F.sum(F.expr("(c0 - c1) * (c0 - c1)"))
+                     .cast("long").alias("drift_sq"),
+                     F.max("n0").cast("long").alias("n_even"),
+                     F.max("n1").cast("long").alias("n_odd")))
+    q["sim_centroid_drift"] = sim_centroid_drift
+
     # -- PII detection + redaction (functions/text.py PII_*): the
     # governance pass every training export runs. The corpus text is
     # digit-free by construction, so both sides deterministically
@@ -6906,6 +7002,105 @@ SELECT CASE WHEN score >= 4 THEN 'match'
        CAST(min(score) AS INT) AS min_score,
        CAST(max(score) AS INT) AS max_score
 FROM pr GROUP BY 1"""
+
+    # range(1, len) + toks[i:i+1] is DuckDB's inclusive-slice 2-gram;
+    # bg feeds two joins -> MATERIALIZED
+    o["text_bigram_surprisal"] = f"""
+WITH t AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+uni AS (SELECT tok, count(*) AS c1
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+bg AS MATERIALIZED (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(toks) >= 2 THEN list_transform(
+                  range(1, len(toks)),
+                  i -> array_to_string(toks[i:i+1], ' '))
+                ELSE [] END) AS g
+  FROM t),
+bv AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1),
+sp AS (SELECT g, CAST(length(bin(c1 // c2)) AS BIGINT) AS sp
+       FROM bv JOIN uni ON string_split(g, ' ')[1] = tok),
+per AS (SELECT doc_id, source, count(*) AS nb,
+               CAST(sum(sp) AS BIGINT) AS ss,
+               (CAST(sum(sp) AS BIGINT) * 100) // count(*)
+                 AS mean_x100
+        FROM bg JOIN sp USING (g) GROUP BY 1, 2)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(nb) AS BIGINT) AS n_bigrams,
+       CAST(sum(ss) AS BIGINT) AS surprisal_sum,
+       CAST(min(mean_x100) AS BIGINT) AS min_mean_x100,
+       CAST(max(mean_x100) AS BIGINT) AS max_mean_x100,
+       (CAST(sum(ss) AS BIGINT) * 100) // CAST(sum(nb) AS BIGINT)
+         AS corpus_mean_x100
+FROM per GROUP BY 1"""
+
+    _kmv_u = hash56_sql("user_id", "kmv")
+    o["agg_kmv_intersection"] = f"""
+WITH ha AS (SELECT DISTINCT {_kmv_u} AS hv FROM events
+            WHERE event_type = 'click'),
+hb AS (SELECT DISTINCT {_kmv_u} AS hv FROM events
+       WHERE event_type = 'purchase' AND user_id % 3 = 0),
+ska AS (SELECT hv FROM ha ORDER BY hv LIMIT 64),
+skb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64),
+th AS (SELECT least((SELECT max(hv) FROM ska),
+                    (SELECT max(hv) FROM skb)) AS theta),
+cm AS (SELECT count(*) AS n_common
+       FROM ska JOIN skb USING (hv), th WHERE hv < theta),
+est AS (SELECT n_common,
+               (n_common * {KMV_SPACE}) // theta AS est_intersection
+        FROM cm, th),
+ex AS (SELECT count(*) AS exact_intersection FROM
+         (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'click') a
+       JOIN (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase' AND user_id % 3 = 0) b
+       USING (user_id)),
+j AS (SELECT n_common, est_intersection, exact_intersection,
+             (abs(est_intersection - exact_intersection) * 1000)
+               // exact_intersection AS err_permille
+      FROM est, ex)
+SELECT n_common, est_intersection, exact_intersection, err_permille,
+       CAST(CASE WHEN err_permille <= 600 THEN 1 ELSE 0 END AS INT)
+         AS within_budget
+FROM j"""
+
+    o["text_phrase_search"] = f"""
+WITH t AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+p AS (SELECT doc_id, source, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM t),
+t0 AS (SELECT doc_id, source, pos FROM p WHERE tok = 'slow'),
+t1 AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE tok = 'join'),
+hits AS (SELECT t0.doc_id, t0.source, count(*) AS n_occ
+         FROM t0 JOIN t1 USING (doc_id, pos) GROUP BY 1, 2)
+SELECT source, count(*) AS n_docs_hit,
+       CAST(sum(n_occ) AS BIGINT) AS n_occurrences
+FROM hits GROUP BY 1"""
+
+    o["sim_centroid_drift"] = """
+WITH q AS (SELECT vec_id, label, vec_id % 2 AS half,
+                  list_transform(list_transform(embedding,
+                                                x -> CAST(x AS DOUBLE)),
+                                 x -> CAST(floor(x * 10000) AS BIGINT))
+                    AS qv
+           FROM embeddings),
+pts AS (SELECT vec_id, label, half, unnest(qv) AS val,
+               generate_subscripts(qv, 1) AS pos
+        FROM q),
+cent AS (SELECT label, half, pos,
+                CAST(sum(val) AS BIGINT) // count(*) AS cval,
+                count(*) AS n
+         FROM pts GROUP BY 1, 2, 3),
+piv AS (SELECT label, pos,
+               max(CASE WHEN half = 0 THEN cval END) AS c0,
+               max(CASE WHEN half = 1 THEN cval END) AS c1,
+               max(CASE WHEN half = 0 THEN n END) AS n0,
+               max(CASE WHEN half = 1 THEN n END) AS n1
+        FROM cent GROUP BY 1, 2)
+SELECT label,
+       CAST(sum((c0 - c1) * (c0 - c1)) AS BIGINT) AS drift_sq,
+       CAST(max(n0) AS BIGINT) AS n_even,
+       CAST(max(n1) AS BIGINT) AS n_odd
+FROM piv GROUP BY 1"""
 
     # KMV mirrors: same 56-bit md5 hashes, same integer estimate.
     _kmv_h = hash56_sql("user_id", "kmv")

@@ -120,3 +120,30 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[str, str]],
             .where(F.col("rank") <= k)
             .select("query_id", F.col("rank").cast("int").alias("rank"),
                     id_col, "score"))
+
+
+def phrase_hits(df: DataFrame, phrase: str, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, n_occurrences): documents containing the exact token
+    phrase, via a positional index — posexplode to (doc, pos, tok),
+    FILTER to the phrase's terms before anything wide (the BM25
+    query-term lesson: the index the join sees is |phrase| postings
+    lists, not the corpus), then chain equi-joins on
+    (doc, pos + offset). Substring LIKE scans re-read every byte per
+    phrase; the positional index reuses one tokenization and each
+    additional phrase term is a join on an already-tiny frame."""
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("empty phrase")
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    out = (pos.where(F.col("tok") == terms[0])
+           .select(id_col, "pos"))
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = (pos.where(F.col("tok") == term)
+               .select(F.col(id_col),
+                       (F.col("pos") - i).alias("pos")))
+        out = out.join(nxt, [id_col, "pos"])
+    return (out.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences")))

@@ -118,3 +118,30 @@ def kmv_audit(df: DataFrame, col: str, k: int = 64,
             .withColumn(
                 "within_budget",
                 (F.col("err_permille") <= budget_permille).cast("int")))
+
+
+def kmv_intersect_estimate(sk_a: DataFrame,
+                           sk_b: DataFrame) -> DataFrame:
+    """Theta-sketch set intersection from two KMV sketches: one row
+    (theta, n_common, est_intersection). theta = min of the two kth
+    hashes; every hash < theta present in BOTH sketches is a complete
+    uniform sample of A ∩ B below theta (a min-k sketch contains ALL
+    its input's distinct hashes below its own kth), so
+    est = n_common * KMV_SPACE DIV theta. The strict < excludes the
+    kth itself, so n_common <= MAX_K - 1 = 127 and the numerator
+    127 * 2^56 stays inside int64.
+
+    Distinct-intersection ("audience overlap") without ever joining
+    the raw id sets — two k-row frames meet, nothing else."""
+    ta = sk_a.agg(F.max("hv").alias("_ka"))
+    tb = sk_b.agg(F.max("hv").alias("_kb"))
+    theta = (ta.crossJoin(tb)
+             .select(F.least("_ka", "_kb").alias("theta")))
+    common = (sk_a.join(sk_b, "hv")
+              .crossJoin(F.broadcast(theta))
+              .where(F.col("hv") < F.col("theta"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return (common.crossJoin(F.broadcast(theta))
+            .select("theta", "n_common",
+                    F.expr(f"(n_common * {KMV_SPACE}) DIV theta")
+                    .alias("est_intersection")))

@@ -63,3 +63,38 @@ def surprisal_band_keep(df: DataFrame, lo_x100: int, hi_x100: int,
     return s.withColumn(
         "keep",
         F.col("mean_x100").between(lo_x100, hi_x100).cast("int"))
+
+
+def bigram_surprisal(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, n_bigrams, surprisal_sum, mean_x100): per-doc CONDITIONAL
+    bigram surprisal — floor(log2(count(w1) / count(w1 w2))) + 1 per
+    bigram, the integer bit-length trick again. This is the KenLM-
+    band substitute one rung up from the unigram filter: templated
+    text (every w1 deterministically followed by the same w2) scores
+    near 1; incoherent text (w2 nearly independent of w1) scores near
+    the unigram surprisal of w2. count(w1) >= count(w1 w2) always, so
+    DIV >= 1 and the bit-length is >= 1 — no zero/negative guards.
+
+    Plan shape mirrors unigram_surprisal: two vocab aggregates
+    (unigram + bigram, both map-side combined), the bigram table
+    joins its w1 count once (vocab-sized join, not stream-sized),
+    and the doc bigram stream joins the finished surprisal table.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(T.tokens(text_col)).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c1"))
+    bg = df.select(F.col(id_col),
+                   F.explode(T.ngrams(text_col, 2)).alias("g"))
+    bvocab = bg.groupBy("g").agg(F.count(F.lit(1)).alias("_c2"))
+    sp = (bvocab
+          .join(uni, F.split(F.col("g"), " ").getItem(0)
+                == F.col("tok"))
+          .select("g", F.length(F.bin(F.expr("_c1 DIV _c2")))
+                  .cast("long").alias("_sp")))
+    return (bg.join(sp, "g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.sum("_sp").cast("long").alias("surprisal_sum"))
+            .withColumn("mean_x100",
+                        F.expr("surprisal_sum * 100 DIV n_bigrams")))

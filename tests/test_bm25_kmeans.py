@@ -190,3 +190,25 @@ def test_semdedup_drops_near_parallel_cellmates(spark):
     total_drop = sum(d for _, d in out.values())
     assert total_n == 8
     assert total_drop == 2  # ids 4 and 5 only; 6 (antiparallel) kept
+
+
+def test_phrase_hits_overlapping_and_order(spark):
+    from logging_spark.operators.bm25 import phrase_hits
+    docs = [(0, "a a a b"),        # 'a a' occurs at pos 0 and 1
+            (1, "b a b a"),        # never adjacent 'a a'
+            (2, "x a a y a a"),    # two occurrences
+            (3, "a")]              # too short
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_hits(df, "a a").collect()}
+    assert got == {0: 2, 2: 2}
+
+
+def test_phrase_hits_three_terms(spark):
+    from logging_spark.operators.bm25 import phrase_hits
+    docs = [(0, "the quick brown fox"), (1, "quick brown dog"),
+            (2, "the quick red brown fox")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_hits(df, "quick brown fox").collect()}
+    assert got == {0: 1}

@@ -86,3 +86,27 @@ def test_kmv_small_input_holds_all_values(spark):
     df = spark.range(10).select(F.col("id").alias("v"))
     est = kmv_estimate(kmv_sketch(df, "v", k=64)).first()
     assert est["k_used"] == 10  # fewer distinct than k: sketch = all
+
+
+def test_kmv_intersection_estimate(spark):
+    from logging_spark.operators.kmv import (kmv_intersect_estimate,
+                                             kmv_sketch)
+    a = spark.range(3000).select(F.col("id").alias("v"))       # 0..2999
+    b = spark.range(1000, 5000).select(F.col("id").alias("v"))  # 1k..5k
+    est = kmv_intersect_estimate(
+        kmv_sketch(a, "v", k=128, seed="x"),
+        kmv_sketch(b, "v", k=128, seed="x")).first()
+    # true intersection = 2000; theta-sample of ~128 -> ~27% 3-sigma
+    assert est["n_common"] > 0
+    assert abs(est["est_intersection"] - 2000) <= 2000 * 0.30
+
+
+def test_kmv_intersection_disjoint_is_zero(spark):
+    from logging_spark.operators.kmv import (kmv_intersect_estimate,
+                                             kmv_sketch)
+    a = spark.range(500).select(F.col("id").alias("v"))
+    b = spark.range(500, 1000).select(F.col("id").alias("v"))
+    est = kmv_intersect_estimate(
+        kmv_sketch(a, "v", k=64, seed="x"),
+        kmv_sketch(b, "v", k=64, seed="x")).first()
+    assert est["n_common"] == 0 and est["est_intersection"] == 0
