@@ -128,6 +128,18 @@ HEADLINE = [
     "text_phonetic_blocking",
     "docs_rrf",
     "docs_bfs_layers",
+    # round-4 fourth-session additions: KMV sketch build+audit and
+    # theta intersection, blocked ER scoring (1M pairs at sf0.1),
+    # SemDeDup cells+prune, PII regex chain, bigram LM-band scoring,
+    # positional phrase search, lagged autocorrelation moments
+    "agg_kmv_audit",
+    "agg_kmv_intersection",
+    "dim_entity_matches",
+    "sim_semdedup",
+    "text_pii_redact",
+    "text_bigram_surprisal",
+    "text_phrase_search",
+    "events_autocorr",
 ]
 
 

@@ -3828,16 +3828,26 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p = _read(spark, sf, "part").select(
             "p_partkey", "p_brand", "p_type", "p_size",
             F.split("p_name", " ").getItem(0).alias("w1"),
-            F.split("p_name", " ").getItem(1).alias("w2"))
-        pairs = blocked_pairs(p, "p_partkey", "w2", max_block=1000)
+            F.split("p_name", " ").getItem(1).alias("w2"),
+            F.floor(F.col("p_retailprice") * 10).cast("long")
+            .alias("price_d"))
+        # block on (noun, brand): ~8 x 25 keys, block sizes grow as
+        # n / 200 — the composite-key refinement that keeps blocks
+        # under the cap at ANY scale factor (noun alone blows past
+        # max_block at sf0.1)
+        pairs = blocked_pairs(
+            p, "p_partkey",
+            F.concat_ws("|", F.col("w2"), F.col("p_brand")),
+            max_block=10_000)
         rules = [
             (F.col("a.w1") == F.col("b.w1"), 3, -2),
-            (F.col("a.p_brand") == F.col("b.p_brand"), 2, -1),
             (F.col("a.p_type") == F.col("b.p_type"), 1, -1),
             (F.abs(F.col("a.p_size") - F.col("b.p_size")) <= 2, 1, -1),
+            (F.abs(F.col("a.price_d") - F.col("b.price_d")) <= 10,
+             1, -1),
         ]
         scored = match_scores(pairs, "p_partkey", rules,
-                              t_match=4, t_possible=0)
+                              t_match=5, t_possible=0)
         return (scored.groupBy("match_class")
                 .agg(F.count(F.lit(1)).alias("n_pairs"),
                      F.min("score").alias("min_score"),
@@ -6982,20 +6992,23 @@ SELECT bucket, n FROM b UNION ALL SELECT bucket, n FROM orph"""
     o["dim_entity_matches"] = """
 WITH e AS (SELECT p_partkey,
                   string_split(p_name, ' ')[1] AS w1,
-                  string_split(p_name, ' ')[2] AS w2,
-                  p_brand, p_type, p_size
+                  string_split(p_name, ' ')[2] || '|' || p_brand
+                    AS blk_key,
+                  p_type, p_size,
+                  CAST(floor(p_retailprice * 10) AS BIGINT) AS price_d
            FROM part),
 blk AS (SELECT * FROM e
-        QUALIFY count(*) OVER (PARTITION BY w2) <= 1000),
+        QUALIFY count(*) OVER (PARTITION BY blk_key) <= 10000),
 pr AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
               (CASE WHEN a.w1 = b.w1 THEN 3 ELSE -2 END
-               + CASE WHEN a.p_brand = b.p_brand THEN 2 ELSE -1 END
                + CASE WHEN a.p_type = b.p_type THEN 1 ELSE -1 END
                + CASE WHEN abs(a.p_size - b.p_size) <= 2
+                      THEN 1 ELSE -1 END
+               + CASE WHEN abs(a.price_d - b.price_d) <= 10
                       THEN 1 ELSE -1 END) AS score
        FROM blk a JOIN blk b
-         ON a.w2 = b.w2 AND a.p_partkey < b.p_partkey)
-SELECT CASE WHEN score >= 4 THEN 'match'
+         ON a.blk_key = b.blk_key AND a.p_partkey < b.p_partkey)
+SELECT CASE WHEN score >= 5 THEN 'match'
             WHEN score >= 0 THEN 'possible'
             ELSE 'non_match' END AS match_class,
        count(*) AS n_pairs,
