@@ -3641,6 +3641,68 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_flagged")))
     q["sim_decontaminate"] = sim_decontaminate
 
+    # -- CDC round-trip identity (operators/diff.changeset /
+    # apply_changes): derive a churned yesterday-snapshot v1 from
+    # events (drop %13 keys, bump %7 payloads, add %17 extras),
+    # compute the applyable changeset v1->v2, REPLAY it, and
+    # fingerprint-compare the reconstruction against v2. The oracle
+    # asserts the identity directly (recon == v2), so any apply bug
+    # shows as fp_equal = 0 against the oracle's 1 — the
+    # losslessness-proof pattern.
+    def events_cdc_roundtrip(spark, sf):
+        from logging_spark.operators.diff import (apply_changes,
+                                                  changeset)
+        v2 = _read(spark, sf, "events").select(
+            "event_id", "event_type",
+            F.floor(F.col("value") * 100).cast("long")
+            .alias("val_cents"))
+        base = (v2.where("event_id % 13 <> 0")
+                .select("event_id", "event_type",
+                        F.when(F.col("event_id") % 7 == 0,
+                               F.col("val_cents") + 1)
+                        .otherwise(F.col("val_cents"))
+                        .alias("val_cents")))
+        extra = (v2.where("event_id % 17 = 0")
+                 .select((F.col("event_id") + 1_000_000_000)
+                         .alias("event_id"),
+                         "event_type", "val_cents"))
+        v1 = base.unionByName(extra)
+        keys, payload = ["event_id"], ["event_type", "val_cents"]
+        ch = changeset(v1, v2, keys, payload)
+        recon = apply_changes(v1, ch, keys, payload)
+
+        def fp(df):
+            h = hash60(F.concat_ws(
+                ":", F.col("event_id").cast("string"),
+                F.col("event_type"),
+                F.col("val_cents").cast("string")), "cdc")
+            return df.select(h.alias("_h")).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(_h)").alias("f"))
+        t = fp(v2).select(F.col("n").alias("n_target"),
+                          F.col("f").alias("_ft"))
+        r = fp(recon).select(F.col("n").alias("n_recon"),
+                             F.col("f").alias("_fr"))
+        nc = ch.agg(F.count(F.lit(1)).alias("n_changes"))
+        return (t.crossJoin(r).crossJoin(nc)
+                .select("n_target", "n_recon", "n_changes",
+                        (F.col("_ft") == F.col("_fr")).cast("int")
+                        .alias("fp_equal")))
+    q["events_cdc_roundtrip"] = events_cdc_roundtrip
+
+    # -- distributed weighted median (operators/weighted.py): lower
+    # weighted median of line price cents weighted by quantity —
+    # two-phase prefix sum, no single-partition window; the oracle
+    # runs the naive global-window plan and must agree exactly.
+    def agg_weighted_median(spark, sf):
+        from logging_spark.operators.weighted import weighted_median
+        li = _read(spark, sf, "lineitem").select(
+            F.floor(F.col("l_extendedprice") * 100).cast("long")
+            .alias("cents"),
+            F.floor("l_quantity").cast("long").alias("qty"))
+        return weighted_median(li, "cents", "qty")
+    q["agg_weighted_median"] = agg_weighted_median
+
     # -- bigram conditional surprisal (operators/surprisal.py): the
     # KenLM-band substitute one rung up from the unigram filter —
     # floor(log2(c(w1)/c(w1 w2))) + 1 per bigram, integer bit-length.
@@ -7015,6 +7077,35 @@ SELECT CASE WHEN score >= 5 THEN 'match'
        CAST(min(score) AS INT) AS min_score,
        CAST(max(score) AS INT) AS max_score
 FROM pr GROUP BY 1"""
+
+    # CDC round-trip: the oracle asserts the identity recon == v2
+    # directly (counts of v2, fp_equal = 1); the fingerprints are
+    # computed and compared on the Spark side — any bug in the
+    # changeset/apply chain yields fp_equal = 0 and a mismatch.
+    o["events_cdc_roundtrip"] = f"""
+WITH v2 AS (SELECT event_id, event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS val_cents
+            FROM events),
+fpv AS (SELECT count(*) AS n FROM v2),
+nch AS (SELECT
+    (SELECT count(*) FROM v2 WHERE event_id % 13 = 0)
+  + (SELECT count(*) FROM v2
+     WHERE event_id % 7 = 0 AND event_id % 13 <> 0)
+  + (SELECT count(*) FROM v2 WHERE event_id % 17 = 0) AS n_changes)
+SELECT n AS n_target, n AS n_recon, n_changes,
+       CAST(1 AS INT) AS fp_equal
+FROM fpv, nch"""
+
+    o["agg_weighted_median"] = """
+WITH per AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+                    CAST(sum(CAST(floor(l_quantity) AS BIGINT))
+                         AS BIGINT) AS w
+             FROM lineitem GROUP BY 1),
+c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cum FROM per),
+t AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM per)
+SELECT W AS total_weight,
+       (SELECT min(v) FROM c, t WHERE 2 * cum >= W) AS median
+FROM t"""
 
     # range(1, len) + toks[i:i+1] is DuckDB's inclusive-slice 2-gram;
     # bg feeds two joins -> MATERIALIZED

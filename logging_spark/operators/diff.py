@@ -87,3 +87,44 @@ def snapshot_diff(
         F.coalesce(F.col("_nh"), F.lit("")).alias("new_hash"),
     )
     return out if keep_unchanged else out.where(F.col("status") != "unchanged")
+
+
+def changeset(old: DataFrame, new: DataFrame, keys: list[str],
+              payload: list[str]) -> DataFrame:
+    """Applyable CDC stream between two snapshots: key columns +
+    ``op`` ('upsert'|'delete') + the NEW payload for upserts (NULL
+    for deletes). `snapshot_diff` answers "what changed" with hashes;
+    this carries enough to REPLAY the change — `apply_changes(old,
+    changeset(old, new)) == new`, row for row (the round-trip
+    identity is a contract query, not just a doc claim).
+
+    added/changed both become 'upsert' (idempotent to apply);
+    unchanged rows are absent, so the stream size is proportional to
+    the churn, not the table."""
+    d = snapshot_diff(old, new, keys, payload)
+    ups = (d.where(F.col("status").isin("added", "changed"))
+           .select(*keys)
+           .join(new.select(*keys, *payload), keys)
+           .select(*keys, F.lit("upsert").alias("op"), *payload))
+    dels = (d.where(F.col("status") == "removed")
+            .select(*keys, F.lit("delete").alias("op"),
+                    *[F.lit(None).cast(dict(new.dtypes)[c]).alias(c)
+                      for c in payload]))
+    return ups.unionByName(dels)
+
+
+def apply_changes(base: DataFrame, changes: DataFrame, keys: list[str],
+                  payload: list[str]) -> DataFrame:
+    """Replay a `changeset` onto a base snapshot: every keyed row in
+    the change stream replaces (or deletes) its key in the base;
+    everything else survives untouched. One anti-join on the key +
+    one union — the relational MERGE, engine-agnostic.
+
+    Scale: the anti-join shuffles (key) only — base payload stays
+    put per-partition when base is bucketed by the key; the change
+    stream is churn-sized, usually broadcastable."""
+    survivors = (base.select(*keys, *payload)
+                 .join(changes.select(*keys), keys, "left_anti"))
+    ups = (changes.where(F.col("op") == "upsert")
+           .select(*keys, *payload))
+    return survivors.unionByName(ups)
