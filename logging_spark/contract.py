@@ -3945,6 +3945,115 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             .cast("int")))
     q["agg_kmv_merge_proof"] = agg_kmv_merge_proof
 
+    # -- Holt (double-exponential) level+trend over hourly event
+    # counts (operators/timeseries.py holt_fold) — the trend-aware
+    # sibling of events_ewma_hourly. Integer x1000 fixed point; the
+    # oracle runs the identical recurrence as a recursive CTE (trend
+    # can go negative — Spark DIV and DuckDB // both truncate).
+    def events_holt_trend(spark, sf):
+        from logging_spark.operators.timeseries import holt_fold
+        ev = _read(spark, sf, "events")
+        hourly = (ev.groupBy(
+                      F.col("event_type"),
+                      F.expr("CAST(unix_timestamp(CAST(ts AS timestamp))"
+                             " DIV 3600 AS BIGINT)").alias("h"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        return holt_fold(hourly, key="event_type", order_col="h",
+                         value_col="n")
+    q["events_holt_trend"] = events_holt_trend
+
+    # -- cross-period behavior drift: per-user LCS alignment between
+    # first-half and second-half event-type sequences via the cogroup
+    # surface (operators/align.py — groupBy().cogroup().applyInPandas,
+    # the one Spark API no other query exercises). LCS is sequential
+    # DP, not ANSI-SQL short of a quadratic recursive CTE -> rows-only
+    # by design; the DP kernel is pinned by a brute-force pytest twin
+    # (tests/test_align.py) and the decile rollup below is
+    # partitioning-independent.
+    def events_user_drift(spark, sf):
+        from logging_spark.operators.align import cogroup_lcs
+        ev = _read(spark, sf, "events").select(
+            "user_id", "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        mid = ev.agg(F.expr("(min(us) + max(us)) DIV 2").alias("m"))
+        ev2 = ev.crossJoin(F.broadcast(mid))
+        drift = cogroup_lcs(ev2.where(F.col("us") < F.col("m")),
+                            ev2.where(F.col("us") >= F.col("m")),
+                            key="user_id", order_col="us",
+                            symbol_col="event_type", max_len=24)
+        return (drift.groupBy(F.expr("align_permille DIV 100")
+                              .alias("align_decile"))
+                .agg(F.count(F.lit(1)).alias("n_users"),
+                     F.sum("lcs_len").cast("long").alias("sum_lcs")))
+    q["events_user_drift"] = events_user_drift
+
+    # -- inter-annotator agreement (Cohen's kappa, operators/dq.py):
+    # label-quality audit between two deterministic "annotators"
+    # (char-count band vs token-count band). Integer-exact numerator/
+    # denominator split; one shuffle over <=25 confusion cells.
+    def dq_label_kappa(spark, sf):
+        from logging_spark.operators.dq import cohen_kappa
+        d = _read(spark, sf, "documents")
+        lab = d.select(
+            F.expr("least(4L, n_chars DIV 250)").alias("ann_a"),
+            F.expr("least(4L, (CAST(size(CASE WHEN length(trim(text)) = 0 "
+                   "THEN array() ELSE split(trim(text), '\\\\s+') END) "
+                   "AS BIGINT) * 6) DIV 250)").alias("ann_b"))
+        return cohen_kappa(lab, "ann_a", "ann_b")
+    q["dq_label_kappa"] = dq_label_kappa
+
+    # -- leave-one-source-out ablation report: how the corpus mean
+    # token count moves if each source is dropped — the cheap first
+    # pass of data-mixture ablations. Pure integer (ppm DIV), one
+    # grouped agg + one broadcast of the 1-row totals.
+    def docs_source_ablation(spark, sf):
+        d = _read(spark, sf, "documents")
+        per_doc = d.select("source",
+                           F.size(T.tokens("text")).cast("long").alias("q"))
+        per = per_doc.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q").cast("long").alias("tok_sum"))
+        tot = per_doc.agg(F.count(F.lit(1)).alias("nn"),
+                          F.sum("q").cast("long").alias("ss"))
+        return (per.crossJoin(F.broadcast(tot))
+                .select("source", "n_docs", "tok_sum",
+                        F.expr("(ss * 1000000) DIV nn")
+                         .alias("full_mean_ppm"),
+                        F.expr("((ss - tok_sum) * 1000000) DIV (nn - n_docs)")
+                         .alias("ablated_mean_ppm"),
+                        F.expr("((ss - tok_sum) * 1000000) DIV (nn - n_docs)"
+                               " - (ss * 1000000) DIV nn")
+                         .alias("delta_ppm")))
+    q["docs_source_ablation"] = docs_source_ablation
+
+    # -- corpus keyness: which tokens distinguish the en corpus from
+    # the rest. Per-million-rate smoothed ratio — all BIGINT, no logs,
+    # overflow-safe at any corpus size because rates are bounded by
+    # 1e6 before the ratio. Global top-20 via orderBy+limit =
+    # TakeOrderedAndProject (distributed heap, no global sort).
+    def text_keyness(spark, sf):
+        d = _read(spark, sf, "documents")
+        tok = (d.select((F.col("lang") == "en").cast("long").alias("is_en"),
+                        F.explode(T.tokens(F.lower(F.col("text"))))
+                        .alias("tok"))
+               .where(F.length("tok") >= 3))
+        cnt = tok.groupBy("tok").agg(
+            F.sum("is_en").cast("long").alias("a"),
+            F.sum(1 - F.col("is_en")).cast("long").alias("b"))
+        tot = cnt.agg(F.sum("a").cast("long").alias("ta"),
+                      F.sum("b").cast("long").alias("tb"))
+        scored = (cnt.crossJoin(F.broadcast(tot))
+                  .where(F.col("a") >= 10)
+                  .select("tok", "a", "b",
+                          F.expr("(a * 1000000) DIV ta").alias("rate_a_ppm"),
+                          F.expr("(b * 1000000) DIV tb").alias("rate_b_ppm"),
+                          F.expr("(((a * 1000000) DIV ta) + 1) * 1000000"
+                                 " DIV (((b * 1000000) DIV tb) + 1)")
+                           .alias("keyness_x1e6")))
+        return scored.orderBy(F.desc("keyness_x1e6"), F.desc("a"),
+                              "tok").limit(20)
+    q["text_keyness"] = text_keyness
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -7241,5 +7350,104 @@ SELECT est_merged, est_direct,
        CAST(CASE WHEN est_merged = est_direct THEN 1 ELSE 0 END AS INT)
          AS merged_equals_direct
 FROM m, d"""
+
+    o["events_holt_trend"] = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+idx AS (SELECT event_type, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+        FROM hourly),
+init AS (
+  SELECT a.event_type, 2 AS i,
+         b.n * 1000 AS l, (b.n - a.n) * 1000 AS t
+  FROM idx a JOIN idx b ON b.event_type = a.event_type AND b.i = 2
+  WHERE a.i = 1),
+e(event_type, i, l, t) AS (
+  SELECT event_type, i, l, t FROM init
+  UNION ALL
+  SELECT h.event_type, h.i,
+         (300 * h.n * 1000 + 700 * (e.l + e.t)) // 1000,
+         (100 * (((300 * h.n * 1000 + 700 * (e.l + e.t)) // 1000) - e.l)
+          + 900 * e.t) // 1000
+  FROM e JOIN idx h ON h.event_type = e.event_type AND h.i = e.i + 1),
+lst AS (SELECT event_type, max(i) AS mi FROM e GROUP BY 1),
+np AS (SELECT event_type, CAST(max(i) AS BIGINT) AS n_points
+       FROM idx GROUP BY 1)
+SELECT e.event_type, np.n_points,
+       CAST(e.l AS BIGINT) AS level_x1000,
+       CAST(e.t AS BIGINT) AS trend_x1000,
+       CAST(e.l + e.t AS BIGINT) AS forecast_x1000
+FROM e JOIN lst ON e.event_type = lst.event_type AND e.i = lst.mi
+JOIN np ON np.event_type = e.event_type
+WHERE np.n_points >= 2"""
+
+    o["dq_label_kappa"] = r"""
+WITH lab AS (
+  SELECT least(4, n_chars // 250) AS a,
+         least(4, (CAST(len(CASE WHEN trim(text) = '' THEN []
+                   ELSE string_split_regex(trim(text), '\s+') END)
+                   AS BIGINT) * 6) // 250) AS b
+  FROM documents),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY 1, 2),
+rows_ AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cells GROUP BY 1),
+cols_ AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM cells GROUP BY 1),
+pe AS (SELECT CAST(coalesce(sum(ra * cb), 0) AS BIGINT) AS pe_num
+       FROM rows_ JOIN cols_ ON rows_.a = cols_.b),
+tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+               CAST(coalesce(sum(CASE WHEN a = b THEN n END), 0) AS BIGINT)
+                 AS n_agree
+        FROM cells)
+SELECT n, n_agree, pe_num,
+       CAST(CASE WHEN n * n - pe_num = 0 THEN 1000000
+            ELSE ((n * n_agree - pe_num) * 1000000) // (n * n - pe_num)
+            END AS BIGINT) AS kappa_x1e6
+FROM tot, pe"""
+
+    o["docs_source_ablation"] = r"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\s+') END)
+              AS BIGINT) AS q
+  FROM documents),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(q) AS BIGINT) AS tok_sum
+        FROM per_doc GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(q) AS BIGINT) AS ss
+        FROM per_doc)
+SELECT source, n_docs, tok_sum,
+       CAST((ss * 1000000) // nn AS BIGINT) AS full_mean_ppm,
+       CAST(((ss - tok_sum) * 1000000) // (nn - n_docs) AS BIGINT)
+         AS ablated_mean_ppm,
+       CAST(((ss - tok_sum) * 1000000) // (nn - n_docs)
+            - (ss * 1000000) // nn AS BIGINT) AS delta_ppm
+FROM per, tot"""
+
+    o["text_keyness"] = r"""
+WITH tok AS (
+  SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS is_en,
+         t.tok
+  FROM documents,
+       unnest(CASE WHEN trim(lower(text)) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END)
+         AS t(tok)
+  WHERE len(t.tok) >= 3),
+cnt AS (SELECT tok, CAST(sum(is_en) AS BIGINT) AS a,
+               CAST(sum(1 - is_en) AS BIGINT) AS b
+        FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+               CAST(sum(b) AS BIGINT) AS tb FROM cnt)
+SELECT tok, a, b,
+       CAST((a * 1000000) // ta AS BIGINT) AS rate_a_ppm,
+       CAST((b * 1000000) // tb AS BIGINT) AS rate_b_ppm,
+       CAST((((a * 1000000) // ta) + 1) * 1000000
+            // (((b * 1000000) // tb) + 1) AS BIGINT) AS keyness_x1e6
+FROM cnt, tot WHERE a >= 10
+ORDER BY keyness_x1e6 DESC, a DESC, tok ASC
+LIMIT 20"""
 
     return o

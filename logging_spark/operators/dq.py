@@ -179,3 +179,36 @@ def fk_cardinality(child: DataFrame, parent: DataFrame,
                     .alias("n"))
                .select(F.lit("orphan_child_rows").alias("bucket"), "n"))
     return parents.unionByName(orphans)
+
+
+def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between two integer
+    label columns, integer-exact: one grouped count over the (a, b)
+    confusion cells (the ONLY shuffle — at most |labels|^2 groups,
+    map-side combined), then driver-free marginal algebra on the tiny
+    cell table. Output is a single row
+
+        (n, n_agree, pe_num, kappa_x1e6)
+
+    with kappa_x1e6 = ((n*n_agree - pe_num) * 1e6) DIV (n*n - pe_num)
+    and pe_num = sum_k row_k * col_k — the exact integer numerator /
+    denominator split, portable because both engines truncate BIGINT
+    division toward zero. Overflow-safe while n^2 * 1e6 < 2^63
+    (n up to ~3e6 labeled rows; past that, consume the exact integer
+    components and divide downstream)."""
+    cells = (df.groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+             .agg(F.count(F.lit(1)).alias("_n")))
+    rows = cells.groupBy("_a").agg(F.sum("_n").alias("_ra"))
+    cols = cells.groupBy("_b").agg(F.sum("_n").alias("_cb"))
+    pe = (rows.join(cols, rows["_a"] == cols["_b"])
+          .agg(F.coalesce(F.sum(F.col("_ra") * F.col("_cb")), F.lit(0))
+               .cast("long").alias("pe_num")))
+    tot = cells.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n"))),
+                   F.lit(0)).cast("long").alias("n_agree"))
+    return (tot.crossJoin(pe)
+            .select("n", "n_agree", "pe_num",
+                    F.expr("CASE WHEN n * n - pe_num = 0 THEN 1000000 "
+                           "ELSE ((n * n_agree - pe_num) * 1000000) "
+                           "DIV (n * n - pe_num) END").alias("kappa_x1e6")))

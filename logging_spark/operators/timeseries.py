@@ -172,3 +172,45 @@ def lag_moments(series: DataFrame, key_col: str, val_col: str,
                  .alias("sum_yy"))
             .withColumn("cov_num",
                         F.expr("n_pairs * sum_xy - sum_x * sum_y")))
+
+
+def holt_fold(df: DataFrame, key: str, order_col: str, value_col: str,
+              alpha_x1000: int = 300, beta_x1000: int = 100) -> DataFrame:
+    """Per-key integer Holt (double-exponential) smoothing — level +
+    trend — expressed as a HOF fold like ewma_fold: no UDF, no per-row
+    Python, oracle-portable because every step is BIGINT add/mul/DIV
+    (Spark DIV and DuckDB // both truncate toward zero, measured —
+    see contract.py header).
+
+    Fixed point x1000: l_1 = y_1*1000, b_1 = (y_1 - y_0)*1000, then
+    for t >= 2
+        l_t = (a*y_t*1000 + (1000-a)*(l + b)) DIV 1000
+        b_t = (b*(l_t - l_{t-1}) + (1000-b)*b_{t-1}) DIV 1000
+    (a = alpha_x1000, b = beta_x1000). Trend may go negative; trunc
+    division is identical in both engines so the twins stay bit-equal.
+
+    Same scale shape as ewma_fold: one shuffle on the key, a key's
+    series must fit a row (period-aggregated series only). Output:
+    (key, n_points, level_x1000, trend_x1000, forecast_x1000) where
+    forecast = one-step-ahead l + b. Keys with < 2 points are dropped
+    (no trend is defined)."""
+    a, b = int(alpha_x1000), int(beta_x1000)
+    pts = (df.groupBy(key)
+           .agg(F.expr(
+               f"transform(array_sort(collect_list("
+               f"struct({order_col} AS o, {value_col} AS v))), p -> p.v)")
+               .alias("_xs")))
+    lnew = f"(({a} * x * 1000 + {1000 - a} * (acc.l + acc.b)) DIV 1000)"
+    fold = (
+        f"aggregate(slice(_xs, 3, size(_xs) - 2), "
+        f"named_struct('l', _xs[1] * 1000, 'b', (_xs[1] - _xs[0]) * 1000), "
+        f"(acc, x) -> named_struct("
+        f"'l', {lnew}, "
+        f"'b', ({b} * ({lnew} - acc.l) + {1000 - b} * acc.b) DIV 1000))")
+    return (pts.where(F.size("_xs") >= 2)
+            .select(key,
+                    F.size("_xs").cast("long").alias("n_points"),
+                    F.expr(f"CAST({fold}.l AS BIGINT)").alias("level_x1000"),
+                    F.expr(f"CAST({fold}.b AS BIGINT)").alias("trend_x1000"),
+                    F.expr(f"CAST({fold}.l + {fold}.b AS BIGINT)")
+                     .alias("forecast_x1000")))
