@@ -140,6 +140,14 @@ HEADLINE = [
     "text_bigram_surprisal",
     "text_phrase_search",
     "events_autocorr",
+    # round-4 fifth-session additions: cogroup LCS drift (the repo's
+    # one cogroup Arrow path), Holt HOF fold, integer Cohen's kappa,
+    # leave-one-source-out ablation, corpus keyness top-k
+    "events_user_drift",
+    "events_holt_trend",
+    "dq_label_kappa",
+    "docs_source_ablation",
+    "text_keyness",
 ]
 
 
