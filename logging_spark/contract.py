@@ -3975,10 +3975,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _read(spark, sf, "events").select(
             "user_id", "event_type",
             F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
-        mid = ev.agg(F.expr("(min(us) + max(us)) DIV 2").alias("m"))
-        ev2 = ev.crossJoin(F.broadcast(mid))
-        drift = cogroup_lcs(ev2.where(F.col("us") < F.col("m")),
-                            ev2.where(F.col("us") >= F.col("m")),
+        # eager 1-row scalar (permitted collect class): a lazy
+        # broadcast of the midpoint re-ran the min/max agg subtree
+        # once PER cogroup side (5 exchanges -> 3, plan-tested)
+        m = int(ev.agg(F.expr("(min(us) + max(us)) DIV 2")
+                       .alias("m")).first()["m"])
+        drift = cogroup_lcs(ev.where(F.col("us") < F.lit(m)),
+                            ev.where(F.col("us") >= F.lit(m)),
                             key="user_id", order_col="us",
                             symbol_col="event_type", max_len=24)
         return (drift.groupBy(F.expr("align_permille DIV 100")
@@ -4037,9 +4040,13 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.explode(T.tokens(F.lower(F.col("text"))))
                         .alias("tok"))
                .where(F.length("tok") >= 3))
+        # localCheckpoint: cnt feeds both the totals and the scored
+        # ratio — without pinning, the scan+explode+agg subtree runs
+        # twice (measured: 3 exchanges -> 2, plan-tested).
         cnt = tok.groupBy("tok").agg(
             F.sum("is_en").cast("long").alias("a"),
-            F.sum(1 - F.col("is_en")).cast("long").alias("b"))
+            F.sum(1 - F.col("is_en")).cast("long").alias("b")) \
+            .localCheckpoint()
         tot = cnt.agg(F.sum("a").cast("long").alias("ta"),
                       F.sum("b").cast("long").alias("tb"))
         scored = (cnt.crossJoin(F.broadcast(tot))

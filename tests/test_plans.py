@@ -280,3 +280,37 @@ def test_entity_matches_one_block_join(spark):
     plan = _plan(spark, "dim_entity_matches")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keyness_topk_is_take_ordered(spark):
+    # global top-20 must be a distributed heap (TakeOrderedAndProject),
+    # never a single-partition global Sort; shuffles: the token-count
+    # agg only (the 1-row totals ride a broadcast nested loop).
+    plan = _plan(spark, "text_keyness")
+    assert "TakeOrderedAndProject" in plan
+    assert _n_exchanges(plan) <= 1, plan
+
+
+def test_source_ablation_totals_broadcast(spark):
+    # per-source agg joined to the 1-row corpus totals: the totals
+    # must broadcast; no sort-merge machinery for a 20-row join.
+    plan = _plan(spark, "docs_source_ablation")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cogroup_drift_one_shuffle_per_side(spark):
+    # cogroup = one hash exchange per input side feeding
+    # FlatMapCoGroupsInPandas, plus the decile rollup agg — never a
+    # join-based pairing of the two sides.
+    plan = _plan(spark, "events_user_drift")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert _n_exchanges(plan) <= 3, plan
+
+
+def test_kappa_single_wide_pass(spark):
+    # the only data-sized shuffle is the (a, b) confusion-cell agg;
+    # everything downstream operates on <=25 rows.
+    plan = _plan(spark, "dq_label_kappa")
+    assert "SortMergeJoin" not in plan
