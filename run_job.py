@@ -25,6 +25,9 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--warehouse", required=True)
     p.add_argument("--input-parquet", default=None)
+    p.add_argument("--input-orc", default=None, metavar="DIR",
+                   help="read the turns table from an ORC directory "
+                        "(sources/orc.py) instead of parquet/synth")
     p.add_argument("--input-logs", default=None, metavar="DIR",
                    help="read raw log FILES (one line per record, "
                         ".../service/pod.log) via the text source and run "
@@ -94,6 +97,9 @@ def main(argv: list[str] | None = None) -> int:
         turns = logfile_input(spark, args.input_logs)
     elif args.input_parquet:
         turns = spark.read.parquet(args.input_parquet)
+    elif args.input_orc:
+        from logging_spark.sources.orc import read_orc
+        turns = read_orc(spark, args.input_orc)
     else:
         turns = synth.transcripts(
             spark,

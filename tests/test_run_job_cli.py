@@ -90,3 +90,33 @@ def test_export_jsonl_sinks_roundtrip(spark, tmp_path, capsys):
         assert n == stats["per_sink_counts"][sink]["n_rows"]
         back = spark.read.text(f"{out}/{sink}")
         assert back.count() == n
+
+
+def test_input_orc_matches_input_parquet(spark, tmp_path, capsys):
+    """--input-orc runs the full job off an ORC turns table and lands
+    byte-identical per-sink counts to the same data read as parquet."""
+    sys.path.insert(0, "/root/repo")
+    import run_job
+    from logging_spark.sources.orc import write_orc
+
+    pq = str(tmp_path / "turns_pq")
+    synth.transcripts(spark, n_conversations=40,
+                      turns_per_conv=10).write.parquet(pq)
+    orc = str(tmp_path / "turns_orc")
+    write_orc(spark.read.parquet(pq), orc)
+
+    def run(flag, path, snap):
+        rc = run_job.main([
+            "--warehouse", str(tmp_path / f"wh_{snap}"),
+            flag, path,
+            "--n-conversations", "40",
+            "--num-buckets", "8", "--snapshot", snap, "--no-warmup",
+        ])
+        assert rc == 0
+        return json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+
+    a = run("--input-parquet", pq, "orc-a")
+    b = run("--input-orc", orc, "orc-b")
+    assert a["per_sink_counts"] == b["per_sink_counts"]
+    assert a["n_input_turns"] == b["n_input_turns"]
