@@ -4061,6 +4061,37 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "tok").limit(20)
     q["text_keyness"] = text_keyness
 
+    # -- per-type OLS trend slope over hourly counts (timeseries.
+    # trend_slope): exact integer moment split, x re-based per key so
+    # the moments stay in budget; slope sign/magnitude is the alert
+    # signal ("error rate trending up").
+    def events_trend_slope(spark, sf):
+        from logging_spark.operators.timeseries import trend_slope
+        ev = _read(spark, sf, "events")
+        hourly = (ev.groupBy(
+                      F.col("event_type"),
+                      F.expr("CAST(unix_timestamp(CAST(ts AS timestamp))"
+                             " DIV 3600 AS BIGINT)").alias("h"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        return trend_slope(hourly, key="event_type", x_col="h",
+                           y_col="n")
+    q["events_trend_slope"] = events_trend_slope
+
+    # -- keep-rate ranking with uncertainty (dq.wilson_lower_bound):
+    # Wilson lower bound per source — deterministic-double arithmetic
+    # (exact integer inputs, IEEE-identical ops, one floor at the
+    # end), the same portability class as the dyadic percentile
+    # interpolation. Oracle spells the formula with identical
+    # parenthesization.
+    def dq_wilson_keep(spark, sf):
+        from logging_spark.operators.dq import wilson_lower_bound
+        d = _read(spark, sf, "documents")
+        flags = d.select("source",
+                         (F.col("n_chars") >= 300).cast("long")
+                         .alias("keep"))
+        return wilson_lower_bound(flags, ["source"], "keep")
+    q["dq_wilson_keep"] = dq_wilson_keep
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -7456,5 +7487,48 @@ SELECT tok, a, b,
 FROM cnt, tot WHERE a >= 10
 ORDER BY keyness_x1e6 DESC, a DESC, tok ASC
 LIMIT 20"""
+
+    o["events_trend_slope"] = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+mn AS (SELECT event_type, min(h) AS m FROM hourly GROUP BY 1),
+based AS (SELECT hourly.event_type,
+                 CAST(hourly.h - mn.m AS BIGINT) AS x,
+                 hourly.n AS y
+          FROM hourly JOIN mn USING (event_type)),
+agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM based GROUP BY 1)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+            ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+            END AS BIGINT) AS slope_x1e6
+FROM agg"""
+
+    _z, _z2 = 1.96, 1.96 * 1.96
+    o["dq_wilson_keep"] = f"""
+WITH agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS k
+  FROM documents GROUP BY 1)
+SELECT source, n, k,
+       CAST(floor(1000000 * (
+         (CAST(k AS DOUBLE) / CAST(n AS DOUBLE) + {_z2} /
+          (2.0 * CAST(n AS DOUBLE))
+          - {_z} * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) *
+          (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) + {_z2} /
+          (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
+         / (1.0 + {_z2} / CAST(n AS DOUBLE)))) AS BIGINT)
+         AS wilson_lb_x1e6
+FROM agg"""
 
     return o

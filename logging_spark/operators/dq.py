@@ -212,3 +212,37 @@ def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
                     F.expr("CASE WHEN n * n - pe_num = 0 THEN 1000000 "
                            "ELSE ((n * n_agree - pe_num) * 1000000) "
                            "DIV (n * n - pe_num) END").alias("kappa_x1e6")))
+
+
+def wilson_lower_bound(df: DataFrame, group_cols: Sequence[str],
+                       success_col: str, z: float = 1.96) -> DataFrame:
+    """Rank groups by a success RATE with uncertainty: the Wilson
+    score interval's lower bound — the standard fix for "3/3 keeps
+    outranks 9500/10000" naive-rate ranking (small-n groups get
+    pulled toward zero).
+
+    One grouped aggregate (k successes, n trials), then pure
+    DETERMINISTIC-DOUBLE arithmetic: all inputs are exact integers
+    cast to double, every +,-,*,/,sqrt is IEEE correctly-rounded and
+    bit-identical in Spark and DuckDB, and the single floor(x*1e6) at
+    the end lands the same BIGINT in both engines (same pattern as the
+    dyadic percentile interpolation — see contract.py header). The
+    oracle must spell the formula with the IDENTICAL parenthesization.
+
+    Output: (group..., n, k, wilson_lb_x1e6)."""
+    gcols = [F.col(c) for c in group_cols]
+    agg = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.col(success_col).cast("long")), F.lit(0))
+        .cast("long").alias("k"))
+    z2 = z * z
+    expr = (
+        f"CAST(floor(1000000 * ("
+        f"(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) + {z2} / "
+        f"(2.0 * CAST(n AS DOUBLE))"
+        f" - {z} * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * "
+        f"(1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) + {z2} / "
+        f"(4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE))) "
+        f"/ (1.0 + {z2} / CAST(n AS DOUBLE)))) AS BIGINT)")
+    return agg.select(*[F.col(c) for c in group_cols], "n", "k",
+                      F.expr(expr).alias("wilson_lb_x1e6"))

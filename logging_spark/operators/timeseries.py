@@ -214,3 +214,36 @@ def holt_fold(df: DataFrame, key: str, order_col: str, value_col: str,
                     F.expr(f"CAST({fold}.b AS BIGINT)").alias("trend_x1000"),
                     F.expr(f"CAST({fold}.l + {fold}.b AS BIGINT)")
                      .alias("forecast_x1000")))
+
+
+def trend_slope(df: DataFrame, key: str, x_col: str,
+                y_col: str) -> DataFrame:
+    """Per-key OLS trend slope over an integer series, exact-integer
+    numerator/denominator split: slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2), reported with the x1e6 truncated quotient. ONE
+    grouped aggregate (map-side combined); x is re-based to the key's
+    own min via a same-key window (AQE reuses the window's hash
+    partitioning, so the groupBy adds no second exchange).
+
+    Overflow budget: with x re-based, |n*Sxx| <~ n^2 * span^2 / 3 —
+    safe to ~50k points per key; past that consume the exact moments
+    and divide downstream (the same rule as lag_moments/kappa).
+    Slope may be negative: truncating DIV is engine-identical."""
+    w = Window.partitionBy(key)
+    based = df.select(
+        F.col(key),
+        (F.col(x_col) - F.min(x_col).over(w)).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"))
+    agg = based.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("sxx"))
+    return agg.select(
+        key, "n",
+        F.expr("n * sxy - sx * sy").alias("slope_num"),
+        F.expr("n * sxx - sx * sx").alias("slope_den"),
+        F.expr("CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE "
+               "((n * sxy - sx * sy) * 1000000) DIV (n * sxx - sx * sx) "
+               "END").alias("slope_x1e6"))

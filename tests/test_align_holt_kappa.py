@@ -152,3 +152,61 @@ def test_cohen_kappa_perfect_and_degenerate(spark):
     # single constant label both sides -> pe = n^2, denominator 0
     df1 = spark.createDataFrame([(1, 1)] * 10, "a long, b long")
     assert cohen_kappa(df1, "a", "b").collect()[0]["kappa_x1e6"] == 1_000_000
+
+
+# ------------------------------------------------------- trend slope
+
+def test_trend_slope_matches_reference(spark):
+    from logging_spark.operators.timeseries import trend_slope
+    series = {"up": [(0, 1), (1, 3), (2, 5), (3, 7)],        # slope 2
+              "flat": [(10, 4), (11, 4), (12, 4)],           # slope 0
+              "down": [(5, 9), (6, 7), (7, 2), (9, 1)],      # negative
+              "solo": [(0, 5)]}                              # den 0
+    rows = [(k, x, y) for k, pts in series.items() for x, y in pts]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in
+           trend_slope(df, key="g", x_col="x", y_col="y").collect()}
+    for k, pts in series.items():
+        xs = [x for x, _ in pts]
+        m = min(xs)
+        xs = [x - m for x in xs]
+        ys = [y for _, y in pts]
+        n = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        r = got[k]
+        assert (r["n"], r["slope_num"], r["slope_den"]) == (n, num, den)
+        want = 0 if den == 0 else _trunc_div(num * 1_000_000, den)
+        assert r["slope_x1e6"] == want
+    assert got["up"]["slope_x1e6"] == 2_000_000
+    assert got["flat"]["slope_x1e6"] == 0
+    assert got["down"]["slope_x1e6"] < 0
+
+
+# ------------------------------------------------------------ wilson
+
+def test_wilson_lower_bound_reference_and_edges(spark):
+    import math
+    from logging_spark.operators.dq import wilson_lower_bound
+    data = {"good_big": (9500, 10000), "perfect_small": (3, 3),
+            "zero": (0, 7), "half": (50, 100)}
+    rows = [(g, 1 if i < k else 0)
+            for g, (k, n) in data.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, s long")
+    got = {r["g"]: r for r in
+           wilson_lower_bound(df, ["g"], "s").collect()}
+    z, z2 = 1.96, 1.96 * 1.96
+    for g, (k, n) in data.items():
+        p = k / n
+        lb = (p + z2 / (2.0 * n)
+              - z * math.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n)) \
+            / (1.0 + z2 / n)
+        r = got[g]
+        assert (r["n"], r["k"]) == (n, k)
+        assert r["wilson_lb_x1e6"] == math.floor(1_000_000 * lb)
+    # the whole point: 3/3 must NOT outrank 9500/10000
+    assert (got["perfect_small"]["wilson_lb_x1e6"]
+            < got["good_big"]["wilson_lb_x1e6"])
+    assert got["zero"]["wilson_lb_x1e6"] == 0
