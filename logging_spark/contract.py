@@ -3971,19 +3971,23 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_align.py) and the decile rollup below is
     # partitioning-independent.
     def events_user_drift(spark, sf):
-        from logging_spark.operators.align import cogroup_lcs
+        # batched variant: one union shuffle + one Python call per
+        # partition — the per-key cogroup twin measured 6.9 s at
+        # sf0.1 (1500 users x ~4.5 ms Arrow round-trip each); this
+        # one ~0.5 s, pinned row-identical in pytest.
+        from logging_spark.operators.align import lcs_drift_batched
         ev = _read(spark, sf, "events").select(
             "user_id", "event_type",
             F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
         # eager 1-row scalar (permitted collect class): a lazy
         # broadcast of the midpoint re-ran the min/max agg subtree
-        # once PER cogroup side (5 exchanges -> 3, plan-tested)
+        # once PER side
         m = int(ev.agg(F.expr("(min(us) + max(us)) DIV 2")
                        .alias("m")).first()["m"])
-        drift = cogroup_lcs(ev.where(F.col("us") < F.lit(m)),
-                            ev.where(F.col("us") >= F.lit(m)),
-                            key="user_id", order_col="us",
-                            symbol_col="event_type", max_len=24)
+        drift = lcs_drift_batched(ev.where(F.col("us") < F.lit(m)),
+                                  ev.where(F.col("us") >= F.lit(m)),
+                                  key="user_id", order_col="us",
+                                  symbol_col="event_type", max_len=24)
         return (drift.groupBy(F.expr("align_permille DIV 100")
                               .alias("align_decile"))
                 .agg(F.count(F.lit(1)).alias("n_users"),
@@ -4091,6 +4095,37 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .alias("keep"))
         return wilson_lower_bound(flags, ["source"], "keep")
     q["dq_wilson_keep"] = dq_wilson_keep
+
+    # -- model-based quality gate as dataflow (operators/classifier):
+    # feature-hashed linear scorer — weights are a pure function of
+    # the token hash, so inference is explode -> codegen'd weight ->
+    # map-side-combined sum; no vocabulary table, no Python. Per-
+    # source keep census over the per-doc scores.
+    def text_model_score(spark, sf):
+        from logging_spark.operators.classifier import \
+            hashed_linear_scores
+        d = _read(spark, sf, "documents")
+        scores = hashed_linear_scores(d, "doc_id", "text")
+        j = scores.join(d.select("doc_id", "source"), "doc_id")
+        return (j.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum((F.col("score") >= 0).cast("long"))
+                     .cast("long").alias("n_keep"),
+                     F.sum("score").cast("long").alias("sum_score")))
+    q["text_model_score"] = text_model_score
+
+    # -- l-diversity audit: the sensitive-attribute sibling of
+    # dq_k_anonymity. A QI group whose members all share one (or two)
+    # service identities leaks the service even when the group is
+    # k-large; report groups with < 3 distinct sensitive values.
+    def dq_l_diversity(spark, sf):
+        lk = lookup_df(spark, sf)
+        return (lk.groupBy("namespace", "node_name")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.countDistinct("service_name").cast("long")
+                     .alias("n_sensitive"))
+                .where(F.col("n_sensitive") < 3))
+    q["dq_l_diversity"] = dq_l_diversity
 
     return _stratify(q, set(build_oracles()))
 
@@ -7530,5 +7565,30 @@ SELECT source, n, k,
          / (1.0 + {_z2} / CAST(n AS DOUBLE)))) AS BIGINT)
          AS wilson_lb_x1e6
 FROM agg"""
+
+    o["text_model_score"] = r"""
+WITH tok AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       unnest(CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\s+') END) AS t(tok)),
+scores AS (
+  SELECT d.doc_id, d.source,
+         CAST(coalesce(sum(
+           CAST('0x' || substring(md5('qmodel' || tok), 1, 4) AS BIGINT)
+           - 32768), 0) AS BIGINT) AS score
+  FROM documents d LEFT JOIN tok ON tok.doc_id = d.doc_id
+  GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       CAST(sum(score) AS BIGINT) AS sum_score
+FROM scores GROUP BY 1"""
+
+    o["dq_l_diversity"] = "WITH " + LOOKUP_CTE + """
+SELECT namespace, node_name, count(*) AS n_rows,
+       CAST(count(DISTINCT service_name) AS BIGINT) AS n_sensitive
+FROM lookup GROUP BY 1, 2
+HAVING count(DISTINCT service_name) < 3"""
 
     return o

@@ -210,3 +210,21 @@ def test_wilson_lower_bound_reference_and_edges(spark):
     assert (got["perfect_small"]["wilson_lb_x1e6"]
             < got["good_big"]["wilson_lb_x1e6"])
     assert got["zero"]["wilson_lb_x1e6"] == 0
+
+
+def test_batched_lcs_identical_to_cogroup(spark):
+    """lcs_drift_batched must be row-identical to cogroup_lcs on
+    randomized inputs (same DP, different physical plan)."""
+    from logging_spark.operators.align import lcs_drift_batched
+    rng = random.Random(11)
+    rows_l = [(k, i, rng.choice("pqrst"))
+              for k in range(40) for i in range(rng.randrange(0, 30))]
+    rows_r = [(k, i, rng.choice("pqrst"))
+              for k in range(1, 41) for i in range(rng.randrange(0, 30))]
+    left = spark.createDataFrame(rows_l, "k long, o long, s string")
+    right = spark.createDataFrame(rows_r, "k long, o long, s string")
+    a = sorted(cogroup_lcs(left, right, key="k", order_col="o",
+                           symbol_col="s", max_len=24).collect())
+    b = sorted(lcs_drift_batched(left, right, key="k", order_col="o",
+                                 symbol_col="s", max_len=24).collect())
+    assert a == b and len(a) > 0

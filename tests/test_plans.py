@@ -299,14 +299,15 @@ def test_source_ablation_totals_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_cogroup_drift_one_shuffle_per_side(spark):
-    # cogroup = one hash exchange per input side feeding
-    # FlatMapCoGroupsInPandas, plus the decile rollup agg — never a
-    # join-based pairing of the two sides.
+def test_drift_batched_single_union_shuffle(spark):
+    # batched LCS = union-tag both periods, ONE hash exchange on the
+    # key into MapInPandas, plus the decile rollup agg — never a
+    # join-based pairing of the two sides, never per-key cogroup
+    # round-trips (measured 14x slower at sf0.1).
     plan = _plan(spark, "events_user_drift")
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert _n_exchanges(plan) <= 3, plan
+    assert _n_exchanges(plan) <= 2, plan
 
 
 def test_kappa_single_wide_pass(spark):
