@@ -4127,6 +4127,52 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .where(F.col("n_sensitive") < 3))
     q["dq_l_diversity"] = dq_l_diversity
 
+    # -- mergeable quantile sketch (operators/sketch.py histogram_*):
+    # completes the sketch taxonomy (KMV distinct / CMS frequency /
+    # theta set-ops / THIS quantiles). Per-day sketches merge by
+    # union+re-sum EXACTLY (proven in-row vs the direct sketch);
+    # the recovered median edge is within one bucket width of the
+    # true median by construction — the audit row carries the bound.
+    def agg_quantile_sketch(spark, sf):
+        from logging_spark.operators.sketch import (
+            histogram_sketch, merge_histogram_sketches,
+            sketch_quantile_edge)
+        ev = (_read(spark, sf, "events")
+              .withColumn("day", F.to_date("ts"))
+              .withColumn("cents",
+                          F.expr("CAST(floor(value * 100.0) AS BIGINT)")))
+        daily = histogram_sketch(ev, "cents", 7, group_by=["day"])
+        merged = merge_histogram_sketches(daily.select("bucket", "cnt"))
+        direct = histogram_sketch(ev, "cents", 7).localCheckpoint()
+        mism = (merged.withColumnRenamed("cnt", "cm")
+                .join(direct.withColumnRenamed("cnt", "cd"),
+                      "bucket", "full_outer")
+                .agg(F.coalesce(
+                    F.sum((F.coalesce("cm", F.lit(-1)) !=
+                           F.coalesce("cd", F.lit(-2))).cast("long")),
+                    F.lit(0)).cast("long").alias("n_mismatch")))
+        est = sketch_quantile_edge(direct, 1, 2, width_pow2=7)
+        # exact median: smallest cents value whose cumulative count
+        # reaches rank — the cumulative window runs over DISTINCT
+        # cents values (bounded by the value domain, not row count)
+        vals = (ev.groupBy("cents").agg(F.count(F.lit(1)).alias("c")))
+        wv = (Window.orderBy("cents")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        exact = (vals.withColumn("cum", F.sum("c").over(wv))
+                 .crossJoin(F.broadcast(
+                     est.select(F.col("target_rank").alias("r"))))
+                 .where(F.col("cum") >= F.col("r"))
+                 .agg(F.min("cents").cast("long").alias("exact_median")))
+        return (est.crossJoin(mism).crossJoin(exact)
+                .select("n", "target_rank", "edge", "exact_median",
+                        F.lit(128).cast("long").alias("bucket_width"),
+                        (F.col("n_mismatch") == 0).cast("int")
+                        .alias("merged_equals_direct"),
+                        ((F.col("edge") <= F.col("exact_median")) &
+                         (F.col("exact_median") < F.col("edge") + 128))
+                        .cast("int").alias("within_bound")))
+    q["agg_quantile_sketch"] = agg_quantile_sketch
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -7590,5 +7636,46 @@ SELECT namespace, node_name, count(*) AS n_rows,
        CAST(count(DISTINCT service_name) AS BIGINT) AS n_sensitive
 FROM lookup GROUP BY 1, 2
 HAVING count(DISTINCT service_name) < 3"""
+
+    o["agg_quantile_sketch"] = """
+WITH ev AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                   CAST(ts AS DATE) AS day FROM events),
+daily AS (SELECT day, cents // 128 AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM ev GROUP BY 1, 2),
+merged AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cm
+           FROM daily GROUP BY 1),
+direct AS MATERIALIZED (SELECT cents // 128 AS bucket,
+                               CAST(count(*) AS BIGINT) AS cd
+                        FROM ev GROUP BY 1),
+mism AS (SELECT CAST(coalesce(sum(CASE WHEN coalesce(cm, -1)
+                   != coalesce(cd, -2) THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS n_mismatch
+         FROM merged FULL OUTER JOIN direct USING (bucket)),
+rk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST((CAST(count(*) AS BIGINT) + 1) // 2 AS BIGINT)
+                AS target_rank
+       FROM ev),
+cum AS (SELECT bucket,
+               sum(cd) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                 AS cum
+        FROM direct),
+est AS (SELECT rk.n, rk.target_rank,
+               CAST(min(bucket) * 128 AS BIGINT) AS edge
+        FROM cum, rk WHERE cum.cum >= rk.target_rank GROUP BY 1, 2),
+vcum AS (SELECT cents,
+                sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                  AS cum
+         FROM (SELECT cents, count(*) AS c FROM ev GROUP BY 1)),
+ex AS (SELECT CAST(min(cents) AS BIGINT) AS exact_median
+       FROM vcum, rk WHERE vcum.cum >= rk.target_rank)
+SELECT est.n, est.target_rank, est.edge, ex.exact_median,
+       CAST(128 AS BIGINT) AS bucket_width,
+       CAST(CASE WHEN mism.n_mismatch = 0 THEN 1 ELSE 0 END AS INT)
+         AS merged_equals_direct,
+       CAST(CASE WHEN est.edge <= ex.exact_median
+                  AND ex.exact_median < est.edge + 128
+            THEN 1 ELSE 0 END AS INT) AS within_bound
+FROM est, ex, mism"""
 
     return o

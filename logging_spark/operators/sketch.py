@@ -26,7 +26,7 @@ frame — no wide exchange carries raw keys anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from logging_spark.operators.sample import hash60
@@ -84,3 +84,55 @@ def countmin_audit(df: DataFrame, key_col: str, depth: int = 4,
         .alias("total_overcount"),
         F.max(F.col("est") - F.col("n_exact")).cast("long")
         .alias("max_overcount"))
+
+
+# ---------------------------------------------------------------------
+# Mergeable quantile sketch: power-of-two equi-width histogram.
+# Completes the relational sketch taxonomy (KMV = distinct, count-min
+# = frequency, theta = set ops): the sketch IS a (bucket, cnt) table —
+# mergeable by union + re-sum (EXACT, unlike probabilistic merges),
+# broadcastable, engine-portable (pure integer buckets). A quantile
+# recovered from it is the true quantile's bucket lower edge, so the
+# value-space error is bounded by the bucket width BY CONSTRUCTION —
+# the audit query carries that bound as data.
+
+def histogram_sketch(df: DataFrame, value_expr: str,
+                     width_pow2: int = 7,
+                     group_by: list[str] | None = None) -> DataFrame:
+    """(group..., bucket, cnt) with bucket = value DIV 2^width_pow2.
+    `value_expr` must render a non-negative BIGINT (e.g. cents).
+    One map-side-combined groupBy; sketch size is bounded by the
+    value domain / width, independent of row count."""
+    gcols = list(group_by or [])
+    b = F.expr(f"CAST(({value_expr}) AS BIGINT) DIV {1 << width_pow2}")
+    return (df.groupBy(*gcols, b.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def merge_histogram_sketches(sketches: DataFrame) -> DataFrame:
+    """Union-of-sketches -> one sketch: re-sum per bucket. Exact."""
+    return (sketches.groupBy("bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def sketch_quantile_edge(sketch: DataFrame, q_num: int, q_den: int,
+                         width_pow2: int = 7) -> DataFrame:
+    """Lower edge of the bucket holding rank ceil(n * q_num / q_den):
+    1-row (n, target_rank, edge). The cumulative walk is a window over the
+    SKETCH table (rows bounded by value-domain/width, hundreds — not
+    a data-sized global window)."""
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = sketch.agg(F.sum("cnt").cast("long").alias("n"))
+    cum = (sketch.crossJoin(F.broadcast(tot))
+           .withColumn("cum", F.sum("cnt").over(w).cast("long"))
+           .withColumn("target_rank",
+                       # ceil under TRUNCATING division: the negate
+                       # trick -((-x) DIV d) yields floor here, not
+                       # ceil (caught by the brute-force twin)
+                       F.expr(f"CAST((n * {q_num} + {q_den} - 1) "
+                              f"DIV {q_den} AS BIGINT)")))
+    return (cum.where(F.col("cum") >= F.col("target_rank"))
+            .groupBy("n", "target_rank")
+            .agg((F.min("bucket") * (1 << width_pow2)).cast("long")
+                 .alias("edge")))

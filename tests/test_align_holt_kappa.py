@@ -228,3 +228,29 @@ def test_batched_lcs_identical_to_cogroup(spark):
     b = sorted(lcs_drift_batched(left, right, key="k", order_col="o",
                                  symbol_col="s", max_len=24).collect())
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------- quantile sketch
+
+def test_histogram_sketch_merge_and_quantile(spark):
+    import random
+    from logging_spark.operators.sketch import (
+        histogram_sketch, merge_histogram_sketches, sketch_quantile_edge)
+    rng = random.Random(5)
+    vals = [rng.randrange(0, 5000) for _ in range(4000)] + [0, 4999]
+    rows = [(i % 7, v) for i, v in enumerate(vals)]  # 7 shards
+    df = spark.createDataFrame(rows, "shard int, v long")
+    per_shard = histogram_sketch(df, "v", width_pow2=6,
+                                 group_by=["shard"])
+    merged = merge_histogram_sketches(per_shard.select("bucket", "cnt"))
+    direct = histogram_sketch(df, "v", width_pow2=6)
+    m = {r["bucket"]: r["cnt"] for r in merged.collect()}
+    d = {r["bucket"]: r["cnt"] for r in direct.collect()}
+    assert m == d and sum(m.values()) == len(vals)
+    for q_num, q_den in [(1, 2), (1, 4), (3, 4), (99, 100)]:
+        row = sketch_quantile_edge(direct, q_num, q_den,
+                                   width_pow2=6).collect()[0]
+        rank = (len(vals) * q_num + q_den - 1) // q_den
+        true_q = sorted(vals)[rank - 1]
+        assert row["n"] == len(vals) and row["target_rank"] == rank
+        assert row["edge"] <= true_q < row["edge"] + 64
