@@ -148,6 +148,15 @@ HEADLINE = [
     "dq_label_kappa",
     "docs_source_ablation",
     "text_keyness",
+    # fifth-session closers: OLS slope, Wilson keep-rank, hashed
+    # linear scorer, l-diversity, mergeable quantile sketch, VARIANT
+    # props path
+    "events_trend_slope",
+    "dq_wilson_keep",
+    "text_model_score",
+    "dq_l_diversity",
+    "agg_quantile_sketch",
+    "events_props_variant",
 ]
 
 

@@ -4173,6 +4173,27 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .cast("int").alias("within_bound")))
     q["agg_quantile_sketch"] = agg_quantile_sketch
 
+    # -- VARIANT-typed semi-structured path (Spark 4): parse the
+    # props JSON ONCE into the binary variant encoding, then extract
+    # typed fields — the engine-native replacement for repeated
+    # get_json_object string re-parsing on hot JSON columns. At scale
+    # the parse cost is paid once per row and the extraction is a
+    # byte-offset lookup, not a parser run.
+    def events_props_variant(spark, sf):
+        ev = _read(spark, sf, "events")
+        v = ev.select("event_type",
+                      F.parse_json("props").alias("v"))
+        k = F.expr("CAST(variant_get(v, '$.k', 'bigint') AS BIGINT)")
+        return (v.select("event_type", k.alias("k"))
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.coalesce(F.sum("k"), F.lit(0)).cast("long")
+                     .alias("sum_k"),
+                     F.max("k").cast("long").alias("max_k"),
+                     F.sum((F.col("k") >= 50).cast("long")).cast("long")
+                     .alias("n_k_ge_50")))
+    q["events_props_variant"] = events_props_variant
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -7677,5 +7698,17 @@ SELECT est.n, est.target_rank, est.edge, ex.exact_median,
                   AND ex.exact_median < est.edge + 128
             THEN 1 ELSE 0 END AS INT) AS within_bound
 FROM est, ex, mism"""
+
+    o["events_props_variant"] = """
+WITH kx AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_k_ge_50
+FROM kx GROUP BY 1"""
 
     return o
