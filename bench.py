@@ -157,6 +157,11 @@ HEADLINE = [
     "dq_l_diversity",
     "agg_quantile_sketch",
     "events_props_variant",
+    # sixth-session model-eval family: exact AUC, calibration bins,
+    # snapshot drift index
+    "dq_score_auc",
+    "dq_calibration",
+    "events_drift_index",
 ]
 
 

@@ -4194,6 +4194,71 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_k_ge_50")))
     q["events_props_variant"] = events_props_variant
 
+    # -- model-eval family (operators/mleval.py): the audits a model-
+    # gated corpus needs at 100 TB, each an exact-integer aggregate.
+    # Exact tie-aware ROC AUC per source: does the (deterministic ppm)
+    # score rank en docs above the rest? Pair counting happens on
+    # score-COLLAPSED rows (one per distinct score per group), so the
+    # wide stages are bounded by score cardinality, not corpus size.
+    def dq_score_auc(spark, sf):
+        from logging_spark.operators.mleval import auc_exact
+        d = _read(spark, sf, "documents")
+        lab = d.select("source",
+                       (F.col("n_chars") * 1000).cast("long")
+                       .alias("score_ppm"),
+                       (F.col("lang") == "en").cast("long").alias("y"))
+        return auc_exact(lab, "score_ppm", "y", by=["source"])
+    q["dq_score_auc"] = dq_score_auc
+
+    # -- reliability bins: 10-bin calibration report for a ppm score
+    # vs a deterministic pseudo-label; one grouped agg, all integer.
+    def dq_calibration(spark, sf):
+        from logging_spark.operators.mleval import calibration_bins
+        d = _read(spark, sf, "documents")
+        lab = d.select((F.col("n_chars") * 1000).cast("long")
+                       .alias("score_ppm"),
+                       (F.col("doc_id") % 7 < 3).cast("long").alias("y"))
+        return calibration_bins(lab, "score_ppm", "y", n_bins=10)
+    q["dq_calibration"] = dq_calibration
+
+    # -- expected calibration error: ONE more aggregate over the bins
+    # output (never a second corpus pass).
+    def dq_calibration_ece(spark, sf):
+        from logging_spark.operators.mleval import calibration_bins, ece
+        d = _read(spark, sf, "documents")
+        lab = d.select((F.col("n_chars") * 1000).cast("long")
+                       .alias("score_ppm"),
+                       (F.col("doc_id") % 7 < 3).cast("long").alias("y"))
+        return ece(calibration_bins(lab, "score_ppm", "y", n_bins=10))
+    q["dq_calibration_ece"] = dq_calibration_ece
+
+    # -- Brier score per source: mean squared error of the clipped
+    # ppm probability vs the pseudo-label. BIGINT-exact to ~9.2e6
+    # rows/group (decimal(38,0) path pytest-covered past that).
+    def dq_brier(spark, sf):
+        from logging_spark.operators.mleval import brier_score
+        d = _read(spark, sf, "documents")
+        lab = d.select("source",
+                       F.least(F.lit(1000000),
+                               (F.col("n_chars") * 1800)).cast("long")
+                       .alias("score_ppm"),
+                       (F.col("doc_id") % 7 < 3).cast("long").alias("y"))
+        return brier_score(lab, "score_ppm", "y", by=["source"])
+    q["dq_brier"] = dq_brier
+
+    # -- distribution drift between two halves of the month: ppm-share
+    # chi-square index over event_type bins. Both snapshots collapse
+    # to <=|bins| rows before any join — the comparison costs two
+    # grouped counts at any scale.
+    def events_drift_index(spark, sf):
+        from logging_spark.operators.mleval import drift_index
+        ev = _read(spark, sf, "events")
+        split = F.expr("TIMESTAMP_NTZ '2024-01-16 00:00:00'")
+        return drift_index(ev.where(F.col("ts") < split),
+                           ev.where(F.col("ts") >= split),
+                           "event_type")
+    q["events_drift_index"] = events_drift_index
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -7710,5 +7775,102 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_k_ge_50
 FROM kx GROUP BY 1"""
+
+    o["dq_score_auc"] = """
+WITH lab AS (
+  SELECT source, CAST(n_chars * 1000 AS BIGINT) AS s,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents),
+per AS (SELECT source, s, CAST(sum(y) AS BIGINT) AS p,
+               CAST(sum(1 - y) AS BIGINT) AS q
+        FROM lab GROUP BY 1, 2),
+walked AS (
+  SELECT source, p, q,
+         CAST(sum(q) OVER (PARTITION BY source ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - q
+           AS BIGINT) AS cq
+  FROM per),
+agg AS (SELECT source,
+               CAST(sum(p * cq) AS BIGINT) AS concordant,
+               CAST(sum(p * q) AS BIGINT) AS tied,
+               CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(q) AS BIGINT) AS n_neg
+        FROM walked GROUP BY 1)
+SELECT source, n_pos, n_neg, concordant, tied,
+       CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+            ELSE ((2 * concordant + tied) * 1000000)
+                 // (2 * n_pos * n_neg) END AS BIGINT) AS auc_x1e6
+FROM agg"""
+
+    o["dq_calibration"] = """
+WITH lab AS (
+  SELECT CAST(n_chars * 1000 AS BIGINT) AS score_ppm,
+         CAST(CASE WHEN doc_id % 7 < 3 THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents),
+b AS (SELECT least(9, (score_ppm * 10) // 1000000) AS bin, score_ppm, y
+      FROM lab)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(CAST(sum(score_ppm) AS BIGINT)
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS conf_ppm,
+       CAST((CAST(sum(y) AS BIGINT) * 1000000)
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS acc_ppm,
+       CAST((CAST(sum(y) AS BIGINT) * 1000000)
+            // CAST(count(*) AS BIGINT)
+            - CAST(sum(score_ppm) AS BIGINT)
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS gap_ppm
+FROM b GROUP BY 1"""
+
+    o["dq_calibration_ece"] = """
+WITH lab AS (
+  SELECT CAST(n_chars * 1000 AS BIGINT) AS score_ppm,
+         CAST(CASE WHEN doc_id % 7 < 3 THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents),
+b AS (SELECT least(9, (score_ppm * 10) // 1000000) AS bin, score_ppm, y
+      FROM lab),
+bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST((CAST(sum(y) AS BIGINT) * 1000000)
+              // CAST(count(*) AS BIGINT)
+              - CAST(sum(score_ppm) AS BIGINT)
+              // CAST(count(*) AS BIGINT) AS BIGINT) AS gap_ppm
+  FROM b GROUP BY 1)
+SELECT CAST(sum(n) AS BIGINT) AS n_total,
+       CAST(CAST(sum(n * abs(gap_ppm)) AS BIGINT)
+            // CAST(sum(n) AS BIGINT) AS BIGINT) AS ece_x1e6
+FROM bins"""
+
+    o["dq_brier"] = """
+WITH lab AS (
+  SELECT source,
+         least(1000000, CAST(n_chars * 1800 AS BIGINT)) AS score_ppm,
+         CAST(CASE WHEN doc_id % 7 < 3 THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum((score_ppm - y * 1000000)
+                     * (score_ppm - y * 1000000)) AS BIGINT)
+            // (CAST(count(*) AS BIGINT) * 1000000) AS BIGINT)
+         AS brier_x1e6
+FROM lab GROUP BY 1"""
+
+    o["events_drift_index"] = """
+WITH o_ AS (SELECT event_type AS bin, CAST(count(*) AS BIGINT) AS o
+            FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+            GROUP BY 1),
+c_ AS (SELECT event_type AS bin, CAST(count(*) AS BIGINT) AS c
+       FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+       GROUP BY 1),
+j AS (SELECT coalesce(o_.bin, c_.bin) AS bin,
+             coalesce(o, 0) AS o, coalesce(c, 0) AS c
+      FROM o_ FULL OUTER JOIN c_ ON o_.bin = c_.bin),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS t_o,
+               CAST(sum(c) AS BIGINT) AS t_c FROM j),
+per AS (SELECT bin, (o * 1000000) // t_o AS old_ppm,
+               (c * 1000000) // t_c AS new_ppm
+        FROM j, tot)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(((new_ppm - old_ppm) * (new_ppm - old_ppm))
+                // greatest(old_ppm, 1)) AS BIGINT) AS drift_x1e6
+FROM per"""
 
     return o
