@@ -162,6 +162,8 @@ HEADLINE = [
     "dq_score_auc",
     "dq_calibration",
     "events_drift_index",
+    "text_pair_overlap",
+    "events_forecast_backtest",
 ]
 
 

@@ -4259,6 +4259,45 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            "event_type")
     q["events_drift_index"] = events_drift_index
 
+    # -- pairwise clipped-unigram overlap (operators/overlap.py):
+    # BLEU-1/ROUGE-1-style candidate-vs-reference scoring as pure
+    # per-row HOF expressions (no shuffle beyond the pairing join).
+    # Pairs here are adjacent doc_ids; per-source mean P/R/F1 in ppm.
+    def text_pair_overlap(spark, sf):
+        from logging_spark.operators.overlap import pair_overlap_metrics
+        d = _read(spark, sf, "documents")
+        toks = T.tokens(F.lower(F.col("text")))
+        a = d.select("doc_id", "source", toks.alias("ta"))
+        b = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                     toks.alias("tb"))
+        m = pair_overlap_metrics(a.join(b, "doc_id"), "ta", "tb")
+        return (m.groupBy("source")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                     F.expr("CAST(sum(precision_ppm) AS BIGINT) "
+                            "DIV count(*)").cast("long")
+                     .alias("avg_precision_ppm"),
+                     F.expr("CAST(sum(recall_ppm) AS BIGINT) "
+                            "DIV count(*)").cast("long")
+                     .alias("avg_recall_ppm"),
+                     F.expr("CAST(sum(f1_ppm) AS BIGINT) DIV count(*)")
+                     .cast("long").alias("avg_f1_ppm")))
+    q["text_pair_overlap"] = text_pair_overlap
+
+    # -- seasonal-naive forecast backtest (timeseries.naive_backtest):
+    # MASE-shaped model-vs-baseline check over hourly event counts.
+    # Sparse-grid exact: lags are (key, x-24)/(key, x-1) equi-joins,
+    # never positional lag() over a gappy grid.
+    def events_forecast_backtest(spark, sf):
+        from logging_spark.operators.timeseries import naive_backtest
+        ev = _read(spark, sf, "events")
+        hourly = (ev.groupBy(
+                      F.col("event_type"),
+                      F.expr("CAST(unix_timestamp(CAST(ts AS timestamp))"
+                             " DIV 3600 AS BIGINT)").alias("h"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("n")))
+        return naive_backtest(hourly, "event_type", "h", "n", season=24)
+    q["events_forecast_backtest"] = events_forecast_backtest
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -7872,5 +7911,57 @@ SELECT CAST(count(*) AS BIGINT) AS n_bins,
        CAST(sum(((new_ppm - old_ppm) * (new_ppm - old_ppm))
                 // greatest(old_ppm, 1)) AS BIGINT) AS drift_x1e6
 FROM per"""
+
+    o["text_pair_overlap"] = r"""
+WITH tokd AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(lower(text)) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS tk
+  FROM documents),
+pairs AS (
+  SELECT a.source, a.tk AS ta, b.tk AS tb
+  FROM tokd a JOIN tokd b ON b.doc_id = a.doc_id + 1),
+scored AS (
+  SELECT source,
+         CAST(coalesce(list_sum(
+           [least(len(list_filter(ta, x -> x = t)),
+                  len(list_filter(tb, x -> x = t)))
+            FOR t IN list_distinct(ta)]), 0) AS BIGINT) AS o,
+         CAST(len(ta) AS BIGINT) AS na, CAST(len(tb) AS BIGINT) AS nb
+  FROM pairs),
+m AS (
+  SELECT source,
+         (o * 1000000) // greatest(na, 1) AS p,
+         (o * 1000000) // greatest(nb, 1) AS r,
+         (2 * o * 1000000) // greatest(na + nb, 1) AS f
+  FROM scored)
+SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(CAST(sum(p) AS BIGINT) // CAST(count(*) AS BIGINT)
+            AS BIGINT) AS avg_precision_ppm,
+       CAST(CAST(sum(r) AS BIGINT) // CAST(count(*) AS BIGINT)
+            AS BIGINT) AS avg_recall_ppm,
+       CAST(CAST(sum(f) AS BIGINT) // CAST(count(*) AS BIGINT)
+            AS BIGINT) AS avg_f1_ppm
+FROM m GROUP BY 1"""
+
+    o["events_forecast_backtest"] = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT b.event_type,
+         abs(b.n - s.n) AS es, abs(b.n - p.n) AS en
+  FROM hourly b
+  JOIN hourly s ON s.event_type = b.event_type AND s.h = b.h - 24
+  JOIN hourly p ON p.event_type = b.event_type AND p.h = b.h - 1)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(es) AS BIGINT) AS err_season,
+       CAST(sum(en) AS BIGINT) AS err_naive,
+       CAST((CAST(sum(es) AS BIGINT) * 1000000)
+            // greatest(CAST(sum(en) AS BIGINT), 1) AS BIGINT)
+         AS mase_x1e6
+FROM scored GROUP BY 1"""
 
     return o

@@ -247,3 +247,42 @@ def trend_slope(df: DataFrame, key: str, x_col: str,
         F.expr("CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE "
                "((n * sxy - sx * sy) * 1000000) DIV (n * sxx - sx * sx) "
                "END").alias("slope_x1e6"))
+
+
+def naive_backtest(df: DataFrame, key: str, x_col: str, y_col: str,
+                   season: int = 24) -> DataFrame:
+    """Forecast backtest of the SEASONAL-naive model (y_hat = y at
+    x-season) against the step-naive baseline (y at x-1), per key —
+    the MASE-shaped sanity check run before any real forecaster ships.
+
+    Sparse-grid exact: lags are equi-joins on (key, x-season) /
+    (key, x-1), so a missing hour never silently pairs with the wrong
+    predecessor (a positional ``lag()`` window would). A row is
+    scored only where BOTH references exist. All three joins key on
+    the same (key, x)-derived columns, so after the first shuffle the
+    data is co-partitioned — two local joins, not three wide stages.
+
+    Output per key: ``n_scored``, integer absolute-error sums for both
+    models, and ``mase_x1e6 = (err_season * 1e6) DIV err_naive``
+    (<1e6 means the seasonal model beats the baseline). Values must be
+    integers (counts, cents); errors/sums are exact BIGINTs.
+    """
+    base = df.select(F.col(key), F.col(x_col).cast("long").alias("_x"),
+                     F.col(y_col).cast("long").alias("_y"))
+    sea = base.select(F.col(key),
+                      (F.col("_x") + season).alias("_x"),
+                      F.col("_y").alias("_ys"))
+    stp = base.select(F.col(key), (F.col("_x") + 1).alias("_x"),
+                      F.col("_y").alias("_yn"))
+    scored = (base.join(sea, [key, "_x"]).join(stp, [key, "_x"])
+              .select(F.col(key),
+                      F.abs(F.col("_y") - F.col("_ys")).alias("_es"),
+                      F.abs(F.col("_y") - F.col("_yn")).alias("_en")))
+    agg = scored.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum("_es").cast("long").alias("err_season"),
+        F.sum("_en").cast("long").alias("err_naive"))
+    return agg.select(
+        key, "n_scored", "err_season", "err_naive",
+        F.expr("(err_season * 1000000) DIV greatest(err_naive, 1L)")
+        .cast("long").alias("mase_x1e6"))
