@@ -164,6 +164,8 @@ HEADLINE = [
     "events_drift_index",
     "text_pair_overlap",
     "events_forecast_backtest",
+    "dq_fleiss_kappa",
+    "text_compression_census",
 ]
 
 

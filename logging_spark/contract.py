@@ -4298,6 +4298,38 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return naive_backtest(hourly, "event_type", "h", "n", season=24)
     q["events_forecast_backtest"] = events_forecast_backtest
 
+    # -- Fleiss' kappa (dq.fleiss_kappa): multi-rater agreement over
+    # long-form ratings; three deterministic "raters" each band every
+    # doc into {0,1,2}. Categories are PRE-PROJECTED below the
+    # explode (Generate re-evaluates raw select exprs per exploded
+    # row — CLAUDE.md third-session note).
+    def dq_fleiss_kappa(spark, sf):
+        from logging_spark.operators.dq import fleiss_kappa
+        d = _read(spark, sf, "documents")
+        toksz = ("CAST(size(CASE WHEN length(trim(text)) = 0 "
+                 "THEN array() ELSE split(trim(text), '\\\\s+') END) "
+                 "AS BIGINT)")
+        lab = d.select(
+            "doc_id",
+            F.expr("least(2L, n_chars DIV 200)").alias("c1"),
+            F.expr(f"least(2L, ({toksz} * 6) DIV 400)").alias("c2"),
+            F.expr("least(2L, (n_chars + doc_id % 97) DIV 220)")
+            .alias("c3"))
+        long_ = lab.select("doc_id", F.explode(
+            F.array("c1", "c2", "c3")).alias("cat"))
+        return fleiss_kappa(long_, "doc_id", "cat")
+    q["dq_fleiss_kappa"] = dq_fleiss_kappa
+
+    # -- compression-ratio quality census (operators/compress.py):
+    # zlib band census per source. ROWS-ONLY by design — DEFLATE has
+    # no SQL twin; byte-exactness vs direct zlib.compress is pinned
+    # in tests/test_compress.py.
+    def text_compression_census(spark, sf):
+        from logging_spark.operators.compress import compression_census
+        d = _read(spark, sf, "documents")
+        return compression_census(d, "source", "text")
+    q["text_compression_census"] = text_compression_census
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -7963,5 +7995,48 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
             // greatest(CAST(sum(en) AS BIGINT), 1) AS BIGINT)
          AS mase_x1e6
 FROM scored GROUP BY 1"""
+
+    o["dq_fleiss_kappa"] = r"""
+WITH lab AS (
+  SELECT doc_id,
+         least(2, n_chars // 200) AS c1,
+         least(2, (CAST(len(CASE WHEN trim(text) = '' THEN []
+                   ELSE string_split_regex(trim(text), '\s+') END)
+                   AS BIGINT) * 6) // 400) AS c2,
+         least(2, (n_chars + doc_id % 97) // 220) AS c3
+  FROM documents),
+long_ AS (SELECT doc_id, u.cat
+          FROM lab, unnest([c1, c2, c3]) AS u(cat)),
+cells AS (SELECT doc_id AS s, cat,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM long_ GROUP BY 1, 2),
+per_subj AS (SELECT s, CAST(sum(n * n) AS BIGINT) AS sq,
+                    CAST(sum(n) AS BIGINT) AS r
+             FROM cells GROUP BY 1),
+subj AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+                CAST(sum(sq) AS BIGINT) AS a,
+                CAST(min(r) AS BIGINT) AS r_min,
+                CAST(max(r) AS BIGINT) AS n_raters
+         FROM per_subj),
+marg AS (SELECT CAST(sum(n) AS BIGINT) AS cj FROM cells GROUP BY cat),
+cat_ AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                CAST(sum(cj * cj) AS BIGINT) AS c
+         FROM marg)
+SELECT n_subjects, n_raters, r_min, n_categories,
+       CAST(((a - n_subjects * n_raters) * 1000000)
+            // (n_subjects * n_raters * (n_raters - 1)) AS BIGINT)
+         AS p_bar_x1e6,
+       CAST((c * 1000000)
+            // (n_subjects * n_raters * n_subjects * n_raters)
+            AS BIGINT) AS p_e_x1e6,
+       CAST(CASE WHEN (n_raters - 1) *
+                 (n_subjects * n_raters * n_subjects * n_raters - c)
+                 = 0 THEN 1000000
+            ELSE (((a - n_subjects * n_raters) * n_subjects * n_raters
+                   - c * (n_raters - 1)) * 1000000)
+                 // ((n_raters - 1) *
+                     (n_subjects * n_raters * n_subjects * n_raters
+                      - c)) END AS BIGINT) AS kappa_x1e6
+FROM subj, cat_"""
 
     return o

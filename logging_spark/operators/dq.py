@@ -246,3 +246,63 @@ def wilson_lower_bound(df: DataFrame, group_cols: Sequence[str],
         f"/ (1.0 + {z2} / CAST(n AS DOUBLE)))) AS BIGINT)")
     return agg.select(*[F.col(c) for c in group_cols], "n", "k",
                       F.expr(expr).alias("wilson_lb_x1e6"))
+
+
+def fleiss_kappa(df: DataFrame, subject_col: str,
+                 category_col: str) -> DataFrame:
+    """Multi-rater agreement (Fleiss 1971) over LONG-form ratings —
+    one row per (subject, rater-assignment); the rater identity is
+    irrelevant to the statistic, only the per-subject category counts
+    n_ij matter. Integer-exact throughout (the Cohen's-kappa sibling
+    for >2 raters).
+
+    Dataflow: one grouped count to the (subject, category) cells —
+    the only data-sized shuffle, map-side combined — then two tiny
+    aggregates over the cell table (per-subject sum of n_ij^2, and
+    per-category marginals), combined by broadcast. With
+      A = sum_ij n_ij^2,  C = sum_j (sum_i n_ij)^2,  N subjects,
+      R raters: kappa = ((A-NR)*NR - C*(R-1)) / ((R-1)*((NR)^2 - C)).
+    All BIGINT: exact while N^2 * R^3 * 1e6 < 2^63 (~5e5 subjects at
+    R=3); past that, compute the two ratios in ppm first (keyness
+    rescale). Fleiss assumes a CONSTANT rater count per subject —
+    violations are surfaced as r_min != r_max in the output row (the
+    statistic row is still emitted, using R = r_max), never silently
+    averaged away.
+
+    Output: n_subjects, n_raters(=r_max), r_min, n_categories,
+    p_bar_x1e6, p_e_x1e6, kappa_x1e6.
+    """
+    cells = (df.groupBy(F.col(subject_col).alias("_s"),
+                        F.col(category_col).alias("_c"))
+             .agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    # pin: cells feeds three aggregates below; without it the raw
+    # scan+count subtree runs three times in one plan
+    cells = cells.localCheckpoint()
+    per_subj = cells.groupBy("_s").agg(
+        F.sum(F.col("_n") * F.col("_n")).cast("long").alias("_sq"),
+        F.sum("_n").cast("long").alias("_r"))
+    subj = per_subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum("_sq").cast("long").alias("a"),
+        F.min("_r").cast("long").alias("r_min"),
+        F.max("_r").cast("long").alias("n_raters"))
+    cat = (cells.groupBy("_c")
+           .agg(F.sum("_n").cast("long").alias("_cj"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_categories"),
+                F.sum(F.col("_cj") * F.col("_cj")).cast("long")
+                .alias("c")))
+    nr = "(n_subjects * n_raters)"
+    den_pb = f"({nr} * (n_raters - 1))"
+    return (subj.crossJoin(F.broadcast(cat))
+            .select("n_subjects", "n_raters", "r_min", "n_categories",
+                    F.expr(f"((a - {nr}) * 1000000) DIV {den_pb}")
+                    .cast("long").alias("p_bar_x1e6"),
+                    F.expr(f"(c * 1000000) DIV ({nr} * {nr})")
+                    .cast("long").alias("p_e_x1e6"),
+                    F.expr(
+                        f"CASE WHEN (n_raters - 1) * ({nr} * {nr} - c)"
+                        f" = 0 THEN 1000000 ELSE "
+                        f"(((a - {nr}) * {nr} - c * (n_raters - 1))"
+                        f" * 1000000) DIV "
+                        f"((n_raters - 1) * ({nr} * {nr} - c)) END")
+                    .cast("long").alias("kappa_x1e6")))

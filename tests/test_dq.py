@@ -82,3 +82,42 @@ def test_dq_checks_empty_table_passes_all(spark):
     for name, r in out.items():
         assert r["n_violations"] == 0, name
         assert r["passed"] == 1, name
+
+
+def test_fleiss_kappa_matches_textbook_float(spark):
+    from logging_spark.operators.dq import fleiss_kappa
+    # Fleiss (1971)-style toy: 6 subjects x 4 raters, 3 categories
+    ratings = {
+        0: [0, 0, 0, 1], 1: [1, 1, 1, 1], 2: [0, 1, 2, 2],
+        3: [2, 2, 2, 2], 4: [0, 0, 1, 1], 5: [1, 2, 2, 2],
+    }
+    rows = [(s, c) for s, cs in ratings.items() for c in cs]
+    df = spark.createDataFrame(rows, "s LONG, cat LONG")
+    got = fleiss_kappa(df, "s", "cat").collect()[0]
+    # textbook float computation
+    import collections
+    n, r = len(ratings), 4
+    cats = sorted({c for cs in ratings.values() for c in cs})
+    nij = {(s, c): collections.Counter(cs)[c]
+           for s, cs in ratings.items() for c in cats}
+    p_i = [(sum(nij[(s, c)] ** 2 for c in cats) - r) / (r * (r - 1))
+           for s in ratings]
+    p_bar = sum(p_i) / n
+    pj = [sum(nij[(s, c)] for s in ratings) / (n * r) for c in cats]
+    p_e = sum(p ** 2 for p in pj)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert got["n_subjects"] == n and got["n_raters"] == r == got["r_min"]
+    assert got["n_categories"] == 3
+    # integer fixed-point truncates toward zero; allow 1 ulp of 1e-6
+    assert abs(got["kappa_x1e6"] - int(kappa * 1_000_000)) <= 1
+    assert abs(got["p_bar_x1e6"] - int(p_bar * 1_000_000)) <= 1
+    assert abs(got["p_e_x1e6"] - int(p_e * 1_000_000)) <= 1
+
+
+def test_fleiss_kappa_flags_unbalanced_raters(spark):
+    from logging_spark.operators.dq import fleiss_kappa
+    rows = [(0, 0), (0, 0), (0, 1), (1, 1), (1, 1)]  # 3 vs 2 raters
+    got = fleiss_kappa(
+        spark.createDataFrame(rows, "s LONG, cat LONG"),
+        "s", "cat").collect()[0]
+    assert got["n_raters"] == 3 and got["r_min"] == 2  # surfaced
