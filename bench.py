@@ -166,6 +166,8 @@ HEADLINE = [
     "events_forecast_backtest",
     "dq_fleiss_kappa",
     "text_compression_census",
+    "dq_benford",
+    "events_attribution_windowed",
 ]
 
 

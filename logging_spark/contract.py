@@ -4330,6 +4330,40 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return compression_census(d, "source", "text")
     q["text_compression_census"] = text_compression_census
 
+    # -- Benford first-digit audit (dq.benford_audit) over lineitem
+    # money cents: expectations are baked log10 ppm constants, so no
+    # float log runs at query time in either engine.
+    def dq_benford(spark, sf):
+        from logging_spark.operators.dq import benford_audit
+        li = _read(spark, sf, "lineitem")
+        cents = li.select(
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .alias("cents"))
+        return benford_audit(cents, "cents")
+    q["dq_benford"] = dq_benford
+
+    # -- LOOKBACK-windowed, value-weighted attribution
+    # (operators/attribution.py) — the bounded-window sibling of
+    # events_attribution (which credits the user's first-EVER touch):
+    # both models ride ONE per-user RANGE-framed window; the oracle
+    # runs the NAIVE conversions-x-touches join, so agreement proves
+    # the window semantics from first principles.
+    def events_attribution_windowed(spark, sf):
+        from logging_spark.operators.attribution import (
+            attribution_rollup, touch_attribution)
+        ev = _read(spark, sf, "events")
+        base = ev.select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS timestamp))").alias("us"),
+            "event_id", "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"))
+        per = touch_attribution(
+            base, "user_id", "us", "event_type", "cents",
+            conversion_type="purchase", touch_types=["click", "view"],
+            lookback_us=7 * 86400 * 1_000_000)
+        return attribution_rollup(per)
+    q["events_attribution_windowed"] = events_attribution_windowed
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -8038,5 +8072,51 @@ SELECT n_subjects, n_raters, r_min, n_categories,
                      (n_subjects * n_raters * n_subjects * n_raters
                       - c)) END AS BIGINT) AS kappa_x1e6
 FROM subj, cat_"""
+
+    o["dq_benford"] = """
+WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        AS digit
+      FROM v WHERE cents > 0),
+cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt),
+exp_ AS (SELECT [301029, 176091, 124938, 96910, 79181,
+                 66946, 57991, 51152, 45757] AS e)
+SELECT digit, n,
+       CAST((n * 1000000) // t AS BIGINT) AS share_ppm,
+       CAST(e[CAST(digit AS INT)] AS BIGINT) AS expected_ppm,
+       CAST((n * 1000000) // t - e[CAST(digit AS INT)] AS BIGINT)
+         AS dev_ppm
+FROM cnt, tot, exp_"""
+
+    o["events_attribution_windowed"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+tch AS (SELECT * FROM e WHERE event_type IN ('click', 'view')),
+j AS (SELECT c.event_id AS cid, c.cents, t.us, t.event_id AS tid,
+             t.event_type AS tt
+      FROM conv c LEFT JOIN tch t
+        ON t.user_id = c.user_id
+       AND t.us >= c.us - 604800000000
+       AND t.us <= c.us - 1),
+ranked AS (
+  SELECT cid, cents, tt,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY us ASC NULLS LAST, tid ASC) AS rf,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY us DESC NULLS LAST, tid DESC) AS rl
+  FROM j),
+models AS (
+  SELECT 'first' AS model, coalesce(tt, 'none') AS touch_type, cents
+  FROM ranked WHERE rf = 1
+  UNION ALL
+  SELECT 'last', coalesce(tt, 'none'), cents FROM ranked WHERE rl = 1)
+SELECT model, touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM models GROUP BY 1, 2"""
 
     return o

@@ -306,3 +306,40 @@ def fleiss_kappa(df: DataFrame, subject_col: str,
                         f" * 1000000) DIV "
                         f"((n_raters - 1) * ({nr} * {nr} - c)) END")
                     .cast("long").alias("kappa_x1e6")))
+
+
+# floor(log10(1 + 1/d) * 1e6), d = 1..9 — exact integer constants so
+# both engines compare against identical expectations (no runtime log)
+BENFORD_PPM = [301029, 176091, 124938, 96910, 79181,
+               66946, 57991, 51152, 45757]
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive integer
+    column vs Benford's law — the classic fabricated-data / unit-mixup
+    tripwire for financial-style columns. One grouped count to <=9
+    cells (the only shuffle), shares in ppm, expectations as baked
+    integer constants (log10 never runs at query time, so the audit is
+    engine-portable and exact). Rows with value <= 0 are excluded
+    (Benford is defined on positive magnitudes).
+
+    Output per digit: n, share_ppm, expected_ppm,
+    dev_ppm = share - expected (signed).
+    """
+    digits = df.where(F.col(value_col) > 0).select(
+        F.expr(f"CAST(substring(CAST({value_col} AS STRING), 1, 1) "
+               "AS BIGINT)").alias("digit"))
+    cnt = (digits.groupBy("digit")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"))
+           .localCheckpoint())  # feeds totals AND shares: one pass
+    tot = cnt.agg(F.sum("n").cast("long").alias("t"))
+    exp_arr = "array(" + ", ".join(f"{v}L" for v in BENFORD_PPM) + ")"
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    F.expr("(n * 1000000) DIV t").cast("long")
+                    .alias("share_ppm"),
+                    F.expr(f"element_at({exp_arr}, CAST(digit AS INT))")
+                    .cast("long").alias("expected_ppm"))
+            .withColumn("dev_ppm",
+                        (F.col("share_ppm") - F.col("expected_ppm"))
+                        .cast("long")))

@@ -66,3 +66,31 @@ def write_shards(df: DataFrame, path: str, cols: Sequence[str],
     (tagged.repartition(n_shards, "shard")
      .write.mode("overwrite").partitionBy("shard").parquet(path))
     return shard_manifest(df, list(cols), id_col, n_shards, seed)
+
+
+def write_range_shards(df: DataFrame, path: str, sort_col: str,
+                       n_shards: int = 64) -> DataFrame:
+    """RANGE-sharded export: shard K holds a contiguous slice of the
+    ``sort_col`` domain and is sorted within — the layout merge
+    readers and binary-search consumers want (contrast hash shards,
+    which optimize balance, not order). One RangePartitioning
+    exchange (sampled boundaries) + in-task sort; no global sort ever
+    materializes on one node.
+
+    The returned manifest (shard, lo, hi, n_rows) is recomputed FROM
+    THE COMMITTED TREE (repo invariant: never trust the pre-write
+    plan — range boundary sampling could re-draw between actions),
+    so ranges are provably non-overlapping for any consumer that
+    re-checks. Ordering contract: (shard, sort_col) ascending ==
+    global sort_col order.
+    """
+    tagged = (df.repartitionByRange(n_shards, F.col(sort_col))
+              .sortWithinPartitions(sort_col)
+              .withColumn("shard", F.spark_partition_id()))
+    tagged.write.mode("overwrite").partitionBy("shard").parquet(path)
+    committed = df.sparkSession.read.parquet(path)
+    return (committed.groupBy("shard")
+            .agg(F.min(sort_col).alias("lo"),
+                 F.max(sort_col).alias("hi"),
+                 F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .orderBy("shard"))

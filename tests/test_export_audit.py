@@ -72,3 +72,29 @@ def test_write_shards_one_file_group_per_shard(spark, tmp_path):
         # shard-keyed repartition: each shard's rows arrive at ONE
         # task, so exactly one parquet file per shard directory
         assert len(files) == 1, (k, files)
+
+
+def test_write_range_shards_contiguous_sorted(spark, tmp_path):
+    from logging_spark.operators.export import write_range_shards
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 100000) for i in range(5000)], "id LONG, v LONG")
+    path = str(tmp_path / "rs")
+    man = write_range_shards(df, path, "v", n_shards=8).collect()
+    assert sum(r["n_rows"] for r in man) == 5000
+    # contiguous, non-overlapping ranges in shard order
+    for a, b in zip(man, man[1:]):
+        assert a["hi"] <= b["lo"]
+    # within-shard sortedness on the committed files
+    from pyspark.sql import functions as F
+    back = spark.read.parquet(path)
+    one = [r["v"] for r in back.where(F.col("shard") == man[3]["shard"])
+           .collect()]
+    # parquet preserves row order per file; single file per shard
+    assert one == sorted(one)
+    # (shard, v) order == global v order
+    glob = [r["v"] for r in back.orderBy("shard", "v").collect()]
+    assert glob == sorted(glob)
+    # the plan actually range-partitions (no global single-partition sort)
+    plan = df.repartitionByRange(8, F.col("v"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
