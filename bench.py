@@ -168,6 +168,9 @@ HEADLINE = [
     "text_compression_census",
     "dq_benford",
     "events_attribution_windowed",
+    "sim_source_affinity",
+    "events_behavior_diversity",
+    "events_rate_limit",
 ]
 
 

@@ -4364,6 +4364,78 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return attribution_rollup(per)
     q["events_attribution_windowed"] = events_attribution_windowed
 
+    # -- cross-source semantic affinity (kmeans.centroid_affinity):
+    # pairwise cosine between source centroids — everything collapses
+    # to |sources| x dims rows before any pairing; cosine is
+    # deterministic-double over exact integer dots/norms.
+    def sim_source_affinity(spark, sf):
+        from logging_spark.operators.kmeans import (
+            centroid_affinity, quantized_points)
+        emb = _read(spark, sf, "embeddings")
+        grp = _read(spark, sf, "documents").select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("source").alias("grp"))
+        return centroid_affinity(quantized_points(emb), grp,
+                                 id_col="vec_id", group_col="grp")
+    q["sim_source_affinity"] = sim_source_affinity
+
+    # -- behavioral diversity: per-user distinct-transition share of
+    # the event stream, rolled to deciles — bot/script detection
+    # readout (a scripted user repeats one loop; diversity_ppm low
+    # n_events high). One (user, ts) sort, two distinct counts at
+    # user grain, then a 10-cell rollup.
+    def events_behavior_diversity(spark, sf):
+        ev = _read(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        d = ev.withColumn("_prev", F.lag("event_type").over(w))
+        per = (d.groupBy("user_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.countDistinct("event_type").cast("long")
+                    .alias("n_types"),
+                    F.sum(F.col("_prev").isNotNull().cast("long"))
+                    .cast("long").alias("n_trans"),
+                    F.countDistinct(
+                        F.when(F.col("_prev").isNotNull(),
+                               F.concat_ws(">", "_prev", "event_type")))
+                    .cast("long").alias("n_dtrans")))
+        scored = per.withColumn(
+            "_div", F.expr("(n_dtrans * 1000000) "
+                           "DIV greatest(n_trans, 1L)"))
+        return (scored.groupBy(
+                    F.expr("least(9L, _div DIV 100000)").alias("decile"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                     F.sum("n_events").cast("long").alias("sum_events"),
+                     F.sum("n_trans").cast("long").alias("sum_trans"),
+                     F.sum("n_dtrans").cast("long")
+                     .alias("sum_distinct_trans")))
+    q["events_behavior_diversity"] = events_behavior_diversity
+
+    # -- freshness audit (dq.freshness): staleness per event_type at
+    # a FIXED as_of instant (parameter, never wall-clock now()).
+    def dq_freshness(spark, sf):
+        from logging_spark.operators.dq import freshness
+        ev = _read(spark, sf, "events")
+        return freshness(ev, "ts", ["event_type"],
+                         as_of="2024-02-01T00:00:00")
+    q["dq_freshness"] = dq_freshness
+
+    # -- token-bucket rate-limit replay (operators/ratelimit.py):
+    # what a 0.1-token/s, burst-5 limiter would have admitted per
+    # (event_type, day). One shuffle + pure-JVM integer fold; the
+    # oracle unrolls the identical recurrence as a recursive CTE.
+    def events_rate_limit(spark, sf):
+        from logging_spark.operators.ratelimit import token_bucket_admit
+        ev = _read(spark, sf, "events")
+        keyed = ev.select(
+            F.concat_ws(":", "event_type",
+                        F.col("ts").cast("date").cast("string"))
+            .alias("k"),
+            F.expr("unix_micros(CAST(ts AS timestamp))").alias("us"),
+            "event_id")
+        return token_bucket_admit(keyed, "k", "us", "event_id",
+                                  rate_x1e6_per_s=100_000, burst=5)
+    q["events_rate_limit"] = events_rate_limit
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -8118,5 +8190,105 @@ models AS (
 SELECT model, touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
        CAST(sum(cents) AS BIGINT) AS cents
 FROM models GROUP BY 1, 2"""
+
+    o["sim_source_affinity"] = """
+WITH q AS (SELECT vec_id,
+                  list_transform(list_transform(embedding,
+                                                x -> CAST(x AS DOUBLE)),
+                                 x -> CAST(floor(x * 10000) AS BIGINT))
+                    AS qv
+           FROM embeddings),
+pts AS (SELECT vec_id, unnest(qv) AS val,
+               generate_subscripts(qv, 1) AS pos
+        FROM q),
+g AS (SELECT p.pos, d.source AS grp, p.val
+      FROM pts p JOIN documents d ON d.doc_id = p.vec_id),
+cent AS MATERIALIZED (
+  SELECT grp, pos,
+         CAST(CAST(sum(val) AS BIGINT) // CAST(count(*) AS BIGINT)
+              AS BIGINT) AS m
+  FROM g GROUP BY 1, 2),
+dots AS (SELECT a.grp AS group_a, b.grp AS group_b,
+                CAST(sum(a.m * b.m) AS BIGINT) AS dot
+         FROM cent a JOIN cent b ON a.pos = b.pos AND a.grp < b.grp
+         GROUP BY 1, 2),
+norms AS MATERIALIZED (
+  SELECT grp, CAST(sum(m * m) AS BIGINT) AS nrm
+  FROM cent GROUP BY 1)
+SELECT group_a, group_b, dot,
+       na.nrm AS norm_a, nb.nrm AS norm_b,
+       CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN 0
+            ELSE CAST(floor((CAST(dot AS DOUBLE) * 1000000.0) /
+                 (sqrt(CAST(na.nrm AS DOUBLE)) *
+                  sqrt(CAST(nb.nrm AS DOUBLE)))) AS BIGINT)
+       END AS cos_x1e6
+FROM dots
+JOIN norms na ON na.grp = dots.group_a
+JOIN norms nb ON nb.grp = dots.group_b"""
+
+    o["events_behavior_diversity"] = """
+WITH d AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_trans,
+         CAST(count(DISTINCT CASE WHEN prev IS NOT NULL
+                    THEN prev || '>' || event_type END) AS BIGINT)
+           AS n_dtrans
+  FROM d GROUP BY 1),
+scored AS (
+  SELECT *, (n_dtrans * 1000000) // greatest(n_trans, 1) AS div_
+  FROM per)
+SELECT least(9, div_ // 100000) AS decile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS sum_events,
+       CAST(sum(n_trans) AS BIGINT) AS sum_trans,
+       CAST(sum(n_dtrans) AS BIGINT) AS sum_distinct_trans
+FROM scored GROUP BY 1"""
+
+    o["dq_freshness"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS max_us,
+       CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+             - CAST(max(epoch_us(ts)) AS BIGINT)) // 1000000
+            AS BIGINT) AS staleness_s
+FROM events GROUP BY 1"""
+
+    # token bucket: cap 5e6 micro-tokens, refill (dus * 1e5) // 1e6,
+    # spend 1e6 per admitted event — identical recurrence to the
+    # Spark aggregate() fold, unrolled one row per step per key
+    o["events_rate_limit"] = """
+WITH RECURSIVE idx AS (
+  SELECT event_type || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS k,
+         epoch_us(ts) AS u,
+         row_number() OVER (
+           PARTITION BY event_type || ':'
+                        || CAST(CAST(ts AS DATE) AS VARCHAR)
+           ORDER BY epoch_us(ts), event_id) AS i
+  FROM events),
+e(k, i, u, tok, adm) AS (
+  SELECT k, i, u, CAST(4000000 AS BIGINT), CAST(1 AS BIGINT)
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT x.k, x.i, x.u,
+         CASE WHEN least(5000000, e.tok + ((x.u - e.u) * 100000)
+                    // 1000000) >= 1000000
+              THEN least(5000000, e.tok + ((x.u - e.u) * 100000)
+                         // 1000000) - 1000000
+              ELSE least(5000000, e.tok + ((x.u - e.u) * 100000)
+                         // 1000000) END,
+         e.adm + CASE WHEN least(5000000, e.tok + ((x.u - e.u)
+                            * 100000) // 1000000) >= 1000000
+                      THEN 1 ELSE 0 END
+  FROM idx x JOIN e ON x.k = e.k AND x.i = e.i + 1)
+SELECT k, CAST(max(i) AS BIGINT) AS n_events,
+       CAST(max(adm) AS BIGINT) AS n_admitted,
+       CAST(max(i) - max(adm) AS BIGINT) AS n_dropped
+FROM e GROUP BY 1"""
 
     return o

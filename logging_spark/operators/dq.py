@@ -343,3 +343,24 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             .withColumn("dev_ppm",
                         (F.col("share_ppm") - F.col("expected_ppm"))
                         .cast("long")))
+
+
+def freshness(df: DataFrame, ts_col: str, group_cols: list[str],
+              as_of: str) -> DataFrame:
+    """Data-freshness audit: per group, rows seen and seconds of
+    staleness at a FIXED instant ``as_of`` (ISO-8601, interpreted
+    UTC). The reference instant is a parameter, never wall-clock
+    now() — reproducible re-runs and engine-portable oracles both
+    forbid a hidden clock read. One grouped agg; negative lag means
+    data from the future of as_of (its own data-quality smell, so it
+    is NOT clamped)."""
+    from datetime import datetime, timezone
+    dt = datetime.fromisoformat(as_of).replace(tzinfo=timezone.utc)
+    as_of_us = int(dt.timestamp()) * 1_000_000
+    us = F.expr(f"unix_micros(CAST({ts_col} AS timestamp))")
+    return (df.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.max(us).cast("long").alias("max_us"))
+            .select(*group_cols, "n_rows", "max_us",
+                    F.expr(f"({as_of_us} - max_us) DIV 1000000")
+                    .cast("long").alias("staleness_s")))

@@ -161,3 +161,61 @@ def semdedup_summary(vectors: DataFrame, k: int = 4, rounds: int = 2,
 
     return v.groupBy("cluster").applyInPandas(
         kernel, "cluster long, n long, n_dropped long")
+
+
+def centroid_affinity(points: DataFrame, group_df: DataFrame,
+                      id_col: str = "vec_id",
+                      group_col: str = "group") -> DataFrame:
+    """Pairwise cosine between GROUP centroids — the cross-corpus
+    semantic-affinity matrix used to design data mixtures ("which
+    sources overlap in embedding space?"). Input is quantized_points
+    long form + an (id, group) map.
+
+    Everything collapses before anything pairs: points reduce to
+    |groups| x dims centroid rows (integer mean per dimension, the
+    only data-sized shuffle), and the pair join runs on that tiny
+    table (g_a < g_b upper triangle). Dots/norms are exact BIGINTs
+    (|mean| <= QUANT=1e4, so 64 dims tops out at 6.4e9 — far inside
+    2^53, hence the final cosine is deterministic-double class: exact
+    integer inputs, identically-parenthesized IEEE /,*,sqrt, one
+    floor). With 10^4 groups the pair table is 5e7 rows of pure
+    arithmetic — still no row of ORIGINAL data involved.
+
+    Output: group_a, group_b, dot, norm_a, norm_b (exact integers),
+    cos_x1e6.
+    """
+    pts = points.join(group_df.select(F.col(id_col),
+                                      F.col(group_col).alias("_g")),
+                      id_col)
+    cent = (pts.groupBy("_g", "pos")
+            .agg(F.expr("CAST(sum(val) AS BIGINT) DIV count(*)")
+                 .alias("m"))
+            .localCheckpoint())  # feeds pairs AND self-norms once
+    a = cent.select(F.col("_g").alias("group_a"), "pos",
+                    F.col("m").alias("ma"))
+    b = cent.select(F.col("_g").alias("group_b"), "pos",
+                    F.col("m").alias("mb"))
+    # centroids and norms are |groups|-scale — broadcast them so the
+    # pair expansion and the norm attach never sort-merge (plan
+    # audit: 7 exchanges / 6 sorts -> 1 / 0)
+    dots = (a.join(F.broadcast(b), "pos")
+            .where(F.col("group_a") < F.col("group_b"))
+            .groupBy("group_a", "group_b")
+            .agg(F.sum(F.col("ma") * F.col("mb")).cast("long")
+                 .alias("dot")))
+    norms = (cent.groupBy(F.col("_g"))
+             .agg(F.sum(F.col("m") * F.col("m")).cast("long")
+                  .alias("nrm")))
+    out = (dots
+           .join(F.broadcast(norms.select(
+               F.col("_g").alias("group_a"),
+               F.col("nrm").alias("norm_a"))), "group_a")
+           .join(F.broadcast(norms.select(
+               F.col("_g").alias("group_b"),
+               F.col("nrm").alias("norm_b"))), "group_b"))
+    cos = ("CAST(floor((CAST(dot AS DOUBLE) * 1000000.0) / "
+           "(sqrt(CAST(norm_a AS DOUBLE)) * "
+           "sqrt(CAST(norm_b AS DOUBLE)))) AS BIGINT)")
+    return out.select("group_a", "group_b", "dot", "norm_a", "norm_b",
+                      F.expr(f"CASE WHEN norm_a = 0 OR norm_b = 0 "
+                             f"THEN 0 ELSE {cos} END").alias("cos_x1e6"))

@@ -269,6 +269,12 @@ def naive_backtest(df: DataFrame, key: str, x_col: str, y_col: str,
     """
     base = df.select(F.col(key), F.col(x_col).cast("long").alias("_x"),
                      F.col(y_col).cast("long").alias("_y"))
+    # pin: base feeds itself + both lag sides — without it the
+    # upstream period-aggregation subtree runs three times in one
+    # plan (plan-audited: 3 scans -> 1). The input is the COLLAPSED
+    # per-(key, period) series, so the checkpoint is small by
+    # contract.
+    base = base.localCheckpoint()
     sea = base.select(F.col(key),
                       (F.col("_x") + season).alias("_x"),
                       F.col("_y").alias("_ys"))
