@@ -171,6 +171,8 @@ HEADLINE = [
     "sim_source_affinity",
     "events_behavior_diversity",
     "events_rate_limit",
+    "docs_gini",
+    "docs_length_emd",
 ]
 
 

@@ -4436,6 +4436,25 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   rate_x1e6_per_s=100_000, burst=5)
     q["events_rate_limit"] = events_rate_limit
 
+    # -- Gini concentration per source (profile.gini_by_group): the
+    # inequality readout for corpus balance, via the exact integer
+    # rank identity (never the O(n^2) |x_i - x_j| definition).
+    def docs_gini(spark, sf):
+        from logging_spark.operators.profile import gini_by_group
+        d = _read(spark, sf, "documents")
+        return gini_by_group(d, "source", "n_chars", "doc_id")
+    q["docs_gini"] = docs_gini
+
+    # -- 1-D EMD length drift per source (profile.length_emd):
+    # transport-metric sibling of the chi-square drift index — for
+    # sorted histograms EMD is exactly sum |cum share diff|, all ppm
+    # integers over (source x bin) cells.
+    def docs_length_emd(spark, sf):
+        from logging_spark.operators.profile import length_emd
+        d = _read(spark, sf, "documents")
+        return length_emd(d, "source", "n_chars", bin_width=64)
+    q["docs_length_emd"] = docs_length_emd
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -8290,5 +8309,55 @@ SELECT k, CAST(max(i) AS BIGINT) AS n_events,
        CAST(max(adm) AS BIGINT) AS n_admitted,
        CAST(max(i) - max(adm) AS BIGINT) AS n_dropped
 FROM e GROUP BY 1"""
+
+    o["docs_gini"] = """
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r
+  FROM documents),
+agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS total,
+               CAST(sum(r * x) AS BIGINT) AS rx
+        FROM ranked GROUP BY 1)
+SELECT source, n, total,
+       CAST(CASE WHEN n * total = 0 THEN 0
+            ELSE ((2 * rx - (n + 1) * total) * 1000000)
+                 // (n * total) END AS BIGINT) AS gini_x1e6
+FROM agg"""
+
+    o["docs_length_emd"] = """
+WITH cells AS MATERIALIZED (
+  SELECT source AS g, n_chars // 64 AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+grid AS (SELECT gs.g, bs.b
+         FROM (SELECT DISTINCT g FROM cells) gs,
+              (SELECT DISTINCT b FROM cells) bs),
+dense AS (SELECT grid.g, grid.b, coalesce(c, 0) AS c
+          FROM grid LEFT JOIN cells
+            ON cells.g = grid.g AND cells.b = grid.b),
+gtot AS MATERIALIZED (
+  SELECT g, CAST(sum(c) AS BIGINT) AS tg FROM cells GROUP BY 1),
+gall AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb
+         FROM cells GROUP BY 1),
+ta AS (SELECT CAST(sum(c) AS BIGINT) AS ta FROM cells),
+cumg AS (
+  SELECT dense.g, dense.b,
+         (CAST(sum(c) OVER (PARTITION BY dense.g ORDER BY dense.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) * 1000000) // tg AS cg
+  FROM dense JOIN gtot ON gtot.g = dense.g),
+cuma AS (
+  SELECT b, (CAST(sum(cb) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) * 1000000) // ta AS ca
+  FROM gall, ta)
+SELECT cumg.g AS source, CAST(gtot.tg AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(abs(cg - ca)) AS BIGINT) AS emd_ppm_bins
+FROM cumg JOIN cuma ON cuma.b = cumg.b
+JOIN gtot ON gtot.g = cumg.g
+GROUP BY 1, 2"""
 
     return o

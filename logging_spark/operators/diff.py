@@ -128,3 +128,34 @@ def apply_changes(base: DataFrame, changes: DataFrame, keys: list[str],
     ups = (changes.where(F.col("op") == "upsert")
            .select(*keys, *payload))
     return survivors.unionByName(ups)
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Column-level schema drift between two snapshots: one row per
+    added / removed / type_changed / nullability_changed column
+    (unchanged columns are omitted). Pure METADATA work — schemas
+    live on the driver; no data is scanned, so this runs in
+    milliseconds against 100 TB tables and belongs at the front of
+    any CDC/apply pipeline (diff the shape before diffing rows).
+    simpleString() comparison covers nested struct/array/map types."""
+    of = {f.name: f for f in old.schema.fields}
+    nf = {f.name: f for f in new.schema.fields}
+    rows = []
+    for name in sorted(set(of) | set(nf)):
+        o, n = of.get(name), nf.get(name)
+        if o is None:
+            rows.append((name, "added", None, n.dataType.simpleString()))
+        elif n is None:
+            rows.append((name, "removed", o.dataType.simpleString(),
+                         None))
+        elif o.dataType != n.dataType:
+            rows.append((name, "type_changed",
+                         o.dataType.simpleString(),
+                         n.dataType.simpleString()))
+        elif o.nullable != n.nullable:
+            rows.append((name, "nullability_changed",
+                         o.dataType.simpleString(),
+                         n.dataType.simpleString()))
+    return old.sparkSession.createDataFrame(
+        rows, "column string, status string, old_type string, "
+              "new_type string")

@@ -17,7 +17,7 @@ and keep the exact form for audit snapshots of bounded dimensions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -131,3 +131,87 @@ def ecdf_normalize(
                 pct_ppm=(below * 1_000_000) // n_total)
 
     return d.mapInPandas(kernel, schema)
+
+
+def gini_by_group(df: DataFrame, group_col: str, value_col: str,
+                  tiebreak_col: str) -> DataFrame:
+    """Gini concentration of a positive integer mass per group — the
+    inequality readout for corpus balance ("does one doc hold half of
+    src3's tokens?"). Exact integer rank formula
+    ``gini = (2*sum(r_i*x_i) - (n+1)*sum(x)) / (n*sum(x))`` over
+    ranks from one per-group sort (row_number with a deterministic
+    tiebreak; with tied values this is the tiebreak-ordered variant,
+    bit-reproducible rather than the averaged-rank textbook form).
+    BIGINT-exact while n^2 * max(x) < 2^63 per group (~3e6 docs of
+    1e6 tokens); past that, rescale x to coarser units first.
+
+    One window sort + one grouped agg per group's rows — no
+    all-pairs |x_i - x_j| expansion (the naive O(n^2) definition this
+    rank identity replaces).
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+    ranked = df.select(
+        F.col(group_col), F.col(value_col).cast("long").alias("_x"),
+        F.row_number().over(w).cast("long").alias("_r"))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("total"),
+        F.sum(F.col("_r") * F.col("_x")).cast("long").alias("_rx"))
+    return agg.select(
+        group_col, "n", "total",
+        F.expr("CASE WHEN n * total = 0 THEN 0 ELSE "
+               "((2 * _rx - (n + 1) * total) * 1000000) "
+               "DIV (n * total) END").cast("long").alias("gini_x1e6"))
+
+
+def length_emd(df: DataFrame, group_col: str, value_col: str,
+               bin_width: int) -> DataFrame:
+    """1-D earth-mover's distance (in ppm of mass) between each
+    group's binned value distribution and the GLOBAL one — the
+    transport-metric drift readout (chi-square penalizes overlap
+    mismatch; EMD penalizes how FAR mass moved). For sorted 1-D
+    histograms EMD is exactly ``sum over bins |cum_share_g -
+    cum_share_all|`` — all integer once shares are ppm.
+
+    Everything collapses to (group x bin) cells before any window;
+    the bin grid is densified (groups missing a bin still carry
+    cumulative mass) by a broadcast cross of the two tiny distinct
+    sets. Output per group: n_rows, n_bins, emd_ppm_bins (sum over
+    bins of |cum diff|; divide by n_bins-1 downstream for a [0,1e6]
+    normalization if wanted — kept raw here to stay integer-exact).
+    """
+    binned = df.select(
+        F.col(group_col).alias("g"),
+        F.expr(f"CAST({value_col} AS BIGINT) DIV {bin_width}")
+        .alias("b"))
+    cells = (binned.groupBy("g", "b")
+             .agg(F.count(F.lit(1)).cast("long").alias("c"))
+             .localCheckpoint())  # feeds grid, totals, global
+    grid = (cells.select("g").distinct()
+            .crossJoin(F.broadcast(cells.select("b").distinct())))
+    dense = (grid.join(cells, ["g", "b"], "left")
+             .select("g", "b", F.coalesce("c", F.lit(0)).alias("c")))
+    gtot = cells.groupBy("g").agg(F.sum("c").cast("long").alias("tg"))
+    glob = (cells.groupBy("b").agg(F.sum("c").cast("long").alias("cb"))
+            .crossJoin(F.broadcast(
+                cells.agg(F.sum("c").cast("long").alias("ta")))))
+    wb = Window.partitionBy("g").orderBy("b") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wg = Window.partitionBy().orderBy("b") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_g = (dense.withColumn("cum", F.sum("c").over(wb))
+             .join(F.broadcast(gtot), "g")
+             .select("g", "b",
+                     F.expr("(cum * 1000000) DIV tg").alias("cg")))
+    cum_all = (glob.withColumn("cum", F.sum("cb").over(wg))
+               .select("b", F.expr("(cum * 1000000) DIV ta")
+                       .alias("ca")))
+    j = cum_g.join(F.broadcast(cum_all), "b")
+    return (j.groupBy(F.col("g").alias(group_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
+                 F.sum(F.abs(F.col("cg") - F.col("ca")))
+                 .cast("long").alias("emd_ppm_bins"))
+            .join(F.broadcast(gtot.select(
+                F.col("g").alias(group_col),
+                F.col("tg").alias("n_rows"))), group_col)
+            .select(group_col, "n_rows", "n_bins", "emd_ppm_bins"))

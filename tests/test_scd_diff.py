@@ -152,3 +152,20 @@ def test_snapshot_diff_null_vs_empty_and_separator_values(spark):
         old, new, keys=["k"], compare=["c1", "c2"],
         keep_unchanged=True).collect()}
     assert out == {"a": "changed", "b": "changed", "c": "unchanged"}
+
+
+def test_schema_diff_reports_all_change_kinds(spark):
+    from logging_spark.operators.diff import schema_diff
+    old = spark.createDataFrame(
+        [(1, "a", 1.0, [1])],
+        "id LONG, gone STRING, chg DOUBLE, arr ARRAY<LONG>")
+    new = spark.createDataFrame(
+        [(1, 2, [1], "x")],
+        "id LONG, chg LONG, arr ARRAY<LONG>, fresh STRING")
+    got = {r["column"]: r for r in schema_diff(old, new).collect()}
+    assert got["gone"]["status"] == "removed"
+    assert got["fresh"]["status"] == "added"
+    assert got["chg"]["status"] == "type_changed"
+    assert got["chg"]["old_type"] == "double"
+    assert got["chg"]["new_type"] == "bigint"
+    assert "id" not in got and "arr" not in got  # unchanged omitted
