@@ -173,6 +173,8 @@ HEADLINE = [
     "events_rate_limit",
     "docs_gini",
     "docs_length_emd",
+    "events_slo_burn",
+    "events_cohort_ltv",
 ]
 
 

@@ -4455,6 +4455,64 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return length_emd(d, "source", "n_chars", bin_width=64)
     q["docs_length_emd"] = docs_length_emd
 
+    # -- SLO burn-rate alerting (Google SRE multiwindow pattern):
+    # hourly error share + 6h trailing share off ONE hourly rollup;
+    # the RANGE(-5,0) window runs over the COLLAPSED hourly series
+    # (time-bounded rows — does not grow with data volume), so the
+    # unpartitioned window is bounded like the EMD global cumsum.
+    # Alert fires only when BOTH windows burn (fast + sustained).
+    def events_slo_burn(spark, sf):
+        ev = _read(spark, sf, "events")
+        hourly = (ev.groupBy(
+                      F.expr("CAST(unix_timestamp(CAST(ts AS timestamp))"
+                             " DIV 3600 AS BIGINT)").alias("h"))
+                  .agg(F.count(F.lit(1)).cast("long").alias("tot"),
+                       F.sum((F.col("event_type") == "error")
+                             .cast("long")).cast("long").alias("err")))
+        w6 = Window.orderBy("h").rangeBetween(-5, 0)
+        scored = (hourly
+                  .withColumn("err6", F.sum("err").over(w6).cast("long"))
+                  .withColumn("tot6", F.sum("tot").over(w6).cast("long"))
+                  .select("h", "err", "tot", "err6", "tot6",
+                          F.expr("(err * 1000000) DIV tot")
+                          .alias("rate1_ppm"),
+                          F.expr("(err6 * 1000000) DIV tot6")
+                          .alias("rate6_ppm")))
+        return scored.withColumn(
+            "alert", ((F.col("rate1_ppm") > 250000)
+                      & (F.col("rate6_ppm") > 250000)).cast("int"))
+    q["events_slo_burn"] = events_slo_burn
+
+    # -- cohort LTV curve: cumulative purchase value by cohort week x
+    # age week — the value sibling of cohort retention. One per-user
+    # min (cohort), one (cohort, age) rollup, one partitioned cumsum.
+    def events_cohort_ltv(spark, sf):
+        ev = _read(spark, sf, "events")
+        wk = "CAST(unix_timestamp(CAST(ts AS timestamp)) DIV 604800 AS BIGINT)"
+        base = ev.select("user_id", F.expr(wk).alias("w"),
+                         F.col("event_type"),
+                         F.expr("CAST(round(value * 100) AS BIGINT)")
+                         .alias("cents"))
+        # cohort week via same-key window min, NOT groupBy+join-back:
+        # one scan, and the per-user partitioning feeds the next agg
+        # (trend_slope precedent)
+        wu = Window.partitionBy("user_id")
+        cells = (base.withColumn("cw", F.min("w").over(wu).cast("long"))
+                 .groupBy("cw", (F.col("w") - F.col("cw")).alias("age"))
+                 .agg(F.countDistinct("user_id").cast("long")
+                      .alias("n_users_active"),
+                      F.sum(F.when(F.col("event_type") == "purchase",
+                                   F.col("cents")).otherwise(F.lit(0)))
+                      .cast("long").alias("cents")))
+        wc = (Window.partitionBy("cw").orderBy("age")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return (cells.withColumn("cum_cents",
+                                 F.sum("cents").over(wc).cast("long"))
+                .select(F.col("cw").alias("cohort_week"),
+                        F.col("age").alias("age_weeks"),
+                        "n_users_active", "cents", "cum_cents"))
+    q["events_cohort_ltv"] = events_cohort_ltv
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -8359,5 +8417,48 @@ SELECT cumg.g AS source, CAST(gtot.tg AS BIGINT) AS n_rows,
 FROM cumg JOIN cuma ON cuma.b = cumg.b
 JOIN gtot ON gtot.g = cumg.g
 GROUP BY 1, 2"""
+
+    o["events_slo_burn"] = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         CAST(count(*) AS BIGINT) AS tot,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS err
+  FROM events GROUP BY 1),
+scored AS (
+  SELECT h, err, tot,
+         CAST(sum(err) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS err6,
+         CAST(sum(tot) OVER (ORDER BY h RANGE BETWEEN 5 PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS tot6
+  FROM hourly)
+SELECT h, err, tot, err6, tot6,
+       CAST((err * 1000000) // tot AS BIGINT) AS rate1_ppm,
+       CAST((err6 * 1000000) // tot6 AS BIGINT) AS rate6_ppm,
+       CAST(CASE WHEN (err * 1000000) // tot > 250000
+                  AND (err6 * 1000000) // tot6 > 250000
+            THEN 1 ELSE 0 END AS INT) AS alert
+FROM scored"""
+
+    o["events_cohort_ltv"] = """
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
+         event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+cohort AS (SELECT user_id, CAST(min(w) AS BIGINT) AS cw
+           FROM base GROUP BY 1),
+cells AS (
+  SELECT cw, b.w - cw AS age,
+         CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_users_active,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                  ELSE 0 END) AS BIGINT) AS cents
+  FROM base b JOIN cohort c ON c.user_id = b.user_id
+  GROUP BY 1, 2)
+SELECT cw AS cohort_week, age AS age_weeks, n_users_active, cents,
+       CAST(sum(cents) OVER (PARTITION BY cw ORDER BY age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cents
+FROM cells"""
 
     return o
