@@ -175,6 +175,8 @@ HEADLINE = [
     "docs_length_emd",
     "events_slo_burn",
     "events_cohort_ltv",
+    "events_burstiness",
+    "docs_filter_cascade",
 ]
 
 

@@ -4513,6 +4513,68 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n_users_active", "cents", "cum_cents"))
     q["events_cohort_ltv"] = events_cohort_ltv
 
+    # -- burstiness via index of dispersion (var/mean of inter-event
+    # gaps; ~1e6 = Poisson, >> bursty, << metronome/script): exact
+    # integer moment split per user, decile rollup. BIGINT-exact to
+    # ~1e6 gaps/user at month-long gap magnitudes.
+    def events_burstiness(spark, sf):
+        ev = _read(spark, sf, "events")
+        g = (ev.select("user_id", "event_id",
+                       F.expr("unix_micros(CAST(ts AS timestamp))"
+                              " DIV 1000000").alias("s"))
+             .withColumn("_prev", F.lag("s").over(
+                 Window.partitionBy("user_id")
+                 .orderBy("s", "event_id")))
+             .where(F.col("_prev").isNotNull())
+             .select("user_id", (F.col("s") - F.col("_prev"))
+                     .cast("long").alias("gap")))
+        per = g.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("gap").cast("long").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sg2"))
+        # dispersion in SECONDS (no x1e6 blowup: n*sg2 at month-long
+        # gaps already nears 1e15 — the ppm scaling overflowed at
+        # sf0.01); log2-width bins via the length(bin(x)) trick
+        scored = per.where(F.col("sg") > 0).withColumn(
+            "_d", F.expr("(n * sg2 - sg * sg) DIV (n * sg)"))
+        return (scored.groupBy(
+                    F.expr("least(9L, CAST(length(bin(_d + 1)) - 1"
+                           " AS BIGINT) DIV 2)").alias("dbin"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                     F.sum("n").cast("long").alias("sum_gaps"),
+                     F.sum("sg").cast("long").alias("sum_gap_s")))
+    q["events_burstiness"] = events_burstiness
+
+    # -- filter-cascade kill report: which gate removes how much —
+    # the cleaning-pipeline observability readout. One pass computes
+    # every gate flag; first_failed is the ordered CASE; independent
+    # per-gate kill counts ride the same aggregate (a doc can fail
+    # several gates — both views matter).
+    def docs_filter_cascade(spark, sf):
+        d = _read(spark, sf, "documents")
+        toks = T.tokens(F.col("text"))
+        flags = d.select(
+            "source",
+            (F.col("n_chars") < 100).cast("long").alias("f_short"),
+            (F.col("lang") != "en").cast("long").alias("f_lang"),
+            T.let(toks, lambda t:
+                  (F.size(F.array_distinct(t)) * 1000 <
+                   F.size(t) * 300).cast("long")).alias("f_rep"),
+            (F.col("n_chars") > 5000).cast("long").alias("f_long"))
+        staged = flags.withColumn(
+            "first_failed",
+            F.expr("CASE WHEN f_short = 1 THEN 'short' "
+                   "WHEN f_lang = 1 THEN 'lang' "
+                   "WHEN f_rep = 1 THEN 'repetitive' "
+                   "WHEN f_long = 1 THEN 'long' ELSE 'kept' END"))
+        return (staged.groupBy("source", "first_failed")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum("f_short").cast("long").alias("n_short"),
+                     F.sum("f_lang").cast("long").alias("n_lang"),
+                     F.sum("f_rep").cast("long").alias("n_repetitive"),
+                     F.sum("f_long").cast("long").alias("n_long")))
+    q["docs_filter_cascade"] = docs_filter_cascade
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -8460,5 +8522,55 @@ SELECT cw AS cohort_week, age AS age_weeks, n_users_active, cents,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS cum_cents
 FROM cells"""
+
+    o["events_burstiness"] = """
+WITH s_ AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s
+  FROM events),
+g AS (
+  SELECT user_id,
+         s - lag(s) OVER (PARTITION BY user_id
+                          ORDER BY s, event_id) AS gap
+  FROM s_),
+per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap) AS BIGINT) AS sg,
+         CAST(sum(gap * gap) AS BIGINT) AS sg2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+scored AS (
+  SELECT *, (n * sg2 - sg * sg) // (n * sg) AS d
+  FROM per WHERE sg > 0)
+SELECT least(9, (length(bin(d + 1)) - 1) // 2) AS dbin,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS sum_gaps,
+       CAST(sum(sg) AS BIGINT) AS sum_gap_s
+FROM scored GROUP BY 1"""
+
+    o["docs_filter_cascade"] = r"""
+WITH flags AS (
+  SELECT source,
+         CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS f_short,
+         CASE WHEN lang != 'en' THEN 1 ELSE 0 END AS f_lang,
+         CASE WHEN len(list_distinct(CASE WHEN trim(text) = ''
+                   THEN [] ELSE string_split_regex(trim(text),
+                   '\s+') END)) * 1000 <
+              len(CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END)
+              * 300 THEN 1 ELSE 0 END AS f_rep,
+         CASE WHEN n_chars > 5000 THEN 1 ELSE 0 END AS f_long
+  FROM documents),
+staged AS (
+  SELECT *, CASE WHEN f_short = 1 THEN 'short'
+                 WHEN f_lang = 1 THEN 'lang'
+                 WHEN f_rep = 1 THEN 'repetitive'
+                 WHEN f_long = 1 THEN 'long' ELSE 'kept' END
+              AS first_failed
+  FROM flags)
+SELECT source, first_failed, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f_short) AS BIGINT) AS n_short,
+       CAST(sum(f_lang) AS BIGINT) AS n_lang,
+       CAST(sum(f_rep) AS BIGINT) AS n_repetitive,
+       CAST(sum(f_long) AS BIGINT) AS n_long
+FROM staged GROUP BY 1, 2"""
 
     return o
