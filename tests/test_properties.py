@@ -83,3 +83,55 @@ def test_sessionize_capped_matches_reference_walk(spark):
     b = sorted((r.eid, r.session_id) for r in capped
                .select("eid", "session_id").collect())
     assert a == b
+
+
+def test_auc_partitioning_invariant_and_matches_brute(spark):
+    import random
+    from logging_spark.operators.mleval import PPM, auc_exact
+    rnd = random.Random(23)
+    rows = [("g" + str(rnd.randrange(2)),
+             rnd.randrange(8) * 125_000,       # heavy ties
+             rnd.randrange(2)) for _ in range(600)]
+    df = spark.createDataFrame(rows, "g STRING, s LONG, y LONG")
+    results = []
+    for v in (df, df.orderBy(F.desc("s")), df.repartition(7),
+              df.coalesce(1)):
+        got = sorted(map(tuple,
+                         auc_exact(v, "s", "y", by=["g"]).collect()))
+        results.append(got)
+    assert all(r == results[0] for r in results[1:])
+    for g in ("g0", "g1"):
+        pos = [s for gg, s, y in rows if gg == g and y == 1]
+        neg = [s for gg, s, y in rows if gg == g and y == 0]
+        num = sum(2 if p > n else (1 if p == n else 0)
+                  for p in pos for n in neg)
+        want = (num * PPM) // (2 * len(pos) * len(neg))
+        row = next(r for r in results[0] if r[0] == g)
+        assert row[-1] == want
+
+
+def test_token_bucket_matches_python_simulation(spark):
+    import random
+    from logging_spark.operators.ratelimit import PPM, token_bucket_admit
+    rnd = random.Random(7)
+    RATE, BURST = 350_000, 4
+    rows = []
+    for k in ("a", "b", "c"):
+        t = 0
+        for i in range(rnd.randrange(40, 120)):
+            t += rnd.randrange(0, 8_000_000)  # 0..8 s gaps, incl. 0
+            rows.append((k, t, i))
+    df = spark.createDataFrame(rows, "k STRING, u LONG, tb LONG")
+    got = {r["k"]: r for r in token_bucket_admit(
+        df.repartition(5), "k", "u", "tb", RATE, BURST).collect()}
+    for k in ("a", "b", "c"):
+        series = sorted((u, tb) for kk, u, tb in rows if kk == k)
+        tok, last, adm = BURST * PPM - PPM, series[0][0], 1
+        for u, _ in series[1:]:
+            tok = min(BURST * PPM, tok + ((u - last) * RATE) // PPM)
+            if tok >= PPM:
+                tok -= PPM
+                adm += 1
+            last = u
+        assert got[k]["n_events"] == len(series)
+        assert got[k]["n_admitted"] == adm
