@@ -177,6 +177,7 @@ HEADLINE = [
     "events_cohort_ltv",
     "events_burstiness",
     "docs_filter_cascade",
+    "events_rfm_segments",
 ]
 
 

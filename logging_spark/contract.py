@@ -4575,6 +4575,46 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum("f_long").cast("long").alias("n_long")))
     q["docs_filter_cascade"] = docs_filter_cascade
 
+    # -- RFM segmentation: recency/frequency/monetary per user,
+    # banded into quartile scores via exact dyadic percentile edges
+    # (i/4 fracs — the interpolation is exact double arithmetic in
+    # both engines, Hampel precedent). One user agg + one 1-row edge
+    # broadcast; 64 possible segments out.
+    def events_rfm_segments(spark, sf):
+        ev = _read(spark, sf, "events")
+        as_of_us = 1706745600 * 1_000_000  # 2024-02-01 UTC
+        per = ev.groupBy("user_id").agg(
+            F.expr(f"CAST(({as_of_us} - max(unix_micros("
+                   "CAST(ts AS timestamp)))) DIV 86400000000 "
+                   "AS BIGINT)").alias("r_days"),
+            F.count(F.lit(1)).cast("long").alias("f_n"),
+            F.sum(F.when(F.col("event_type") == "purchase",
+                         F.expr("CAST(round(value * 100) AS BIGINT)"))
+                  .otherwise(F.lit(0))).cast("long").alias("m_cents"))
+        edges = per.agg(*[
+            F.expr(f"percentile(CAST({c} AS DOUBLE), {q})")
+            .alias(f"{c[0]}e{i}")
+            for c in ("r_days", "f_n", "m_cents")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))])
+        band_hi = ("1 + CAST(CAST({c} AS DOUBLE) > {p}e1 AS INT) "
+                   "+ CAST(CAST({c} AS DOUBLE) > {p}e2 AS INT) "
+                   "+ CAST(CAST({c} AS DOUBLE) > {p}e3 AS INT)")
+        banded = (per.crossJoin(F.broadcast(edges))
+                  .select(
+                      # LOW recency-days is good -> invert the band
+                      F.expr("5 - (" + band_hi.format(c="r_days", p="r")
+                             + ")").cast("long").alias("r_score"),
+                      F.expr(band_hi.format(c="f_n", p="f"))
+                      .cast("long").alias("f_score"),
+                      F.expr(band_hi.format(c="m_cents", p="m"))
+                      .cast("long").alias("m_score"),
+                      "f_n", "m_cents"))
+        return (banded.groupBy("r_score", "f_score", "m_score")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                     F.sum("f_n").cast("long").alias("sum_events"),
+                     F.sum("m_cents").cast("long").alias("sum_cents")))
+    q["events_rfm_segments"] = events_rfm_segments
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -8572,5 +8612,46 @@ SELECT source, first_failed, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(f_rep) AS BIGINT) AS n_repetitive,
        CAST(sum(f_long) AS BIGINT) AS n_long
 FROM staged GROUP BY 1, 2"""
+
+    o["events_rfm_segments"] = """
+WITH per AS (
+  SELECT user_id,
+         CAST((1706745600000000 - max(epoch_us(ts))) // 86400000000
+              AS BIGINT) AS r_days,
+         CAST(count(*) AS BIGINT) AS f_n,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS m_cents
+  FROM events GROUP BY 1),
+edges AS (
+  SELECT quantile_cont(CAST(r_days AS DOUBLE), 0.25) AS re1,
+         quantile_cont(CAST(r_days AS DOUBLE), 0.5)  AS re2,
+         quantile_cont(CAST(r_days AS DOUBLE), 0.75) AS re3,
+         quantile_cont(CAST(f_n AS DOUBLE), 0.25) AS fe1,
+         quantile_cont(CAST(f_n AS DOUBLE), 0.5)  AS fe2,
+         quantile_cont(CAST(f_n AS DOUBLE), 0.75) AS fe3,
+         quantile_cont(CAST(m_cents AS DOUBLE), 0.25) AS me1,
+         quantile_cont(CAST(m_cents AS DOUBLE), 0.5)  AS me2,
+         quantile_cont(CAST(m_cents AS DOUBLE), 0.75) AS me3
+  FROM per),
+banded AS (
+  SELECT 5 - (1 + CAST(CAST(r_days AS DOUBLE) > re1 AS INT)
+              + CAST(CAST(r_days AS DOUBLE) > re2 AS INT)
+              + CAST(CAST(r_days AS DOUBLE) > re3 AS INT)) AS r_score,
+         1 + CAST(CAST(f_n AS DOUBLE) > fe1 AS INT)
+           + CAST(CAST(f_n AS DOUBLE) > fe2 AS INT)
+           + CAST(CAST(f_n AS DOUBLE) > fe3 AS INT) AS f_score,
+         1 + CAST(CAST(m_cents AS DOUBLE) > me1 AS INT)
+           + CAST(CAST(m_cents AS DOUBLE) > me2 AS INT)
+           + CAST(CAST(m_cents AS DOUBLE) > me3 AS INT) AS m_score,
+         f_n, m_cents
+  FROM per, edges)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(f_n) AS BIGINT) AS sum_events,
+       CAST(sum(m_cents) AS BIGINT) AS sum_cents
+FROM banded GROUP BY 1, 2, 3"""
 
     return o
