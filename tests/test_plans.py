@@ -315,3 +315,40 @@ def test_kappa_single_wide_pass(spark):
     # everything downstream operates on <=25 rows.
     plan = _plan(spark, "dq_label_kappa")
     assert "SortMergeJoin" not in plan
+
+
+def test_sixth_session_plan_shapes(spark):
+    # centroid affinity: pair + norm joins all broadcast, <=3 real
+    # exchanges (points groupBy, per-centroid aggs) — a lost broadcast
+    # turns the pair expansion into a sort-merge join
+    plan = _plan(spark, "sim_source_affinity")
+    assert "SortMergeJoin" not in plan
+    assert _n_exchanges(plan) <= 3
+    # forecast backtest: lag sides read the PINNED collapsed series —
+    # one exchange, no re-aggregation of events per lag side
+    plan = _plan(spark, "events_forecast_backtest")
+    assert _n_exchanges(plan) <= 1
+    # rate-limit fold: one shuffle to collect per-key series
+    plan = _plan(spark, "events_rate_limit")
+    assert _n_exchanges(plan) <= 1
+    # windowed attribution: one per-user window sort + final rollup
+    plan = _plan(spark, "events_attribution_windowed")
+    assert _n_exchanges(plan) <= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_auc_pairs_on_collapsed_rows(spark):
+    # the cumulative walk must sit ABOVE the (group, score) collapse:
+    # exactly the groupBy + window exchanges, and no join at all
+    plan = _plan(spark, "dq_score_auc")
+    assert _n_exchanges(plan) <= 2
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "") \
+        or "SortMergeJoin" not in plan
+
+
+def test_cohort_ltv_single_scan(spark):
+    # cohort via same-key window min: the events scan appears ONCE
+    # (groupBy+join-back would scan twice). Count detail headers —
+    # the formatted output repeats each node name in the tree line.
+    plan = _plan(spark, "events_cohort_ltv")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
