@@ -178,6 +178,8 @@ HEADLINE = [
     "events_burstiness",
     "docs_filter_cascade",
     "events_rfm_segments",
+    "text_lang_confusion",
+    "dq_threshold_coverage",
 ]
 
 

@@ -4615,6 +4615,53 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum("m_cents").cast("long").alias("sum_cents")))
     q["events_rfm_segments"] = events_rfm_segments
 
+    # -- language confusion matrix: heuristic lang_guess vs the
+    # labeled lang column — the eval-matrix readout for any cheap
+    # classifier gate. Cells + per-label shares off one tiny window.
+    def text_lang_confusion(spark, sf):
+        d = _read(spark, sf, "documents")
+        g = d.select("lang", T.lang_guess("text").alias("lang_guess"))
+        cells = g.groupBy("lang", "lang_guess").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"))
+        return (cells.withColumn("share_of_lang_ppm",
+                                 F.expr("(n_docs * 1000000) DIV "
+                                        "sum(n_docs) OVER "
+                                        "(PARTITION BY lang)")
+                                 .cast("long"))
+                .withColumn("correct",
+                            (F.col("lang") == F.col("lang_guess"))
+                            .cast("int")))
+    q["text_lang_confusion"] = text_lang_confusion
+
+    # -- threshold-coverage audit: pick the global p75 score edge
+    # (exact dyadic interpolation) and report per-source keep rates
+    # against the global rate — the conformal-style "does the gate
+    # cover every stratum equally?" check.
+    def dq_threshold_coverage(spark, sf):
+        d = _read(spark, sf, "documents")
+        scored = d.select("source",
+                          (F.col("n_chars") * 1000).cast("long")
+                          .alias("score"))
+        edge = scored.agg(
+            F.expr("percentile(CAST(score AS DOUBLE), 0.75)")
+            .alias("thr"))
+        per = (scored.crossJoin(F.broadcast(edge))
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum((F.expr("CAST(score AS DOUBLE)") >=
+                           F.col("thr")).cast("long")).cast("long")
+                    .alias("n_keep")))
+        tot = per.agg(F.sum("n_docs").cast("long").alias("tn"),
+                      F.sum("n_keep").cast("long").alias("tk"))
+        return (per.crossJoin(F.broadcast(tot))
+                .select("source", "n_docs", "n_keep",
+                        F.expr("(n_keep * 1000000) DIV n_docs")
+                        .cast("long").alias("keep_ppm"),
+                        F.expr("(n_keep * 1000000) DIV n_docs - "
+                               "(tk * 1000000) DIV tn").cast("long")
+                        .alias("delta_vs_global_ppm")))
+    q["dq_threshold_coverage"] = dq_threshold_coverage
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -8653,5 +8700,52 @@ SELECT CAST(r_score AS BIGINT) AS r_score,
        CAST(sum(f_n) AS BIGINT) AS sum_events,
        CAST(sum(m_cents) AS BIGINT) AS sum_cents
 FROM banded GROUP BY 1, 2, 3"""
+
+    o["text_lang_confusion"] = f"""
+WITH toks AS (SELECT lang,
+                     list_distinct(list_transform({TOKS},
+                                                  t -> lower(t))) AS toks
+              FROM documents),
+s AS (SELECT lang,
+             len(list_intersect(toks, {_m['en']})) AS s_en,
+             len(list_intersect(toks, {_m['de']})) AS s_de,
+             len(list_intersect(toks, {_m['fr']})) AS s_fr,
+             len(list_intersect(toks, {_m['es']})) AS s_es
+      FROM toks),
+g AS (SELECT lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                       AND s_en > 0 THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0
+                    THEN 'de'
+                  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                  WHEN s_es > 0 THEN 'es'
+                  ELSE 'und' END AS lang_guess
+      FROM s),
+cells AS (SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+          FROM g GROUP BY 1, 2)
+SELECT lang, lang_guess, n_docs,
+       CAST((n_docs * 1000000)
+            // CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+            AS BIGINT) AS share_of_lang_ppm,
+       CAST(CASE WHEN lang = lang_guess THEN 1 ELSE 0 END AS INT)
+         AS correct
+FROM cells"""
+
+    o["dq_threshold_coverage"] = """
+WITH scored AS (SELECT source, CAST(n_chars * 1000 AS BIGINT) AS score
+                FROM documents),
+edge AS (SELECT quantile_cont(CAST(score AS DOUBLE), 0.75) AS thr
+         FROM scored),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN CAST(score AS DOUBLE) >= thr
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        FROM scored, edge GROUP BY 1),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+               CAST(sum(n_keep) AS BIGINT) AS tk FROM per)
+SELECT source, n_docs, n_keep,
+       CAST((n_keep * 1000000) // n_docs AS BIGINT) AS keep_ppm,
+       CAST((n_keep * 1000000) // n_docs - (tk * 1000000) // tn
+            AS BIGINT) AS delta_vs_global_ppm
+FROM per, tot"""
 
     return o
