@@ -180,6 +180,7 @@ HEADLINE = [
     "events_rfm_segments",
     "text_lang_confusion",
     "dq_threshold_coverage",
+    "sample_temperature_mix",
 ]
 
 

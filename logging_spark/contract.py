@@ -4662,6 +4662,37 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("delta_vs_global_ppm")))
     q["dq_threshold_coverage"] = dq_threshold_coverage
 
+    # -- temperature-weighted mixture plan (alpha = 0.5): per-source
+    # target shares ∝ sqrt(n) — the standard upweight-the-tail rule
+    # for multi-source training mixes. sqrt is deterministic-double
+    # per VALUE (exact integer in, one correctly-rounded sqrt + mul,
+    # one floor); the NORMALIZATION sums the quantized BIGINT weights
+    # (order-free), never raw doubles — float sums across partitions
+    # are order-dependent and would break the oracle.
+    def sample_temperature_mix(spark, sf):
+        d = _read(spark, sf, "documents")
+        per = d.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"))
+        w = per.withColumn(
+            "w_x1e6",
+            F.expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)"
+                   " AS BIGINT)"))
+        tot = w.agg(F.sum("n_docs").cast("long").alias("tn"),
+                    F.sum("w_x1e6").cast("long").alias("tw"))
+        return (w.crossJoin(F.broadcast(tot))
+                .select("source", "n_docs", "w_x1e6",
+                        F.expr("(n_docs * 1000000) DIV tn")
+                        .cast("long").alias("share_ppm"),
+                        F.expr("(w_x1e6 * 1000000) DIV tw")
+                        .cast("long").alias("target_ppm"),
+                        F.expr("CASE WHEN (n_docs * 1000000) DIV tn"
+                               " = 0 THEN 0 ELSE "
+                               "(((w_x1e6 * 1000000) DIV tw)"
+                               " * 1000000) DIV "
+                               "((n_docs * 1000000) DIV tn) END")
+                        .cast("long").alias("boost_x1e6")))
+    q["sample_temperature_mix"] = sample_temperature_mix
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -8747,5 +8778,22 @@ SELECT source, n_docs, n_keep,
        CAST((n_keep * 1000000) // n_docs - (tk * 1000000) // tn
             AS BIGINT) AS delta_vs_global_ppm
 FROM per, tot"""
+
+    o["sample_temperature_mix"] = """
+WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY 1),
+w AS (SELECT *, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                AS BIGINT) AS w_x1e6
+      FROM per),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+               CAST(sum(w_x1e6) AS BIGINT) AS tw FROM w)
+SELECT source, n_docs, w_x1e6,
+       CAST((n_docs * 1000000) // tn AS BIGINT) AS share_ppm,
+       CAST((w_x1e6 * 1000000) // tw AS BIGINT) AS target_ppm,
+       CAST(CASE WHEN (n_docs * 1000000) // tn = 0 THEN 0
+            ELSE (((w_x1e6 * 1000000) // tw) * 1000000)
+                 // ((n_docs * 1000000) // tn) END AS BIGINT)
+         AS boost_x1e6
+FROM w, tot"""
 
     return o
