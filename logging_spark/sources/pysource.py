@@ -30,17 +30,22 @@ md5 — same options, same rows, any cluster, any partitioning.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
+from dataclasses import dataclass
 from datetime import datetime, timedelta
 from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA_DDL = ("conv_id string, turn_idx int, role string, text string, "
@@ -144,3 +149,68 @@ class TranscriptDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> _StreamReader:
         return _StreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "_Writer":
+        return _Writer(self.options)
+
+
+# --------------------------------------------------------------------
+# Custom SINK: the two-phase-commit writer surface. Tasks stage part
+# files under <path>/_staging/ and return the staged name as their
+# commit message; the DRIVER publishes them (rename + _SUCCESS
+# manifest) only in commit(), and abort() removes every staged file —
+# so a failed job leaves NOTHING visible, the same all-or-nothing
+# contract every real connector sink must implement. Rows serialize
+# as JSONL (timestamps in the repo's microsecond-safe format).
+
+
+@dataclass
+class _PartMessage(WriterCommitMessage):
+    staged: str
+    n_rows: int
+
+
+class _Writer(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.fail_partition = int(options.get("fail_partition", -1))
+
+    def write(self, iterator) -> _PartMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx.partitionId() == self.fail_partition:
+            raise RuntimeError("injected task failure")
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        name = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+        staged = os.path.join(staging, name)
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                d = row.asDict()
+                for k, v in d.items():
+                    if isinstance(v, datetime):
+                        d[k] = v.strftime("%Y-%m-%d %H:%M:%S.%f")
+                f.write(json.dumps(d, sort_keys=True) + "\n")
+                n += 1
+        return _PartMessage(staged=staged, n_rows=n)
+
+    def commit(self, messages) -> None:
+        files, total = [], 0
+        for m in messages:
+            final = os.path.join(self.path, os.path.basename(m.staged))
+            os.replace(m.staged, final)
+            files.append(os.path.basename(final))
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"files": sorted(files), "n_rows": total}, f)
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging) and not os.listdir(staging):
+            os.rmdir(staging)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"),
+                      ignore_errors=True)

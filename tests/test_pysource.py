@@ -97,3 +97,41 @@ def test_stream_replays_batch_rows(spark, tmp_path):
     batch = sorted(map(tuple, _read(spark, n_conversations=25,
                                     turns_per_conv=4).collect()))
     assert streamed == batch  # stream == batch, row for row
+
+
+def test_writer_two_phase_commit(spark, tmp_path):
+    import json as _json
+    import os
+    path = str(tmp_path / "sink")
+    df = _read(spark, n_conversations=12, turns_per_conv=5,
+               buckets=4)
+    (df.write.format("synthetic_transcripts")
+       .option("path", path).mode("append").save())
+    # published atomically: _SUCCESS manifest + no staging left
+    man = _json.load(open(os.path.join(path, "_SUCCESS")))
+    assert man["n_rows"] == 60
+    assert not os.path.exists(os.path.join(path, "_staging"))
+    files = [f for f in os.listdir(path) if f.endswith(".jsonl")]
+    assert sorted(files) == man["files"]
+    n = sum(1 for f in files
+            for _ in open(os.path.join(path, f)))
+    assert n == 60
+
+
+def test_writer_abort_leaves_nothing_visible(spark, tmp_path):
+    import os
+    import pytest as _pytest
+    path = str(tmp_path / "sink2")
+    df = _read(spark, n_conversations=12, turns_per_conv=5,
+               buckets=4)
+    with _pytest.raises(Exception):
+        (df.write.format("synthetic_transcripts")
+           .option("path", path).option("fail_partition", 2)
+           .mode("append").save())
+    # all-or-nothing: no _SUCCESS, no committed part files, staging
+    # fully reclaimed by abort()
+    assert not os.path.exists(os.path.join(path, "_SUCCESS"))
+    if os.path.isdir(path):
+        assert [f for f in os.listdir(path)
+                if f.endswith(".jsonl")] == []
+        assert not os.path.exists(os.path.join(path, "_staging"))
