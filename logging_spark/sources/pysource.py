@@ -62,9 +62,13 @@ def _conv_id(i: int) -> str:
 def _rows_for(cid: str, turns: int) -> Iterator[tuple]:
     h = int(hashlib.md5(cid.encode()).hexdigest()[:8], 16)
     for i in range(turns):
-        role = "user" if i % 2 == 0 else "assistant"
+        # role/level mix shaped to exercise EVERY routing rule of the
+        # north-rule job (errors / warnings / tool_calls /
+        # assistant_all / catchall) when fed through run_job
+        role = ("user", "assistant", "tool", "assistant")[i % 4]
+        lvl = ("INFO", "INFO", "WARN", "INFO", "ERROR")[(h + i) % 5]
         tool = None if (h + i) % 10 == 0 else _TOOLS[(h + i) % 3]
-        text = (f"turn {i} of {cid} code={(h + i) % 1000} "
+        text = (f"[{lvl}] turn {i} of {cid} code={(h + i) % 1000} "
                 f"lat={(h * 7 + i) % 500}ms")
         ts = _EPOCH + timedelta(seconds=(h % 86400) + i * 30)
         yield (cid, i, role, text, tool, ts)

@@ -120,3 +120,25 @@ def test_input_orc_matches_input_parquet(spark, tmp_path, capsys):
     b = run("--input-orc", orc, "orc-b")
     assert a["per_sink_counts"] == b["per_sink_counts"]
     assert a["n_input_turns"] == b["n_input_turns"]
+
+
+def test_input_pysource_routes_all_sinks(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo")
+    import run_job
+
+    rc = run_job.main([
+        "--warehouse", str(tmp_path / "wh"),
+        "--input-pysource",
+        "--n-conversations", "60",
+        "--turns-per-conv", "12",
+        "--num-buckets", "6",
+        "--snapshot", "pys-1",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_input_turns"] == 60 * 12
+    assert stats["buckets_processed"] == 6
+    # the connector corpus exercises EVERY routing rule
+    assert set(stats["per_sink_counts"]) >= {
+        "errors", "warnings", "tool_calls", "assistant_all",
+        "_unrouted"}
