@@ -4693,6 +4693,47 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .cast("long").alias("boost_x1e6")))
     q["sample_temperature_mix"] = sample_temperature_mix
 
+    # -- block-packed bitmap membership index (operators/bitmap.py):
+    # EXACT audience overlap across every event-type pair — members
+    # collapse to n/62 (set, block, bits) rows, intersections are
+    # block-aligned popcounts, and the in-query audit recomputes the
+    # same intersections member-at-a-time (a different plan) and
+    # asserts bit-for-bit equality. The exact complement to the
+    # approximate KMV/theta set sketches.
+    def agg_bitmap_overlap(spark, sf):
+        from logging_spark.operators.bitmap import bitmap_pair_audit
+        return bitmap_pair_audit(_read(spark, sf, "events"),
+                                 "event_type", "user_id")
+    q["agg_bitmap_overlap"] = agg_bitmap_overlap
+
+    # -- incremental view maintenance (operators/ivm.py): maintain a
+    # (group, count, sum) view from a full-image CDC stream — every
+    # change contributes -before / +after, folded with one churn-
+    # sized full-outer join, never rescanning the facts. Snapshots
+    # are synthesized from events (deletes: id%11==3 leaves the new
+    # snapshot; inserts: id%13==5 was absent from the old; updates:
+    # id%7==0 gains 50 cents, including rows that ALSO survive both
+    # filters). The oracle computes agg(new) directly — the result
+    # is an identity proof, not a tolerance check.
+    def events_ivm_agg(spark, sf):
+        from logging_spark.operators.ivm import (apply_agg_delta,
+                                                 changeset_full)
+        ev = _read(spark, sf, "events").select(
+            "event_id", "event_type",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"))
+        old = ev.where(F.expr("event_id % 13 != 5"))
+        new = (ev.where(F.expr("event_id % 11 != 3"))
+               .withColumn("cents",
+                           F.expr("cents + CASE WHEN event_id % 7 = 0 "
+                                  "THEN 50 ELSE 0 END")))
+        base = old.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("total"))
+        ch = changeset_full(old, new, ["event_id"],
+                            ["event_type", "cents"])
+        return apply_agg_delta(base, ch, "event_type", "cents")
+    q["events_ivm_agg"] = events_ivm_agg
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -8795,5 +8836,54 @@ SELECT source, n_docs, w_x1e6,
                  // ((n_docs * 1000000) // tn) END AS BIGINT)
          AS boost_x1e6
 FROM w, tot"""
+
+    # bitmap mirror: same 62-bit blocks, same popcount algebra; the
+    # exact twin is the distinct member self-join. idx feeds two
+    # scans + a self-join -> MATERIALIZED (the CTE-inlining trap).
+    o["agg_bitmap_overlap"] = """
+WITH idx AS MATERIALIZED (
+  SELECT event_type AS set_id,
+         CAST(user_id AS BIGINT) // 62 AS block,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT)) AS bits
+  FROM events GROUP BY 1, 2),
+card AS MATERIALIZED (
+  SELECT set_id, CAST(sum(bit_count(bits)) AS BIGINT) AS n
+  FROM idx GROUP BY 1),
+inter AS (
+  SELECT a.set_id AS set_a, b.set_id AS set_b,
+         CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_inter
+  FROM idx a JOIN idx b USING (block)
+  WHERE a.set_id < b.set_id GROUP BY 1, 2),
+m AS MATERIALIZED (
+  SELECT DISTINCT event_type AS set_id, CAST(user_id AS BIGINT) AS mm
+  FROM events),
+ex AS (
+  SELECT x.set_id AS set_a, y.set_id AS set_b,
+         CAST(count(*) AS BIGINT) AS n_inter_exact
+  FROM m x JOIN m y USING (mm)
+  WHERE x.set_id < y.set_id GROUP BY 1, 2)
+SELECT set_a, set_b, ca.n AS n_a, cb.n AS n_b, n_inter,
+       CAST(ca.n + cb.n - n_inter AS BIGINT) AS n_union,
+       (n_inter * 1000000) // (ca.n + cb.n - n_inter) AS jaccard_ppm,
+       COALESCE(n_inter_exact, 0) AS n_inter_exact,
+       CAST(n_inter = COALESCE(n_inter_exact, 0) AS INT) AS exact_match
+FROM inter
+JOIN card ca ON ca.set_id = set_a
+JOIN card cb ON cb.set_id = set_b
+LEFT JOIN ex USING (set_a, set_b)"""
+
+    # IVM identity: the oracle IS the recompute the operator avoids —
+    # agg over the new snapshot directly.
+    o["events_ivm_agg"] = """
+WITH ev AS (SELECT event_id, event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events),
+nw AS (SELECT event_type,
+              cents + CASE WHEN event_id % 7 = 0 THEN 50 ELSE 0 END
+                AS cents
+       FROM ev WHERE event_id % 11 != 3)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS total
+FROM nw GROUP BY 1"""
 
     return o
