@@ -4734,6 +4734,117 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return apply_agg_delta(base, ch, "event_type", "cents")
     q["events_ivm_agg"] = events_ivm_agg
 
+    # -- integer-exact autocorrelation (operators/timeseries.py
+    # acf_integer): lag-k ACF of each type's dense hourly count
+    # series — deviations are n-scaled BIGINTs so numerator and
+    # denominator are exact; r ships as (1e6*num) DIV den.
+    def events_acf(spark, sf):
+        from logging_spark.operators.timeseries import acf_integer
+        return acf_integer(_read(spark, sf, "events"), "event_type",
+                           "ts", [1, 2, 24])
+    q["events_acf"] = events_acf
+
+    # -- single least-squares changepoint per type over daily counts
+    # (binary segmentation depth 1, integer score, earliest-t ties)
+    def events_changepoint(spark, sf):
+        from logging_spark.operators.timeseries import changepoint_single
+        daily = (_read(spark, sf, "events")
+                 .groupBy("event_type",
+                          F.datediff(F.col("ts").cast("date"),
+                                     F.lit("2024-01-01")).alias("day"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("n")))
+        return changepoint_single(daily, "event_type", "day", "n")
+    q["events_changepoint"] = events_changepoint
+
+    # -- backfill planner: contiguous MISSING-hour ranges per type
+    # (gaps-and-islands over the grid complement). The event stream
+    # is sparsified (event_id % 7) so gaps survive larger SFs; range
+    # bounds ship as epoch-hours (BIGINT) for engine-neutral typing.
+    def events_missing_ranges(spark, sf):
+        from logging_spark.operators.timeseries import missing_hour_ranges
+        r = missing_hour_ranges(
+            _read(spark, sf, "events").where("event_id % 7 = 0"),
+            "event_type", "ts")
+        return r.select(
+            "event_type",
+            (F.unix_timestamp("range_start") / 3600).cast("long")
+            .alias("h_lo"),
+            (F.unix_timestamp("range_end") / 3600).cast("long")
+            .alias("h_hi"),
+            "n_missing")
+    q["events_missing_ranges"] = events_missing_ranges
+
+    # -- exact join-size prediction from per-key counts only
+    # (operators/planning.py): the number you check BEFORE launching
+    # a 100-TB join — predicted rows + hottest-key share.
+    def agg_join_cardinality(spark, sf):
+        from logging_spark.operators.planning import join_cardinality
+        li = _read(spark, sf, "lineitem").select(
+            F.col("l_orderkey").alias("k"))
+        od = _read(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("k"))
+        return join_cardinality(li, od, "k")
+    q["agg_join_cardinality"] = agg_join_cardinality
+
+    # -- reshard-churn audit: rendezvous (HRW) vs mod-hash moved-key
+    # fractions when growing 8 -> 9 shards, exact over the real key
+    # population. HRW's minimal-movement guarantee (~1/9 moved vs
+    # ~8/9 for mod) is the measured output, not an assumption.
+    def agg_rendezvous_stability(spark, sf):
+        from logging_spark.operators.planning import rendezvous_stability
+        return rendezvous_stability(
+            _read(spark, sf, "events"), "user_id", 8, 9)
+    q["agg_rendezvous_stability"] = agg_rendezvous_stability
+
+    # -- Poisson-bootstrap 95% CI for mean event value (cents):
+    # deterministic Poisson(1) weights from md5(id:rep) through the
+    # baked ppm CDF — the scalable bootstrap (the B-fold blowup
+    # never crosses a shuffle; partial aggregation ships B rows).
+    def events_bootstrap_ci(spark, sf):
+        from logging_spark.operators.stats import poisson_bootstrap_ci
+        vals = _read(spark, sf, "events").select(
+            "event_id",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"))
+        return poisson_bootstrap_ci(vals, "event_id", "cents")
+    q["events_bootstrap_ci"] = events_bootstrap_ci
+
+    # -- A/B readout: md5-parity arms over users, Welch's t on the
+    # per-user total purchase cents (deterministic-double t_x1e6).
+    def events_ab_welch(spark, sf):
+        from logging_spark.operators.stats import welch_ab_test
+        per_user = (_read(spark, sf, "events")
+                    .where("event_type = 'purchase'")
+                    .groupBy("user_id")
+                    .agg(F.expr("CAST(sum(floor(value * 100)) AS BIGINT)")
+                         .alias("cents")))
+        return welch_ab_test(per_user, "user_id", "cents")
+    q["events_ab_welch"] = events_ab_welch
+
+    # -- Kaplan-Meier retention curve: subject = user, duration =
+    # hours from first event to the first >24h silence (observed
+    # churn) or to the last event (censored). The curve is a single
+    # x1e6 fixed-point product fold over the collapsed risk table.
+    def events_km_survival(spark, sf):
+        from logging_spark.operators.stats import km_survival
+        ev = _read(spark, sf, "events").select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        wn = Window.partitionBy("user_id").orderBy("us")
+        g = ev.withColumn("_nxt", F.lead("us").over(wn))
+        per = g.groupBy("user_id").agg(
+            F.min("us").alias("_first"),
+            F.max("us").alias("_last"),
+            F.min(F.when(F.col("_nxt") - F.col("us") > 86400000000,
+                         F.col("us"))).alias("_churn"))
+        dur = per.select(
+            F.when(F.col("_churn").isNotNull(),
+                   F.expr("(_churn - _first) DIV 3600000000"))
+            .otherwise(F.expr("(_last - _first) DIV 3600000000"))
+            .alias("dur_h"),
+            F.col("_churn").isNotNull().cast("int").alias("observed"))
+        return km_survival(dur, "dur_h", "observed")
+    q["events_km_survival"] = events_km_survival
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -8885,5 +8996,259 @@ nw AS (SELECT event_type,
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(cents) AS BIGINT) AS total
 FROM nw GROUP BY 1"""
+
+    # integer ACF: dense per-key hourly grid (missing hours are 0),
+    # n-scaled deviations, trunc-division ppm ratio — all BIGINT.
+    o["events_acf"] = """
+WITH b AS MATERIALIZED (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+         FROM b GROUP BY 1),
+grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+         FROM span),
+dense AS MATERIALIZED (
+  SELECT g.event_type,
+         CAST(epoch(g.hour) AS BIGINT) // 3600 AS h,
+         COALESCE(b.x, 0) AS x
+  FROM grid g LEFT JOIN b ON b.event_type = g.event_type
+                         AND b.hour = g.hour),
+st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS s
+       FROM dense GROUP BY 1),
+dev AS MATERIALIZED (
+  SELECT d.event_type, d.h, d.x * st.n - st.s AS dv
+  FROM dense d JOIN st USING (event_type)),
+den AS (SELECT event_type, CAST(sum(dv * dv) AS BIGINT) AS den
+        FROM dev GROUP BY 1),
+num AS (
+  SELECT a.event_type, k.lag, CAST(sum(a.dv * f.dv) AS BIGINT) AS num
+  FROM dev a
+  JOIN (VALUES (1), (2), (24)) AS k(lag) ON true
+  JOIN dev f ON f.event_type = a.event_type AND f.h = a.h + k.lag
+  GROUP BY 1, 2)
+SELECT n.event_type, CAST(n.lag AS INT) AS lag, n.num, d.den,
+       (1000000 * n.num) // d.den AS acf_x1e6
+FROM num n JOIN den d USING (event_type)"""
+
+    # changepoint: cumulative sums + integer split score, argmax with
+    # earliest-t ties via a window over the collapsed daily table.
+    o["events_changepoint"] = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, t,
+         CAST(sum(v) OVER (PARTITION BY event_type ORDER BY t)
+              AS BIGINT) AS s_l,
+         CAST(count(*) OVER (PARTITION BY event_type ORDER BY t)
+              AS BIGINT) AS n_l,
+         CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS s_t,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_t
+  FROM daily),
+scored AS (
+  SELECT event_type, t, s_l, n_l,
+         s_t - s_l AS s_r, n_t - n_l AS n_r,
+         (s_l * s_l) // n_l
+           + ((s_t - s_l) * (s_t - s_l)) // (n_t - n_l) AS score
+  FROM cum WHERE n_l < n_t),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, t ASC) AS rn
+  FROM scored)
+SELECT event_type, CAST(t AS INT) AS split_t, score,
+       (s_l * 100) // n_l AS mean_before_x100,
+       (s_r * 100) // n_r AS mean_after_x100
+FROM ranked WHERE rn = 1"""
+
+    # missing-hour ranges: islands over the grid complement of the
+    # sparsified stream; bounds as epoch-hours.
+    o["events_missing_ranges"] = """
+WITH obs AS MATERIALIZED (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour
+  FROM events WHERE event_id % 7 = 0),
+span AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+         FROM obs GROUP BY 1),
+grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+         FROM span),
+miss AS (
+  SELECT g.event_type, CAST(epoch(g.hour) AS BIGINT) // 3600 AS h
+  FROM grid g LEFT JOIN obs o ON o.event_type = g.event_type
+                             AND o.hour = g.hour
+  WHERE o.hour IS NULL),
+isl AS (
+  SELECT event_type, h,
+         h - row_number() OVER (PARTITION BY event_type ORDER BY h)
+           AS k
+  FROM miss)
+SELECT event_type, min(h) AS h_lo, max(h) AS h_hi,
+       CAST(count(*) AS BIGINT) AS n_missing
+FROM isl GROUP BY event_type, k"""
+
+    o["agg_join_cardinality"] = """
+WITH lc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cl
+            FROM lineitem GROUP BY 1),
+rc AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cr
+       FROM orders GROUP BY 1),
+pk AS (SELECT lc.k, cl * cr AS rows_k FROM lc JOIN rc USING (k))
+SELECT CAST(count(*) AS BIGINT) AS n_keys_joined,
+       CAST(sum(rows_k) AS BIGINT) AS predicted_rows,
+       CAST(max(rows_k) AS BIGINT) AS max_key_rows,
+       (CAST(max(rows_k) AS BIGINT) * 1000000)
+         // CAST(sum(rows_k) AS BIGINT) AS max_key_share_ppm
+FROM pk"""
+
+    # rendezvous vs mod-hash churn: identical md5/60-bit weights;
+    # HRW argmax via a (weight DESC, shard DESC) window to mirror
+    # Spark's max(struct(w, s)).
+    o["agg_rendezvous_stability"] = """
+WITH keys AS MATERIALIZED (SELECT DISTINCT user_id AS k FROM events),
+asg AS MATERIALIZED (
+  SELECT k, n_shards, s,
+         row_number() OVER (
+           PARTITION BY k, n_shards
+           ORDER BY CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':'
+                     || CAST(s AS VARCHAR)), 1, 15) AS BIGINT) DESC,
+                    s DESC) AS rn
+  FROM keys
+  CROSS JOIN (SELECT 8 AS n_shards UNION ALL SELECT 9)
+  CROSS JOIN (SELECT unnest(range(9)) AS s)
+  WHERE s < n_shards),
+hrw AS (
+  SELECT a8.k,
+         CAST(a8.s != a9.s AS BIGINT) AS mv
+  FROM (SELECT k, s FROM asg WHERE n_shards = 8 AND rn = 1) a8
+  JOIN (SELECT k, s FROM asg WHERE n_shards = 9 AND rn = 1) a9
+    USING (k)),
+modmv AS (
+  SELECT CAST(
+    CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % 8
+    != CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+       % 9 AS BIGINT) AS mv
+  FROM keys)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+       (SELECT CAST(sum(mv) AS BIGINT) FROM hrw) AS moved_hrw,
+       (SELECT CAST(sum(mv) AS BIGINT) FROM modmv) AS moved_mod,
+       ((SELECT CAST(sum(mv) AS BIGINT) FROM hrw) * 1000000)
+         // (SELECT CAST(count(*) AS BIGINT) FROM keys)
+         AS moved_hrw_ppm,
+       ((SELECT CAST(sum(mv) AS BIGINT) FROM modmv) * 1000000)
+         // (SELECT CAST(count(*) AS BIGINT) FROM keys)
+         AS moved_mod_ppm"""
+
+    # Poisson bootstrap: the deterministic draw (md5 ppm through the
+    # floor-quantized Poisson(1) CDF) is part of the contract — the
+    # constants here must equal stats.POISSON1_CDF_PPM.
+    o["events_bootstrap_ci"] = """
+WITH vals AS MATERIALIZED (
+  SELECT event_id AS id, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events),
+rep AS (
+  SELECT b, v,
+         CAST('0x' || substr(md5('boot:' || CAST(id AS VARCHAR) || ':'
+              || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS u
+  FROM vals CROSS JOIN (SELECT unnest(range(40)) AS b)),
+wtd AS (
+  SELECT b, v,
+         CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+              WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+              WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+              WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+              WHEN u < 999998 THEN 8 ELSE 9 END AS w
+  FROM rep),
+means AS (
+  SELECT b, (100 * CAST(sum(w * v) AS BIGINT))
+              // greatest(CAST(sum(w) AS BIGINT), 1) AS mean_x100
+  FROM wtd GROUP BY b),
+sorted AS (
+  SELECT mean_x100, row_number() OVER (ORDER BY mean_x100) AS rn
+  FROM means)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM vals) AS n_rows,
+       CAST(40 AS INT) AS n_reps,
+       (SELECT (100 * CAST(sum(v) AS BIGINT))
+                 // CAST(count(*) AS BIGINT) FROM vals) AS est_x100,
+       (SELECT mean_x100 FROM sorted WHERE rn = 1) AS lo_x100,
+       (SELECT mean_x100 FROM sorted WHERE rn = 39) AS hi_x100"""
+
+    # Welch's t: integer (n, sum, sumsq) per md5-parity arm, then the
+    # SAME parenthesization of IEEE double ops as the Spark side.
+    o["events_ab_welch"] = """
+WITH per AS (
+  SELECT CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 2 AS arm,
+         CAST(sum(floor(value * 100)) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+agg AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT)
+           AS s, CAST(sum(v * v) AS BIGINT) AS ss
+  FROM per GROUP BY arm),
+j AS (
+  SELECT a.n AS n_a, a.s AS sa, a.ss AS ssa,
+         b.n AS n_b, b.s AS sb, b.ss AS ssb
+  FROM (SELECT * FROM agg WHERE arm = 0) a
+  CROSS JOIN (SELECT * FROM agg WHERE arm = 1) b),
+t AS (
+  SELECT n_a, n_b,
+         (100 * sa) // n_a AS mean_a_x100,
+         (100 * sb) // n_b AS mean_b_x100,
+         CAST(floor((((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)) -
+            (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))) /
+           sqrt(((CAST(ssa AS DOUBLE) - (CAST(sa AS DOUBLE) *
+            CAST(sa AS DOUBLE)) / CAST(n_a AS DOUBLE)) /
+            (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) +
+            ((CAST(ssb AS DOUBLE) - (CAST(sb AS DOUBLE) *
+            CAST(sb AS DOUBLE)) / CAST(n_b AS DOUBLE)) /
+            (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)))
+           * 1000000) AS BIGINT) AS t_x1e6
+  FROM j)
+SELECT n_a, n_b, mean_a_x100, mean_b_x100, t_x1e6,
+       CAST(abs(t_x1e6) >= 1960000 AS INT) AS significant
+FROM t"""
+
+    # Kaplan-Meier: risk table from churn-gap durations, then the
+    # x1e6 product fold as a recursive CTE over the ordered table.
+    o["events_km_survival"] = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+g AS (
+  SELECT user_id, us,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us) AS nxt
+  FROM ev),
+per AS (
+  SELECT user_id, min(us) AS first_us, max(us) AS last_us,
+         min(CASE WHEN nxt - us > 86400000000 THEN us END) AS churn_us
+  FROM g GROUP BY user_id),
+dur AS (
+  SELECT CASE WHEN churn_us IS NOT NULL
+              THEN (churn_us - first_us) // 3600000000
+              ELSE (last_us - first_us) // 3600000000 END AS d,
+         CAST(churn_us IS NOT NULL AS INT) AS o
+  FROM per),
+rt AS MATERIALIZED (
+  SELECT d, CAST(sum(CAST(o = 1 AS BIGINT)) AS BIGINT) AS d_events,
+         CAST(sum(CAST(o = 0 AS BIGINT)) AS BIGINT) AS n_cens
+  FROM dur GROUP BY d),
+risk AS MATERIALIZED (
+  SELECT d, d_events, n_cens,
+         (SELECT CAST(count(*) AS BIGINT) FROM dur)
+           - COALESCE(CAST(sum(d_events + n_cens) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+               1 PRECEDING) AS BIGINT), 0) AS n_risk,
+         row_number() OVER (ORDER BY d) AS rn
+  FROM rt),
+fold AS (
+  SELECT rn, d, n_risk, d_events, n_cens,
+         (1000000 * (n_risk - d_events)) // n_risk AS s_x1e6
+  FROM risk WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.d, r.n_risk, r.d_events, r.n_cens,
+         (f.s_x1e6 * (r.n_risk - r.d_events)) // r.n_risk
+  FROM risk r JOIN fold f ON r.rn = f.rn + 1)
+SELECT d, n_risk, d_events, n_cens AS n_censored, s_x1e6 FROM fold"""
 
     return o

@@ -1,0 +1,201 @@
+"""Distributed statistical inference: Poisson-bootstrap confidence
+intervals, Welch's two-sample t-test (A/B), and Kaplan-Meier survival
+— each deterministic and integer-exact (or deterministic-double) so
+the same numbers come out of any partitioning and of the DuckDB
+oracle twin.
+
+Why these shapes at 100 TB:
+
+- The classical bootstrap (resample n rows B times) is impossible on
+  a distributed table — you can't draw "exactly n with replacement"
+  without a global pass per replicate. The POISSON bootstrap
+  (Chamandy et al., "Estimating Uncertainty for Massive Data
+  Streams", Google 2012) gives each row an independent
+  Poisson(1) weight per replicate, turning resampling into a single
+  map-side expression: the B-fold blowup exists only inside the map
+  stage and partial aggregation collapses it to B rows before any
+  shuffle. Here the Poisson draw is DETERMINISTIC: u = md5(id:rep)
+  mod 1e6 pushed through the floor-quantized ppm CDF of Poisson(1).
+
+- Welch's t needs only (n, sum, sum of squares) per arm — two
+  integer aggregates; the float work happens once on the driver-side
+  final projection via the repo's deterministic-double pattern
+  (exact BIGINT inputs -> identically parenthesized IEEE ops -> one
+  floor(x*1e6)).
+
+- Kaplan-Meier collapses a billion subjects to a risk table with one
+  row per distinct duration, then a single fixed-point product fold
+  (s' = s * (n_risk - d) DIV n_risk at x1e6) — the curve is exact
+  integer arithmetic, no log-space trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# floor-quantized ppm thresholds of the Poisson(1) CDF: weight k iff
+# u in [CDF(k-1), CDF(k)) * 1e6. Identical constants live in the
+# oracle SQL — the draw is part of the contract.
+POISSON1_CDF_PPM = [367879, 735758, 919698, 981011, 996340,
+                    999405, 999916, 999989, 999998]
+
+
+def _poisson_weight(u):
+    """Map u in [0, 1e6) to a Poisson(1) variate via the baked CDF."""
+    expr = F.lit(len(POISSON1_CDF_PPM))  # tail: 9+
+    for k in range(len(POISSON1_CDF_PPM) - 1, -1, -1):
+        expr = F.when(u < POISSON1_CDF_PPM[k], F.lit(k)).otherwise(expr)
+    return expr.cast("long")
+
+
+def poisson_bootstrap_ci(df: DataFrame, id_col: str, value_col: str,
+                         n_reps: int = 40,
+                         seed: str = "boot") -> DataFrame:
+    """95% percentile-bootstrap CI for the mean of an integer value
+    column, via n_reps deterministic Poisson(1) resamples.
+
+    One row out: n_rows, n_reps, est_x100 (full-sample mean),
+    lo_x100 / hi_x100 (order statistics ceil(.025*B) and
+    ceil(.975*B), 1-indexed, of the sorted replicate means).
+
+    Plan: the replicate explode is a narrow flatMap (B rows per input
+    row, no shuffle); the per-replicate sums partially aggregate
+    map-side so the exchange carries exactly B rows. The final
+    order-stat selection sorts a B-element array on one row.
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("_b")
+    u = F.expr(
+        f"CAST(conv(substring(md5(concat('{seed}:', CAST(_id AS "
+        f"STRING), ':', CAST(_b AS STRING))), 1, 15), 16, 10) AS "
+        f"BIGINT) % 1000000")
+    rep = (df.select(F.col(id_col).alias("_id"),
+                     F.col(value_col).cast("long").alias("_v"), b)
+           .select("_id", "_v", "_b", u.alias("_u"))
+           .select("_b", "_v", _poisson_weight(F.col("_u")).alias("_w"))
+           .groupBy("_b")
+           .agg(F.sum(F.col("_w") * F.col("_v")).alias("_wv"),
+                F.sum("_w").alias("_wn"))
+           .select("_b", F.expr("(100 * _wv) DIV greatest(_wn, 1L)")
+                   .alias("_mean_x100")))
+    means = rep.agg(
+        F.sort_array(F.collect_list("_mean_x100")).alias("_ms"))
+    base = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                  F.sum(F.col(value_col).cast("long")).alias("_s"))
+    import math
+    lo_i = math.ceil(0.025 * n_reps)   # 1-indexed order stats
+    hi_i = math.ceil(0.975 * n_reps)
+    return base.crossJoin(means).select(
+        "n_rows", F.lit(n_reps).cast("int").alias("n_reps"),
+        F.expr("(100 * _s) DIV n_rows").cast("long").alias("est_x100"),
+        F.element_at("_ms", lo_i).cast("long").alias("lo_x100"),
+        F.element_at("_ms", hi_i).cast("long").alias("hi_x100"))
+
+
+def welch_ab_test(df: DataFrame, unit_col: str, value_col: str,
+                  seed: str = "ab", z_crit_x1e6: int = 1960000
+                  ) -> DataFrame:
+    """Deterministic A/B assignment (md5(unit) parity) + Welch's
+    unequal-variance t on a per-unit integer metric.
+
+    Input must already be one row per experimental unit (aggregate
+    first — randomization units, not events, carry the independence
+    assumption). Output one row: per-arm n / mean_x100, the Welch t
+    statistic as floor(t*1e6), and significant = |t_x1e6| >=
+    z_crit_x1e6 (normal approximation; arms here are large).
+
+    Deterministic-double: n, sum, sumsq per arm are exact BIGINTs;
+    mean/var/t use one fixed parenthesization mirrored in the oracle.
+    """
+    arm = (F.expr(
+        f"CAST(conv(substring(md5(concat('{seed}:', CAST(_u AS "
+        f"STRING))), 1, 15), 16, 10) AS BIGINT) % 2"))
+    per = (df.select(F.col(unit_col).alias("_u"),
+                     F.col(value_col).cast("long").alias("_v"))
+           .select(arm.alias("_arm"), "_v"))
+    agg = per.groupBy("_arm").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_ss"))
+    a = agg.where("_arm = 0").select(
+        F.col("_n").alias("n_a"), F.col("_s").alias("_sa"),
+        F.col("_ss").alias("_ssa"))
+    bb = agg.where("_arm = 1").select(
+        F.col("_n").alias("n_b"), F.col("_s").alias("_sb"),
+        F.col("_ss").alias("_ssb"))
+    j = a.crossJoin(bb)
+    # fixed parenthesization — mirrored verbatim in the oracle
+    t_expr = (
+        "((CAST(_sa AS DOUBLE) / CAST(n_a AS DOUBLE)) - "
+        " (CAST(_sb AS DOUBLE) / CAST(n_b AS DOUBLE))) / "
+        "sqrt(((CAST(_ssa AS DOUBLE) - (CAST(_sa AS DOUBLE) * "
+        "CAST(_sa AS DOUBLE)) / CAST(n_a AS DOUBLE)) / "
+        "(CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) + "
+        "((CAST(_ssb AS DOUBLE) - (CAST(_sb AS DOUBLE) * "
+        "CAST(_sb AS DOUBLE)) / CAST(n_b AS DOUBLE)) / "
+        "(CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))")
+    return j.select(
+        "n_a", "n_b",
+        F.expr("(100 * _sa) DIV n_a").cast("long").alias("mean_a_x100"),
+        F.expr("(100 * _sb) DIV n_b").cast("long").alias("mean_b_x100"),
+        F.expr(f"CAST(floor(({t_expr}) * 1000000) AS BIGINT)")
+        .alias("t_x1e6"),
+    ).select(
+        "*",
+        (F.abs(F.col("t_x1e6")) >= z_crit_x1e6).cast("int")
+        .alias("significant"))
+
+
+def km_survival(durations: DataFrame, dur_col: str,
+                observed_col: str) -> DataFrame:
+    """Kaplan-Meier survival curve over integer durations.
+
+    Input: one row per subject with an integer duration and observed
+    in {0, 1} (0 = right-censored at that duration). Output: one row
+    per distinct duration d with n_risk (subjects with duration >=
+    d), d_events, n_censored, and s_x1e6 — the KM product
+    prod_{d' <= d} (n_risk - d_events) / n_risk in x1e6 fixed point,
+    folded left-to-right with integer DIV (the truncation is the
+    contract; at 1e6 scale it is far below any decision threshold).
+
+    Plan: one groupBy collapses subjects to the risk table (one row
+    per distinct duration), a cumulative window computes n_risk from
+    the totals, and the product fold runs in a single aggregate() HOF
+    over the sort_array-collected table — the only single-row stage
+    touches (distinct durations) structs, never subjects.
+    """
+    per = (durations
+           .select(F.col(dur_col).cast("long").alias("d"),
+                   F.col(observed_col).cast("int").alias("o"))
+           .groupBy("d")
+           .agg(F.sum(F.expr("CAST(o = 1 AS BIGINT)")).alias("d_events"),
+                F.sum(F.expr("CAST(o = 0 AS BIGINT)")).alias("n_cens")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    total = per.agg(F.sum(F.col("d_events") + F.col("n_cens"))
+                    .alias("_tot"))
+    risk = per.crossJoin(F.broadcast(total)).select(
+        "d", "d_events", "n_cens",
+        (F.col("_tot") - F.coalesce(
+            F.sum(F.col("d_events") + F.col("n_cens")).over(w),
+            F.lit(0))).alias("n_risk"))
+    rows = risk.agg(F.sort_array(F.collect_list(F.struct(
+        "d", "n_risk", "d_events", "n_cens"))).alias("_rt"))
+    folded = rows.select(F.expr(
+        "aggregate(_rt, "
+        " struct(CAST(1000000 AS BIGINT) AS s, "
+        "        CAST(array() AS ARRAY<STRUCT<d: BIGINT, n_risk: "
+        "BIGINT, d_events: BIGINT, n_cens: BIGINT, s_x1e6: BIGINT>>) "
+        "AS out), "
+        " (acc, r) -> struct("
+        "   (acc.s * (r.n_risk - r.d_events)) DIV r.n_risk AS s, "
+        "   array_append(acc.out, named_struct("
+        "     'd', r.d, 'n_risk', r.n_risk, 'd_events', r.d_events, "
+        "     'n_cens', r.n_cens, 's_x1e6', "
+        "     (acc.s * (r.n_risk - r.d_events)) DIV r.n_risk)) "
+        "   AS out), "
+        " acc -> acc.out) AS _curve"))
+    return (folded.select(F.explode("_curve").alias("_r"))
+            .select(F.col("_r.d").alias("d"),
+                    F.col("_r.n_risk").alias("n_risk"),
+                    F.col("_r.d_events").alias("d_events"),
+                    F.col("_r.n_cens").alias("n_censored"),
+                    F.col("_r.s_x1e6").alias("s_x1e6")))

@@ -292,3 +292,160 @@ def naive_backtest(df: DataFrame, key: str, x_col: str, y_col: str,
         key, "n_scored", "err_season", "err_naive",
         F.expr("(err_season * 1000000) DIV greatest(err_naive, 1L)")
         .cast("long").alias("mase_x1e6"))
+
+
+def acf_integer(df: DataFrame, key: str, ts_col: str,
+                lags: list[int]) -> DataFrame:
+    """Integer-exact lag-k autocorrelation of each key's hourly count
+    series (the standard ACF: autocovariance at lag k over the lag-0
+    variance, both about the series mean).
+
+    Exactness trick: with integer counts x_t over a DENSE n-hour grid
+    (missing hours count 0 — the grid matters: lags align on HOURS,
+    not row order), the n-scaled deviation d_t = n*x_t - S is an
+    exact BIGINT, so
+
+        r_k = sum(d_t * d_{t+k}) / sum(d_t^2)
+
+    needs no floats; the result ships as ``acf_x1e6 = (1e6 * num) DIV
+    den`` (trunc-toward-zero in both engines, identical for negative
+    numerators). Magnitudes: |d| <= n*max(x), so the numerator sum is
+    bounded by n^3*max(x)^2 — ~1e15 for a year of hourly counts at
+    1e4/hour, safely inside BIGINT.
+
+    Scale shape: one groupBy to hourly buckets, a per-key sequence()
+    grid (never a global calendar cross join), one equi self-join per
+    lag on (key, hour_idx + k) over the COLLAPSED series — the raw
+    rows are touched exactly once.
+    """
+    buckets = hourly_buckets(
+        df, key, ts_col, [F.count(F.lit(1)).cast("long").alias("x")])
+    dense = gapfill_hourly(buckets, key, zero_cols=["x"])
+    dense = dense.select(
+        F.col(key),
+        (F.unix_timestamp(F.col("hour").cast("timestamp"))
+         / 3600).cast("long").alias("h"),
+        F.col("x").cast("long").alias("x"))
+    # collapsed series is tiny relative to the raw rows; pin it so the
+    # stats join + per-lag self-joins don't re-run the bucket agg
+    dense = dense.localCheckpoint()
+    stats = dense.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"))
+    dev = (dense.join(stats, key)
+           .select(F.col(key), "h", "n",
+                   (F.col("n") * F.col("x") - F.col("s")).alias("d")))
+    dev = dev.localCheckpoint()
+    den = dev.groupBy(key).agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("den"))
+    out = None
+    for k in lags:
+        lead = dev.select(F.col(key), (F.col("h") - F.lit(k)).alias("h"),
+                          F.col("d").alias("d_lead"))
+        num = (dev.join(lead, [key, "h"])
+               .groupBy(key)
+               .agg(F.sum(F.col("d") * F.col("d_lead"))
+                    .cast("long").alias("num"))
+               .withColumn("lag", F.lit(k).cast("int")))
+        out = num if out is None else out.unionByName(num)
+    return (out.join(den, key)
+            .select(F.col(key), "lag", "num", "den",
+                    F.expr("(1000000 * num) DIV den")
+                    .cast("long").alias("acf_x1e6")))
+
+
+def changepoint_single(df: DataFrame, key: str, order_col: str,
+                       value_col: str) -> DataFrame:
+    """Single best changepoint per key by least-squares split (binary
+    segmentation, depth 1): choose the boundary t that minimizes
+    SSE(left)+SSE(right) of a piecewise-constant fit — equivalently
+    maximizes S_L^2/n_L + S_R^2/n_R (the total sum-of-squares term is
+    constant in t).
+
+    The score is kept integer: ``(S_L*S_L) DIV n_L + (S_R*S_R) DIV
+    n_R`` — truncation is identical in both engines and, at BIGINT
+    magnitudes (scores ~1e13 for 365 daily points at 1e4), far below
+    the discrimination the argmax needs. Ties break to the EARLIEST
+    boundary via max over a (score, -order) struct — order_col must
+    therefore be numeric (pass a day index, not a date).
+
+    One sort per key (a cumulative window supplies S_L and n_L; the
+    totals ride the same partition), then a windowless argmax —
+    no self-join, no second exchange.
+    """
+    base = df.select(F.col(key), F.col(order_col).alias("t"),
+                     F.col(value_col).cast("long").alias("v"))
+    w = Window.partitionBy(key).orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(key)
+    cum = base.select(
+        F.col(key), "t",
+        F.sum("v").over(w).alias("s_l"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_l"),
+        F.sum("v").over(wall).alias("s_t"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_t"))
+    scored = (cum.where(F.col("n_l") < F.col("n_t"))  # boundary splits
+              .select(
+                  F.col(key), "t", "s_l", "n_l",
+                  (F.col("s_t") - F.col("s_l")).alias("s_r"),
+                  (F.col("n_t") - F.col("n_l")).alias("n_r"))
+              .withColumn("score", F.expr(
+                  "(s_l * s_l) DIV n_l + (s_r * s_r) DIV n_r")))
+    # windowless argmax: max over (score, -t, payload) picks the
+    # highest score and, among ties, the EARLIEST boundary (largest
+    # -t) — no self-join, no second pass over the series.
+    best = scored.groupBy(key).agg(
+        F.max(F.struct(
+            F.col("score"), (-F.col("t")).alias("_negt"),
+            F.col("s_l"), F.col("n_l"), F.col("s_r"), F.col("n_r"),
+        )).alias("_m"))
+    return best.select(
+        F.col(key),
+        (-F.col("_m._negt")).alias("split_t"),
+        F.col("_m.score").alias("score"),
+        F.expr("(_m.s_l * 100) DIV _m.n_l").cast("long")
+        .alias("mean_before_x100"),
+        F.expr("(_m.s_r * 100) DIV _m.n_r").cast("long")
+        .alias("mean_after_x100"))
+
+
+def missing_hour_ranges(df: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """Compress each key's MISSING hours (inside its own [min, max]
+    span) into contiguous ranges — the backfill planner's work list.
+
+    Gaps-and-islands over the complement: generate the per-key dense
+    hour grid, anti-join the observed hours, then group consecutive
+    missing hours with the classic ``hour_idx - row_number()`` island
+    key (one window per key over the MISSING rows only).
+
+    Scale shape: the grid is per-key sequence() (span-bounded), the
+    anti-join is an equi-join, and the island window sorts only the
+    missing rows — at a 100-TB corpus the missing set is by
+    construction far smaller than the observed set; if a key's span
+    is pathologically sparse the grid itself, not this plan, is the
+    cost.
+    """
+    obs = (df.groupBy(F.col(key),
+                      F.date_trunc("hour", F.col(ts_col)).alias("hour"))
+           .agg(F.count(F.lit(1)).alias("_n")))
+    grid = (obs.groupBy(key)
+            .agg(F.min("hour").alias("_lo"), F.max("hour").alias("_hi"))
+            .select(key, F.explode(F.sequence(
+                "_lo", "_hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")))
+    missing = (grid.join(obs, [key, "hour"], "left_anti")
+               .select(F.col(key),
+                       (F.unix_timestamp(F.col("hour").cast("timestamp"))
+                        / 3600).cast("long").alias("h")))
+    w = Window.partitionBy(key).orderBy("h")
+    isl = missing.withColumn(
+        "_isl", F.col("h") - F.row_number().over(w))
+    return (isl.groupBy(key, "_isl")
+            .agg(F.min("h").alias("_lo"), F.max("h").alias("_hi"),
+                 F.count(F.lit(1)).cast("long").alias("n_missing"))
+            .select(
+                F.col(key),
+                F.timestamp_seconds(F.col("_lo") * 3600)
+                .alias("range_start"),
+                F.timestamp_seconds(F.col("_hi") * 3600)
+                .alias("range_end"),
+                "n_missing"))

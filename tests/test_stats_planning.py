@@ -1,0 +1,198 @@
+"""Brute-force twins for operators/stats.py, operators/planning.py
+and the seventh-session timeseries additions — pure-Python recomputes
+on tiny frames, independent of the DuckDB oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from logging_spark.operators.planning import (join_cardinality,
+                                              rendezvous_stability)
+from logging_spark.operators.stats import (POISSON1_CDF_PPM,
+                                           km_survival,
+                                           poisson_bootstrap_ci,
+                                           welch_ab_test)
+from logging_spark.operators.timeseries import (acf_integer,
+                                                changepoint_single,
+                                                missing_hour_ranges)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- acf
+
+def test_acf_matches_brute_force(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 3, 1)
+    xs = [3, 0, 5, 1, 4, 4, 0, 2, 7, 1, 0, 3]  # dense hourly counts
+    rows = []
+    eid = 0
+    for h, x in enumerate(xs):
+        for _ in range(x):
+            rows.append((eid, "k", base + dt.timedelta(hours=h,
+                                                       minutes=eid % 50)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, k string, ts timestamp")
+    got = {r["lag"]: r for r in
+           acf_integer(df, "k", "ts", [1, 3]).collect()}
+    # brute force on the n-scaled deviations; note the dense grid
+    # spans only hours that HAVE events at the edges (min..max) —
+    # xs[1]=0 and xs[10]=0 interior zeros are part of the grid
+    lo = min(h for h, x in enumerate(xs) if x)
+    hi = max(h for h, x in enumerate(xs) if x)
+    series = xs[lo:hi + 1]
+    n, s = len(series), sum(series)
+    d = [n * x - s for x in series]
+    den = sum(v * v for v in d)
+    for lag in (1, 3):
+        num = sum(d[i] * d[i + lag] for i in range(n - lag))
+        assert got[lag]["num"] == num
+        assert got[lag]["den"] == den
+        sc = 1000000 * num
+        trunc = sc // den if sc >= 0 else -((-sc) // den)
+        assert got[lag]["acf_x1e6"] == trunc
+
+
+def test_changepoint_brute_force(spark):
+    vals = [5, 6, 5, 5, 20, 21, 19, 22]
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in enumerate(vals)],
+        "k string, t int, v long")
+    r = changepoint_single(df, "k", "t", "v").collect()[0]
+    best = None
+    tot_s, tot_n = sum(vals), len(vals)
+    for cut in range(len(vals) - 1):  # boundary after index `cut`
+        sl, nl = sum(vals[:cut + 1]), cut + 1
+        sr, nr = tot_s - sl, tot_n - nl
+        score = (sl * sl) // nl + (sr * sr) // nr
+        if best is None or score > best[0]:
+            best = (score, cut, sl, nl, sr, nr)
+    assert r["split_t"] == best[1] == 3
+    assert r["score"] == best[0]
+    assert r["mean_before_x100"] == (best[2] * 100) // best[3]
+    assert r["mean_after_x100"] == (best[4] * 100) // best[5]
+
+
+def test_missing_ranges_complement(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 3, 1)
+    present = [0, 1, 4, 5, 6, 9, 15]
+    df = spark.createDataFrame(
+        [(i, "k", base + dt.timedelta(hours=h)) for i, h in
+         enumerate(present)],
+        "event_id long, k string, ts timestamp")
+    out = sorted((r["range_start"], r["range_end"], r["n_missing"])
+                 for r in missing_hour_ranges(df, "k", "ts").collect())
+    exp_missing = [h for h in range(16) if h not in present]
+    # expected islands: [2,3], [7,8], [10..14]
+    assert [(int((a - out[0][0]).total_seconds() // 3600) + 2,
+             n) for a, _, n in out] == [(2, 2), (7, 2), (10, 5)]
+    assert sum(n for _, _, n in out) == len(exp_missing)
+
+
+# ----------------------------------------------------------- planning
+
+def test_join_cardinality_exact(spark):
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 5]], "k long")
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 3, 3, 3, 4]], "k long")
+    r = join_cardinality(left, right, "k").collect()[0]
+    actual = left.join(right, "k").count()
+    assert r["predicted_rows"] == actual == 3 + 4 + 3
+    assert r["n_keys_joined"] == 3
+    assert r["max_key_rows"] == 4  # key 2: 2*2
+    assert r["max_key_share_ppm"] == (4 * 1000000) // 10
+
+
+def test_rendezvous_moves_less_than_mod(spark):
+    keys = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    r = rendezvous_stability(keys, "k", 8, 9).collect()[0]
+    assert r["n_keys"] == 400
+    # HRW guarantee: a key moves iff the new shard 8 wins its
+    # rendezvous — brute-force a few keys
+    for k in range(25):
+        w = [_h60(f"{k}:{s}") for s in range(9)]
+        old = max(range(8), key=lambda s: (w[s], s))
+        new = max(range(9), key=lambda s: (w[s], s))
+        moved = old != new
+        assert moved == (new == 8)
+    # and in aggregate it moves ~1/9 while mod moves ~8/9
+    assert r["moved_hrw"] < r["moved_mod"]
+    assert 40000 < r["moved_hrw_ppm"] < 250000
+    assert r["moved_mod_ppm"] > 700000
+
+
+# -------------------------------------------------------------- stats
+
+def test_poisson_weights_and_ci(spark):
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 50) for i in range(300)], "id long, v long")
+    r = poisson_bootstrap_ci(df, "id", "v", n_reps=40,
+                             seed="boot").collect()[0]
+    # replicate 0 brute force
+    tot_w = tot_wv = 0
+    for i in range(300):
+        u = _h60(f"boot:{i}:0") % 1000000
+        w = next((k for k, c in enumerate(POISSON1_CDF_PPM) if u < c),
+                 len(POISSON1_CDF_PPM))
+        v = 100 + (i * 37) % 50
+        tot_w += w
+        tot_wv += w * v
+    assert r["n_rows"] == 300
+    assert r["lo_x100"] <= r["est_x100"] <= r["hi_x100"]
+    # the full-sample mean is exact
+    exact = sum(100 + (i * 37) % 50 for i in range(300))
+    assert r["est_x100"] == (100 * exact) // 300
+
+
+def test_welch_t_matches_python(spark):
+    rows = [(i, 100 + (i * 13) % 40 + (60 if i % 2 else 0))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "u long, v long")
+    r = welch_ab_test(df, "u", "v", seed="ab").collect()[0]
+    arms = {0: [], 1: []}
+    for u, v in rows:
+        arms[_h60(f"ab:{u}") % 2].append(v)
+    a, b = arms[0], arms[1]
+    na, nb = len(a), len(b)
+    sa, sb = sum(a), sum(b)
+    ssa, ssb = sum(x * x for x in a), sum(x * x for x in b)
+    t = ((sa / na) - (sb / nb)) / math.sqrt(
+        ((ssa - (sa * sa) / na) / (na - 1.0)) / na
+        + ((ssb - (sb * sb) / nb) / (nb - 1.0)) / nb)
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["t_x1e6"] == math.floor(t * 1000000)
+    assert r["significant"] == (abs(r["t_x1e6"]) >= 1960000)
+
+
+def test_km_matches_python(spark):
+    # (duration, observed) subjects incl. ties and censors
+    subj = [(3, 1), (3, 1), (3, 0), (5, 1), (7, 0), (7, 1), (9, 1),
+            (9, 1), (11, 0)]
+    df = spark.createDataFrame(subj, "d long, o int")
+    got = {r["d"]: r for r in km_survival(df, "d", "o").collect()}
+    # python KM with the same x1e6 trunc fold
+    from collections import Counter
+    ev, ce = Counter(), Counter()
+    for d, o in subj:
+        (ev if o else ce)[d] += 1
+    days = sorted(set(ev) | set(ce))
+    at_risk = len(subj)
+    s = 1000000
+    for d in days:
+        dd, cc = ev.get(d, 0), ce.get(d, 0)
+        s = (s * (at_risk - dd)) // at_risk
+        row = got[d]
+        assert row["n_risk"] == at_risk
+        assert row["d_events"] == dd
+        assert row["n_censored"] == cc
+        assert row["s_x1e6"] == s
+        at_risk -= dd + cc
+    assert got[11]["s_x1e6"] == s  # curve ends flat at last censor
