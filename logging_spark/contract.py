@@ -4845,6 +4845,33 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return km_survival(dur, "dur_h", "observed")
     q["events_km_survival"] = events_km_survival
 
+    # -- 2-D Pareto skyline (operators/profile.py pareto_front):
+    # vocabulary-richest documents at the lowest length budget. The
+    # Spark plan is one sort over DISTINCT points; the oracle runs
+    # the naive quadratic NOT EXISTS — agreement proves the
+    # single-sort dominance rewrite lossless.
+    def docs_pareto_front(spark, sf):
+        from logging_spark.functions import text as T
+        from logging_spark.operators.profile import pareto_front
+        d = _read(spark, sf, "documents").select(
+            "doc_id",
+            T.distinct_token_count("text").cast("long").alias("vocab"),
+            F.col("n_chars").cast("long").alias("n_chars"))
+        return pareto_front(d, "doc_id", "vocab", "n_chars")
+    q["docs_pareto_front"] = docs_pareto_front
+
+    # -- PrefixSpan-lite (operators/seqmine.py): support of every
+    # gap-allowed length-2/3 event-type subsequence per user, from
+    # ONE collapsed (user, item) -> (min, max, positions) table.
+    # The fixture's 5-type alphabet sits under the max_items=8 cap,
+    # so the oracle omits the (vacuous) top-m restriction.
+    def events_subseq_patterns(spark, sf):
+        from logging_spark.operators.seqmine import subsequence_support
+        return subsequence_support(
+            _read(spark, sf, "events"), "user_id", "ts", "event_type",
+            "event_id", max_items=8, min_support=2)
+    q["events_subseq_patterns"] = events_subseq_patterns
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -9250,5 +9277,47 @@ fold AS (
          (f.s_x1e6 * (r.n_risk - r.d_events)) // r.n_risk
   FROM risk r JOIN fold f ON r.rn = f.rn + 1)
 SELECT d, n_risk, d_events, n_cens AS n_censored, s_x1e6 FROM fold"""
+
+    # skyline oracle: the NAIVE quadratic dominance check (DuckDB's
+    # IEJoin makes the inequality anti-join tractable at gate SFs) —
+    # equality with the single-sort Spark plan is the proof.
+    o["docs_pareto_front"] = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS toks, n_chars FROM documents),
+pts AS MATERIALIZED (
+  SELECT doc_id, CAST(len(list_distinct(toks)) AS BIGINT) AS vocab,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM toks)
+SELECT p.doc_id, p.vocab, p.n_chars
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts d
+  WHERE d.vocab >= p.vocab AND d.n_chars <= p.n_chars
+    AND (d.vocab > p.vocab OR d.n_chars < p.n_chars))"""
+
+    o["events_subseq_patterns"] = """
+WITH ev AS (
+  SELECT user_id AS u, event_type AS it,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS p
+  FROM events),
+st AS MATERIALIZED (
+  SELECT u, it, min(p) AS lo, max(p) AS hi,
+         list(p ORDER BY p) AS ps
+  FROM ev GROUP BY 1, 2),
+l2 AS (
+  SELECT a.it || '>' || b.it AS pattern, CAST(2 AS INT) AS length,
+         CAST(count(*) AS BIGINT) AS support
+  FROM st a JOIN st b ON a.u = b.u
+  WHERE a.lo < b.hi GROUP BY 1),
+l3 AS (
+  SELECT a.it || '>' || b.it || '>' || c.it AS pattern,
+         CAST(3 AS INT) AS length,
+         CAST(count(*) AS BIGINT) AS support
+  FROM st a JOIN st b ON a.u = b.u JOIN st c ON a.u = c.u
+  WHERE len(list_filter(b.ps, x -> x > a.lo AND x < c.hi)) > 0
+  GROUP BY 1)
+SELECT pattern, length, support
+FROM (SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+WHERE support >= 2"""
 
     return o

@@ -215,3 +215,37 @@ def length_emd(df: DataFrame, group_col: str, value_col: str,
                 F.col("g").alias(group_col),
                 F.col("tg").alias("n_rows"))), group_col)
             .select(group_col, "n_rows", "n_bins", "emd_ppm_bins"))
+
+
+def pareto_front(df: DataFrame, id_col: str, max_col: str,
+                 min_col: str) -> DataFrame:
+    """2-D skyline: rows not dominated by any other row, where a
+    dominator has `max_col` >= and `min_col` <= with at least one
+    strict inequality (the classic quality-vs-cost frontier — e.g.
+    highest vocabulary richness at the lowest length budget).
+
+    Single-sort plan (no self-join): sort distinct (q, c) points by
+    (q DESC, c ASC); a point is on the front iff the running min of
+    cost over STRICTLY PRECEDING points exceeds its cost. Preceding
+    points have q' > q, or q' == q with c' < c (sort order over
+    distinct points), so `min_prev <= c` captures exactly the
+    dominance predicate — the naive NOT EXISTS quadratic check is
+    the oracle twin, making the result a losslessness proof.
+
+    Ties on the exact same (q, c) point: mutually non-dominating, so
+    every id at a frontier point is returned. Scale shape: dominance
+    runs over the DISTINCT point set (collapsed first); ids join
+    back by equi-join only for frontier points.
+    """
+    pts = (df.select(F.col(id_col),
+                     F.col(max_col).cast("long").alias("q"),
+                     F.col(min_col).cast("long").alias("c")))
+    dpts = pts.select("q", "c").distinct()
+    w = (Window.orderBy(F.col("q").desc(), F.col("c").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    front = (dpts.withColumn("_mp", F.min("c").over(w))
+             .where(F.col("_mp").isNull() | (F.col("_mp") > F.col("c")))
+             .select("q", "c"))
+    return (pts.join(front, ["q", "c"])
+            .select(F.col(id_col), F.col("q").alias(max_col),
+                    F.col("c").alias(min_col)))

@@ -16,6 +16,8 @@ from logging_spark.operators.stats import (POISSON1_CDF_PPM,
                                            km_survival,
                                            poisson_bootstrap_ci,
                                            welch_ab_test)
+from logging_spark.operators.profile import pareto_front
+from logging_spark.operators.seqmine import subsequence_support
 from logging_spark.operators.timeseries import (acf_integer,
                                                 changepoint_single,
                                                 missing_hour_ranges)
@@ -196,3 +198,64 @@ def test_km_matches_python(spark):
         assert row["s_x1e6"] == s
         at_risk -= dd + cc
     assert got[11]["s_x1e6"] == s  # curve ends flat at last censor
+
+
+# ------------------------------------------------------- pareto front
+
+def test_pareto_front_brute_force(spark):
+    import itertools
+    pts = [(i, (i * 7) % 13, (i * 5) % 11) for i in range(60)]
+    df = spark.createDataFrame(pts, "id long, q long, c long")
+    got = sorted(r["id"] for r in
+                 pareto_front(df, "id", "q", "c").collect())
+    exp = []
+    for i, q, c in pts:
+        dominated = any(
+            q2 >= q and c2 <= c and (q2 > q or c2 < c)
+            for _, q2, c2 in pts)
+        if not dominated:
+            exp.append(i)
+    assert got == sorted(exp)
+    assert len(got) > 0
+
+
+# ------------------------------------------------ subsequence support
+
+def test_subsequence_support_brute_force(spark):
+    streams = {
+        1: list("abcab"),
+        2: list("aacb"),
+        3: list("bca"),
+        4: list("abb"),
+    }
+    rows = [(u, i, it) for u, s in streams.items()
+            for i, it in enumerate(s)]
+    df = spark.createDataFrame(rows, "u long, o int, it string")
+    got = {(r["pattern"], r["length"]): r["support"] for r in
+           subsequence_support(df, "u", "o", "it", "o",
+                               min_support=1).collect()}
+
+    def supports(s, pat):
+        it = iter(enumerate(s))
+        pos = -1
+        for p in pat:
+            found = False
+            for j in range(pos + 1, len(s)):
+                if s[j] == p:
+                    pos = j
+                    found = True
+                    break
+            if not found:
+                return False
+        return True
+
+    import itertools
+    alphabet = sorted({c for s in streams.values() for c in s})
+    for ln in (2, 3):
+        for pat in itertools.product(alphabet, repeat=ln):
+            sup = sum(supports(s, pat) for s in streams.values())
+            key = (">".join(pat), ln)
+            if sup >= 1:
+                assert got.get(key, 0) == sup, (key, sup)
+            else:
+                assert key not in got
