@@ -181,6 +181,16 @@ HEADLINE = [
     "text_lang_confusion",
     "dq_threshold_coverage",
     "sample_temperature_mix",
+    # seventh-session inference/planning/mining families: Poisson
+    # bootstrap (map-side B-fold explode), KM product fold,
+    # changepoint argmax, join-size prediction, skyline single-sort,
+    # subsequence support self-join
+    "events_bootstrap_ci",
+    "events_km_survival",
+    "events_changepoint",
+    "agg_join_cardinality",
+    "docs_pareto_front",
+    "events_subseq_patterns",
 ]
 
 

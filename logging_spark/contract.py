@@ -4872,6 +4872,34 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id", max_items=8, min_support=2)
     q["events_subseq_patterns"] = events_subseq_patterns
 
+    # -- monotone calibration map (operators/mleval.py isotonic_fit):
+    # isotonic regression over the reliability bins via the exact
+    # minimax formula in x1e6 fixed point (floor commutes with
+    # min/max, so no PAVA iteration and no engine divergence). The
+    # O(n^3) interval expansion runs on the 10 COLLAPSED bins.
+    def dq_isotonic(spark, sf):
+        from logging_spark.operators.mleval import (calibration_bins,
+                                                    isotonic_fit)
+        d = _read(spark, sf, "documents")
+        lab = d.select((F.col("n_chars") * 1000).cast("long")
+                       .alias("score_ppm"),
+                       (F.col("doc_id") % 7 < 3).cast("long").alias("y"))
+        bins = calibration_bins(lab, "score_ppm", "y", n_bins=10)
+        return isotonic_fit(bins, "bin", "n", "n_pos").select(
+            "bin", "n", "n_pos", "acc_ppm", "fit_x1e6")
+    q["dq_isotonic"] = dq_isotonic
+
+    # -- Neyman-optimal allocation (operators/sample.py): split a
+    # 1000-row sampling budget across sources by N_h*S_h, which
+    # collapses to ONE deterministic-double sqrt per stratum
+    # (N*S = sqrt(SSD)); seats distribute by largest remainder so
+    # sum(alloc_n) == budget exactly.
+    def sample_neyman(spark, sf):
+        from logging_spark.operators.sample import neyman_allocation
+        return neyman_allocation(
+            _read(spark, sf, "documents"), "source", "n_chars", 1000)
+    q["sample_neyman"] = sample_neyman
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -9319,5 +9347,63 @@ l3 AS (
 SELECT pattern, length, support
 FROM (SELECT * FROM l2 UNION ALL SELECT * FROM l3)
 WHERE support >= 2"""
+
+    # isotonic minimax with the identical fixed-point floor order
+    o["dq_isotonic"] = """
+WITH lab AS (
+  SELECT least(CAST(9 AS BIGINT),
+               (CAST(n_chars * 1000 AS BIGINT) * 10) // 1000000)
+           AS bin,
+         CAST(doc_id % 7 < 3 AS BIGINT) AS y
+  FROM documents),
+bins AS MATERIALIZED (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS npos
+  FROM lab GROUP BY 1),
+cum AS MATERIALIZED (
+  SELECT bin, n, npos,
+         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cw,
+         CAST(sum(npos) OVER (ORDER BY bin) AS BIGINT) AS cs
+  FROM bins),
+iv AS (
+  SELECT j.bin AS ji, k.bin AS ki,
+         ((k.cs - (j.cs - j.npos)) * 1000000)
+           // (k.cw - (j.cw - j.n)) AS a
+  FROM cum j JOIN cum k ON j.bin <= k.bin),
+mn AS (
+  SELECT b.bin AS i, iv.ji, min(a) AS m
+  FROM iv JOIN cum b ON iv.ji <= b.bin AND b.bin <= iv.ki
+  GROUP BY 1, 2),
+f AS (SELECT i AS bin, CAST(max(m) AS BIGINT) AS fit_x1e6
+      FROM mn GROUP BY 1)
+SELECT b.bin, b.n, b.npos AS n_pos,
+       (b.npos * 1000000) // b.n AS acc_ppm, f.fit_x1e6
+FROM bins b JOIN f USING (bin)"""
+
+    o["sample_neyman"] = """
+WITH per AS MATERIALIZED (
+  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(floor(sqrt(CAST(
+           CAST(count(*) AS BIGINT)
+             * CAST(sum(CAST(n_chars AS BIGINT)
+                        * CAST(n_chars AS BIGINT)) AS BIGINT)
+             - CAST(sum(n_chars) AS BIGINT)
+               * CAST(sum(n_chars) AS BIGINT)
+           AS DOUBLE))) AS BIGINT) AS weight
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wt FROM per),
+quo AS MATERIALIZED (
+  SELECT stratum, n_rows, weight,
+         (1000 * weight) // greatest(wt, 1) AS base,
+         (1000 * weight) % greatest(wt, 1) AS rem
+  FROM per, tot),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk,
+         (SELECT 1000 - CAST(sum(base) AS BIGINT) FROM quo) AS leftn
+  FROM quo)
+SELECT stratum, n_rows, weight,
+       CAST(base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_n
+FROM rk"""
 
     return o

@@ -179,3 +179,50 @@ def drift_index(old: DataFrame, new: DataFrame, bin_col: str) -> DataFrame:
             "((new_ppm - old_ppm) * (new_ppm - old_ppm)) "
             "DIV greatest(old_ppm, 1L)")).cast("long")
         .alias("drift_x1e6")))
+
+
+def isotonic_fit(bins: DataFrame, bin_col: str, w_col: str,
+                 s_col: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) regression over an ordered,
+    COLLAPSED bin table — the calibration-map fitter that turns raw
+    reliability bins into a monotone score->probability map.
+
+    Instead of PAVA's stack recursion (a poor fit for SQL engines),
+    this uses the exact minimax characterization
+
+        fit_i = max_{j <= i} min_{k >= i} avg(s over bins j..k)
+
+    evaluated in x1e6 fixed point. Floor commutes with min and max,
+    so flooring each interval average FIRST yields exactly
+    floor(true_fit * 1e6) — bit-identical across engines, no
+    iteration. Cost is the triangular interval join over the bin
+    table: O(n_bins^3) tuples, which is the whole point of running
+    it on collapsed bins (n_bins <= ~100), never on raw rows.
+
+    Output: the input columns + fit_x1e6, one row per bin.
+    """
+    b = bins.select(F.col(bin_col).cast("long").alias("i"),
+                    F.col(w_col).cast("long").alias("w"),
+                    F.col(s_col).cast("long").alias("s"))
+    wc = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "i", "w", "s",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("s").over(wc).alias("cs")).localCheckpoint()
+    j = cum.select(F.col("i").alias("ji"),
+                   (F.col("cw") - F.col("w")).alias("cwp"),
+                   (F.col("cs") - F.col("s")).alias("csp"))
+    k = cum.select(F.col("i").alias("ki"), F.col("cw").alias("cwk"),
+                   F.col("cs").alias("csk"))
+    ivals = (j.join(k, F.col("ji") <= F.col("ki"))
+             .select("ji", "ki",
+                     F.expr("((csk - csp) * 1000000) DIV (cwk - cwp)")
+                     .alias("a")))
+    pts = (ivals.join(cum.select(F.col("i")),
+                      (F.col("ji") <= F.col("i"))
+                      & (F.col("i") <= F.col("ki")))
+           .groupBy("i", "ji").agg(F.min("a").alias("_mn"))
+           .groupBy("i").agg(F.max("_mn").cast("long")
+                             .alias("fit_x1e6")))
+    return (bins.join(pts, F.col(bin_col).cast("long") == F.col("i"))
+            .drop("i"))

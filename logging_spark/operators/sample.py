@@ -334,3 +334,53 @@ def global_order(df: DataFrame, order_cols: list,
             pos += n
 
     return d.mapInPandas(kernel, schema)
+
+
+def neyman_allocation(df: DataFrame, stratum_col: str, value_col: str,
+                      budget: int) -> DataFrame:
+    """Neyman-optimal sample-size allocation: split a sampling budget
+    across strata proportionally to N_h * S_h (stratum size times
+    standard deviation) — the allocation that minimizes the variance
+    of the stratified mean estimator.
+
+    Integer-exact trick: with population sd, N_h * S_h =
+    N_h * sqrt(SSD_h) / N_h = sqrt(SSD_h) where SSD_h =
+    N_h * sum(x^2) - sum(x)^2 is an exact BIGINT, so each stratum
+    needs exactly ONE deterministic-double sqrt + floor; everything
+    after (largest-remainder seat distribution: floor quotas, then
+    +1 to the largest remainders until the budget is exact) is
+    integer arithmetic. sum(alloc_n) == budget always.
+
+    Plan: one grouped aggregate collapses the table to strata; the
+    seat distribution runs on the collapsed table (the unpartitioned
+    rank window is bounded by the stratum-domain size).
+    """
+    per = (df.groupBy(F.col(stratum_col).alias("stratum"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col(value_col).cast("long")).alias("_sx"),
+                F.sum(F.col(value_col).cast("long")
+                      * F.col(value_col).cast("long")).alias("_sxx"))
+           .select("stratum", "n_rows",
+                   F.expr("CAST(floor(sqrt(CAST(n_rows * _sxx - "
+                          "_sx * _sx AS DOUBLE))) AS BIGINT)")
+                   .alias("weight")))
+    from pyspark.sql import Window
+    per = per.localCheckpoint()  # feeds the total + the rank pass
+    tot = per.agg(F.sum("weight").alias("_wt"),
+                  F.count(F.lit(1)).cast("long").alias("_ns"))
+    quo = (per.crossJoin(F.broadcast(tot))
+           .select("stratum", "n_rows", "weight", "_wt",
+                   F.expr(f"({budget} * weight) DIV greatest(_wt, 1L)")
+                   .alias("_base"),
+                   F.expr(f"({budget} * weight) % greatest(_wt, 1L)")
+                   .alias("_rem")))
+    wrk = Window.orderBy(F.col("_rem").desc(), F.col("stratum").asc())
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    return (quo.withColumn("_rk", F.row_number().over(wrk))
+            .withColumn("_left",
+                        F.lit(budget) - F.sum("_base").over(wall))
+            .select("stratum", "n_rows", "weight",
+                    (F.col("_base")
+                     + (F.col("_rk") <= F.col("_left")).cast("long"))
+                    .alias("alloc_n")))

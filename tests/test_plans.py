@@ -352,3 +352,55 @@ def test_cohort_ltv_single_scan(spark):
     # the formatted output repeats each node name in the tree line.
     plan = _plan(spark, "events_cohort_ltv")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_seventh_session_plan_shapes(spark):
+    # skyline: the dominance pass must be the single-sort rewrite —
+    # no quadratic inequality join anywhere in the plan
+    plan = _plan(spark, "docs_pareto_front")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # Poisson bootstrap: the B-fold replicate explode stays map-side —
+    # the only hash exchanges are the per-replicate aggregation and
+    # the scalar collects (never an exchange of the exploded rows
+    # keyed by anything finer than the replicate id)
+    plan = _plan(spark, "events_bootstrap_ci")
+    tree = plan.split("\n\n")[0].splitlines()
+    gen_lines = [i for i, ln in enumerate(tree) if "Generate" in ln]
+    assert len(gen_lines) == 1 and "explode" in plan
+    # walking UP from the Generate (towards the root), the partial
+    # HashAggregate must appear before any hash Exchange — i.e. the
+    # exploded rows aggregate inside the map stage and only B
+    # replicate rows cross the shuffle
+    above = tree[:gen_lines[0]][::-1]
+    first_agg = next(i for i, ln in enumerate(above)
+                     if "HashAggregate" in ln)
+    first_ex = next((i for i, ln in enumerate(above)
+                     if "Exchange hash" in ln), len(above))
+    assert first_agg < first_ex
+
+    # join-size prediction never shuffles fact rows — only the two
+    # collapsed per-key count tables meet in a join
+    plan = _plan(spark, "agg_join_cardinality")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+    # subsequence mining: the three self-join sides come from ONE
+    # localCheckpointed stats table (scan appears, raw events do not
+    # feed three aggregations)
+    plan = _plan(spark, "events_subseq_patterns")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") >= 3  # checkpointed reuse
+
+
+def test_changepoint_windowless_argmax(spark):
+    # one sort per key for the cumulative window, then a plain
+    # aggregate — no join-back, no second window
+    plan = _plan(spark, "events_changepoint")
+    assert "Join" not in plan
+    # two exchanges total: the daily-rollup groupBy and the per-key
+    # window sort; both window specs share one sort, and the final
+    # argmax groupBy REUSES the window's partitioning (SortAggregate
+    # directly above Window, no third exchange)
+    assert _n_exchanges(plan) == 2, plan[:1500]

@@ -259,3 +259,72 @@ def test_subsequence_support_brute_force(spark):
                 assert got.get(key, 0) == sup, (key, sup)
             else:
                 assert key not in got
+
+
+# ------------------------------------------------- isotonic + neyman
+
+def test_isotonic_matches_pava(spark):
+    from logging_spark.operators.mleval import isotonic_fit
+    bins = [(0, 10, 1), (1, 5, 4), (2, 8, 3), (3, 4, 4), (4, 6, 1),
+            (5, 7, 7)]
+    df = spark.createDataFrame(bins, "bin long, w long, s long")
+    got = {r["bin"]: r["fit_x1e6"] for r in
+           isotonic_fit(df, "bin", "w", "s").collect()}
+    # classic PAVA with pool merging, exact rationals via Fraction
+    from fractions import Fraction
+    pools = []  # (w, s)
+    for _, w, s in bins:
+        pools.append([w, s])
+        while len(pools) > 1 and (
+                Fraction(pools[-2][1], pools[-2][0])
+                > Fraction(pools[-1][1], pools[-1][0])):
+            w2, s2 = pools.pop()
+            pools[-1][0] += w2
+            pools[-1][1] += s2
+    # expand each pool back to its member bins
+    i = 0
+    exp = {}
+    for w, s in pools:
+        cw = 0
+        while cw < w:
+            exp[bins[i][0]] = (1000000 * s) // w
+            cw += bins[i][1]
+            i += 1
+    assert got == exp
+    # monotone nondecreasing
+    vals = [got[b] for b, _, _ in bins]
+    assert vals == sorted(vals)
+
+
+def test_neyman_allocation_exact(spark):
+    from logging_spark.operators.sample import neyman_allocation
+    rows = []
+    for st, (n, lo, hi) in {"a": (50, 10, 200), "b": (200, 100, 104),
+                            "c": (80, 0, 1000)}.items():
+        for i in range(n):
+            rows.append((st, lo + (i * 7919) % (hi - lo + 1)))
+    df = spark.createDataFrame(rows, "st string, v long")
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "st", "v", 100).collect()}
+    assert sum(r["alloc_n"] for r in out.values()) == 100
+    # brute force weights + largest remainder
+    import math
+    from collections import defaultdict
+    by = defaultdict(list)
+    for st, v in rows:
+        by[st].append(v)
+    w = {st: math.floor(math.sqrt(
+        len(vs) * sum(x * x for x in vs) - sum(vs) ** 2))
+        for st, vs in by.items()}
+    W = sum(w.values())
+    base = {st: (100 * ww) // W for st, ww in w.items()}
+    rem = {st: (100 * ww) % W for st, ww in w.items()}
+    left = 100 - sum(base.values())
+    order = sorted(w, key=lambda st: (-rem[st], st))
+    for st in order[:left]:
+        base[st] += 1
+    for st in by:
+        assert out[st]["weight"] == w[st]
+        assert out[st]["alloc_n"] == base[st], st
+    # high-variance wide stratum c out-draws the bigger flat b
+    assert out["c"]["alloc_n"] > out["b"]["alloc_n"]
