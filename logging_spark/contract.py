@@ -4900,6 +4900,35 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "documents"), "source", "n_chars", 1000)
     q["sample_neyman"] = sample_neyman
 
+    # -- CUPED-adjusted A/B (operators/stats.py cuped_ab_test):
+    # variance-reduced Welch t where the covariate is each user's
+    # PRE-period spend (first half of the month) and the outcome the
+    # post-period spend. The t expression is ONE SQL string shared
+    # verbatim with the oracle — identical IEEE parenthesization by
+    # construction, not by transcription.
+    def events_ab_cuped(spark, sf):
+        from logging_spark.operators.stats import cuped_ab_test
+        per_user = (_read(spark, sf, "events")
+                    .groupBy("user_id")
+                    .agg(F.expr("CAST(sum(CASE WHEN ts < TIMESTAMP "
+                                "'2024-01-16 00:00:00' THEN "
+                                "floor(value * 100) ELSE 0 END) "
+                                "AS BIGINT)").alias("pre_cents"),
+                         F.expr("CAST(sum(CASE WHEN ts >= TIMESTAMP "
+                                "'2024-01-16 00:00:00' THEN "
+                                "floor(value * 100) ELSE 0 END) "
+                                "AS BIGINT)").alias("post_cents")))
+        return cuped_ab_test(per_user, "user_id", "pre_cents",
+                             "post_cents")
+    q["events_ab_cuped"] = events_ab_cuped
+
+    # -- Good-Turing unseen mass + Chao1 richness: will more crawl
+    # find new vocabulary? All from the freq-of-freq table, integer.
+    def text_vocab_coverage(spark, sf):
+        from logging_spark.operators.profile import vocab_coverage
+        return vocab_coverage(_read(spark, sf, "documents"), "text")
+    q["text_vocab_coverage"] = text_vocab_coverage
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -9405,5 +9434,58 @@ SELECT stratum, n_rows, weight,
        CAST(base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS BIGINT)
          AS alloc_n
 FROM rk"""
+
+    # CUPED: the theta/adjusted-variance/t expressions are imported
+    # from operators.stats and embedded VERBATIM — the same strings
+    # Spark evaluates — so both engines run the same IEEE tree.
+    from logging_spark.operators.stats import (_CUPED_ARM,
+                                               _CUPED_COMMON, _CUPED_T)
+    o["events_ab_cuped"] = f"""
+WITH per AS (
+  SELECT CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 2 AS arm,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN floor(value * 100) ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN floor(value * 100) ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per GROUP BY arm),
+j AS (
+  SELECT a.n AS n_a, a.sx AS sx_a, a.sy AS sy_a, a.sxy AS sxy_a,
+         a.sxx AS sxx_a, a.syy AS syy_a,
+         b.n AS n_b, b.sx AS sx_b, b.sy AS sy_b, b.sxy AS sxy_b,
+         b.sxx AS sxx_b, b.syy AS syy_b
+  FROM (SELECT * FROM agg WHERE arm = 0) a
+  CROSS JOIN (SELECT * FROM agg WHERE arm = 1) b),
+j2 AS (SELECT *, {_CUPED_COMMON} FROM j),
+j3 AS (SELECT *, {_CUPED_ARM.format(m='a')},
+               {_CUPED_ARM.format(m='b')} FROM j2)
+SELECT n_a, n_b,
+       CAST(floor(theta * 1000000) AS BIGINT) AS theta_x1e6,
+       CAST(floor(({_CUPED_T}) * 1000000) AS BIGINT) AS t_x1e6,
+       CAST(abs(CAST(floor(({_CUPED_T}) * 1000000) AS BIGINT))
+            >= 1960000 AS INT) AS significant
+FROM j3"""
+
+    o["text_vocab_coverage"] = f"""
+WITH toks AS (SELECT {TOKS} AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS t FROM toks),
+freq AS (SELECT t, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY 1),
+s AS (
+  SELECT CAST(sum(r) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS s_obs,
+         CAST(sum(CAST(r = 1 AS BIGINT)) AS BIGINT) AS f1,
+         CAST(sum(CAST(r = 2 AS BIGINT)) AS BIGINT) AS f2
+  FROM freq)
+SELECT n_tokens, s_obs, f1, f2,
+       (f1 * 1000000) // n_tokens AS unseen_mass_ppm,
+       s_obs + (f1 * f1) // greatest(2 * f2, 1) AS chao1
+FROM s"""
 
     return o

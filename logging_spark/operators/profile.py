@@ -249,3 +249,30 @@ def pareto_front(df: DataFrame, id_col: str, max_col: str,
     return (pts.join(front, ["q", "c"])
             .select(F.col(id_col), F.col("q").alias(max_col),
                     F.col("c").alias(min_col)))
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Good-Turing unseen-mass and Chao1 richness estimates — the
+    corpus-planning numbers ("how much vocabulary is this corpus
+    still missing?") that decide whether more crawling will pay.
+
+    From the frequency-of-frequencies table alone: unseen probability
+    mass ~= f1/N (Good-Turing), total richness ~= S_obs + f1^2/(2*f2)
+    (Chao1) — all integer (ppm / DIV), one explode + two aggregates;
+    the frequency table collapse means doc bodies never shuffle
+    twice. f2=0 degenerates via greatest(2*f2, 1).
+    """
+    from logging_spark.functions import text as _T
+    tok = df.select(F.explode(_T.tokens(text_col)).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long")
+                                .alias("r"))
+    return (freq.agg(
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum((F.col("r") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("r") == 2).cast("long")).cast("long").alias("f2"))
+        .select("n_tokens", "s_obs", "f1", "f2",
+                F.expr("(f1 * 1000000) DIV n_tokens").cast("long")
+                .alias("unseen_mass_ppm"),
+                F.expr("s_obs + (f1 * f1) DIV greatest(2 * f2, 1L)")
+                .cast("long").alias("chao1")))
