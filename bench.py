@@ -191,6 +191,10 @@ HEADLINE = [
     "agg_join_cardinality",
     "docs_pareto_front",
     "events_subseq_patterns",
+    "events_ab_cuped",
+    "dq_isotonic",
+    "sample_neyman",
+    "text_vocab_coverage",
 ]
 
 
