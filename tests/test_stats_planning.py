@@ -328,3 +328,81 @@ def test_neyman_allocation_exact(spark):
         assert out[st]["alloc_n"] == base[st], st
     # high-variance wide stratum c out-draws the bigger flat b
     assert out["c"]["alloc_n"] > out["b"]["alloc_n"]
+
+
+# -------------------------------------- raking / venn / dispersion
+
+def test_raking_moves_marginals_toward_uniform(spark):
+    from logging_spark.operators.sample import raking_weights
+    rows = ([("en", "a")] * 60 + [("en", "b")] * 20 +
+            [("de", "a")] * 10 + [("de", "b")] * 10)
+    df = spark.createDataFrame(rows, "lang string, src string")
+    out = {(r["lang"], r["src"]): r for r in
+           raking_weights(df, "lang", "src", rounds=2).collect()}
+    # brute-force the same integer chain
+    cells = {("en", "a"): 60, ("en", "b"): 20, ("de", "a"): 10,
+             ("de", "b"): 10}
+    w = {k: 1000000 for k in cells}
+    for rnd, dim in enumerate(("lang", "src")):
+        pick = (lambda k: k[0]) if dim == "lang" else (lambda k: k[1])
+        mass = {}
+        for k in cells:
+            mass[pick(k)] = mass.get(pick(k), 0) + cells[k] * w[k]
+        tot = sum(cells[k] * w[k] for k in cells)
+        nlev = len(mass)
+        for k in cells:
+            f = ((tot // nlev) * 1000000) // mass[pick(k)]
+            w[k] = (w[k] * f) // 1000000
+    for k, n in cells.items():
+        assert out[k]["n"] == n
+        assert out[k]["w_x1e6"] == w[k], k
+    # the raked lang marginal is (near-)uniform: en mass ~= de mass
+    en = sum(cells[k] * w[k] for k in cells if k[0] == "en")
+    de = sum(cells[k] * w[k] for k in cells if k[0] == "de")
+    raw_gap = abs(80 - 20) / 100
+    raked_gap = abs(en - de) / (en + de)
+    assert raked_gap < raw_gap / 4
+
+
+def test_venn_masks_exact(spark):
+    from logging_spark.operators.overlap import venn_masks
+    ids = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    frames = {
+        "x": ids.where("id < 20"),
+        "y": ids.where("id >= 10"),
+        "z": ids.where("id % 2 = 0"),
+    }
+    got = {r["mask"]: (r["corpora"], r["n_ids"]) for r in
+           venn_masks(frames, "id").collect()}
+    import collections
+    exp = collections.Counter()
+    for i in range(30):
+        m = (1 if i < 20 else 0) | (2 if i >= 10 else 0) | \
+            (4 if i % 2 == 0 else 0)
+        exp[m] += 1
+    assert {m: n for m, (_, n) in got.items()} == dict(exp)
+    assert got[7][0] == "x+y+z"
+    assert got[5][0] == "x+z"
+
+
+def test_overdispersion_brute(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 4, 1)
+    # bursty: all events in 2 of 10 hours; smooth: 1/hour
+    rows = []
+    for j in range(20):
+        rows.append(("bursty", base + dt.timedelta(hours=(j % 2) * 9,
+                                                   minutes=j)))
+    for j in range(10):
+        rows.append(("smooth", base + dt.timedelta(hours=j)))
+    from logging_spark.operators.timeseries import overdispersion
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {r["k"]: r for r in
+           overdispersion(df, "k", "ts").collect()}
+    assert out["smooth"]["dispersion_ppm"] == 0  # constant series
+    # bursty: x = [10,0,...,0,10] over 10 hours: mean 2, var 16
+    xs = [10, 0, 0, 0, 0, 0, 0, 0, 0, 10]
+    n, s, ssq = len(xs), sum(xs), sum(x * x for x in xs)
+    assert out["bursty"]["dispersion_ppm"] == \
+        ((n * ssq - s * s) * 1000000) // (n * s)
+    assert out["bursty"]["overdispersed"] == 1
