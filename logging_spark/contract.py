@@ -4960,6 +4960,47 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "alt": d.where("doc_id % 3 != 0")}, "doc_id")
     q["docs_venn3"] = docs_venn3
 
+    # -- Mann-Whitney U between md5-parity arms on per-user purchase
+    # cents: exact integer 2U via the collapsed-value prefix sum (no
+    # global rank sort), tie-corrected z from one shared-verbatim
+    # double expression.
+    def events_mannwhitney(spark, sf):
+        from logging_spark.operators.stats import mann_whitney_u
+        per_user = (_read(spark, sf, "events")
+                    .where("event_type = 'purchase'")
+                    .groupBy("user_id")
+                    .agg(F.expr("CAST(sum(floor(value * 100)) AS BIGINT)")
+                         .alias("cents")))
+        return mann_whitney_u(per_user, "user_id", "cents")
+    q["events_mannwhitney"] = events_mannwhitney
+
+    # -- log-rank test: do the two arms' retention curves differ?
+    # Same churn-gap durations as events_km_survival, md5-parity
+    # groups, integer O/E/V sums over the collapsed risk table.
+    def events_logrank(spark, sf):
+        from logging_spark.operators.stats import logrank_test
+        ev = _read(spark, sf, "events").select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        wn = Window.partitionBy("user_id").orderBy("us")
+        g = ev.withColumn("_nxt", F.lead("us").over(wn))
+        per = g.groupBy("user_id").agg(
+            F.min("us").alias("_first"),
+            F.max("us").alias("_last"),
+            F.min(F.when(F.col("_nxt") - F.col("us") > 86400000000,
+                         F.col("us"))).alias("_churn"))
+        dur = per.select(
+            F.when(F.col("_churn").isNotNull(),
+                   F.expr("(_churn - _first) DIV 3600000000"))
+            .otherwise(F.expr("(_last - _first) DIV 3600000000"))
+            .alias("dur_h"),
+            F.col("_churn").isNotNull().cast("int").alias("observed"),
+            F.expr("CAST(conv(substring(md5(concat('ab:', "
+                   "CAST(user_id AS STRING))), 1, 15), 16, 10) "
+                   "AS BIGINT) % 2").cast("int").alias("arm"))
+        return logrank_test(dur, "dur_h", "observed", "arm")
+    q["events_logrank"] = events_logrank
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -9585,5 +9626,87 @@ SELECT mask,
          CASE WHEN (mask & 4) != 0 THEN 'alt' END) AS corpora,
        CAST(count(*) AS BIGINT) AS n_ids
 FROM m GROUP BY 1"""
+
+    from logging_spark.operators.stats import _LOGRANK_Z, _MWU_Z
+    o["events_mannwhitney"] = f"""
+WITH per AS (
+  SELECT CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 2 AS arm,
+         CAST(sum(floor(value * 100)) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+vals AS (
+  SELECT v, CAST(sum(CAST(arm = 0 AS BIGINT)) AS BIGINT) AS ca,
+         CAST(sum(CAST(arm = 1 AS BIGINT)) AS BIGINT) AS cb
+  FROM per GROUP BY 1),
+sc AS (
+  SELECT ca, cb,
+         COALESCE(CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN
+           UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS cum_b
+  FROM vals),
+agg AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b,
+         CAST(sum(ca * (2 * cum_b + cb)) AS BIGINT) AS u2,
+         CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+              AS BIGINT) AS t3t
+  FROM sc)
+SELECT n_a, n_b, u2, t3t,
+       CAST(floor(({_MWU_Z}) * 1000000) AS BIGINT) AS z_x1e6,
+       CAST(abs(CAST(floor(({_MWU_Z}) * 1000000) AS BIGINT))
+            >= 1960000 AS INT) AS significant
+FROM agg"""
+
+    o["events_logrank"] = f"""
+WITH ev AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+g AS (
+  SELECT user_id, us,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us) AS nxt
+  FROM ev),
+peru AS (
+  SELECT user_id, min(us) AS first_us, max(us) AS last_us,
+         min(CASE WHEN nxt - us > 86400000000 THEN us END) AS churn_us
+  FROM g GROUP BY user_id),
+dur AS (
+  SELECT CASE WHEN churn_us IS NOT NULL
+              THEN (churn_us - first_us) // 3600000000
+              ELSE (last_us - first_us) // 3600000000 END AS d,
+         CAST(churn_us IS NOT NULL AS INT) AS o,
+         CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 2 AS arm
+  FROM peru),
+per AS MATERIALIZED (
+  SELECT d,
+         CAST(sum(CAST(o = 1 AND arm = 0 AS BIGINT)) AS BIGINT) AS da,
+         CAST(sum(CAST(o = 1 AND arm = 1 AS BIGINT)) AS BIGINT) AS db,
+         CAST(sum(CAST(arm = 0 AS BIGINT)) AS BIGINT) AS ta,
+         CAST(sum(CAST(arm = 1 AS BIGINT)) AS BIGINT) AS tb
+  FROM dur GROUP BY d),
+risk AS (
+  SELECT d, da, db,
+         (SELECT CAST(sum(ta) AS BIGINT) FROM per)
+           - COALESCE(CAST(sum(ta) OVER (ORDER BY d ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS na,
+         (SELECT CAST(sum(tb) AS BIGINT) FROM per)
+           - COALESCE(CAST(sum(tb) OVER (ORDER BY d ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           AS nb
+  FROM per),
+agg AS (
+  SELECT CAST(sum(da) AS BIGINT) AS o_a,
+         CAST(sum(((da + db) * na * 1000000) // (na + nb))
+              AS BIGINT) AS e_a_x1e6,
+         CAST(sum(CASE WHEN na + nb > 1 THEN
+           ((da + db) * (na + nb - (da + db)) * na * nb * 1000000)
+             // ((na + nb) * (na + nb) * (na + nb - 1))
+           ELSE 0 END) AS BIGINT) AS v_x1e6
+  FROM risk)
+SELECT o_a, e_a_x1e6, v_x1e6,
+       CAST(floor(({_LOGRANK_Z}) * 1000000) AS BIGINT) AS z_x1e6,
+       CAST(abs(CAST(floor(({_LOGRANK_Z}) * 1000000) AS BIGINT))
+            >= 1960000 AS INT) AS significant
+FROM agg"""
 
     return o

@@ -287,3 +287,123 @@ def cuped_ab_test(df: DataFrame, unit_col: str, pre_col: str,
     ).selectExpr(
         "n_a", "n_b", "theta_x1e6", "t_x1e6",
         f"CAST(abs(t_x1e6) >= {z_crit_x1e6} AS INT) AS significant")
+
+
+# Mann-Whitney z from exact integers (u2 = 2U, t3t = sum(t^3 - t)
+# over tie groups): one shared string, evaluated by both engines.
+_MWU_Z = """
+  ((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+   / 2.0) /
+  sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
+       ((CAST(n_a + n_b AS DOUBLE) + 1.0) -
+        CAST(t3t AS DOUBLE) /
+        (CAST(n_a + n_b AS DOUBLE) *
+         (CAST(n_a + n_b AS DOUBLE) - 1.0))))
+"""
+
+
+def mann_whitney_u(df: DataFrame, unit_col: str, value_col: str,
+                   seed: str = "ab",
+                   z_crit_x1e6: int = 1960000) -> DataFrame:
+    """Mann-Whitney U rank-sum test between md5-parity arms — the
+    nonparametric A/B readout that doesn't care about outliers or
+    skew (t-tests on revenue-like metrics do).
+
+    U is EXACT integer arithmetic without any global rank sort: the
+    metric collapses to distinct values with per-arm counts, and
+    2U = sum_v ca(v) * (2*cumB(<v) + cb(v)) needs one prefix sum
+    over the value domain. The normal approximation with tie
+    correction evaluates in one shared-verbatim double expression
+    (_MWU_Z). Output: n_a, n_b, u2 (= 2U), t3t (tie term),
+    z_x1e6, significant.
+
+    The prefix-sum window runs on the COLLAPSED value table (one row
+    per distinct value) — for a value domain too large to sort in
+    one partition, pre-bucket values the way sample.budget_head
+    two-phases its prefix sum.
+    """
+    arm = (F.expr(
+        f"CAST(conv(substring(md5(concat('{seed}:', CAST(_u AS "
+        f"STRING))), 1, 15), 16, 10) AS BIGINT) % 2"))
+    per = (df.select(F.col(unit_col).alias("_u"),
+                     F.col(value_col).cast("long").alias("_v"))
+           .select(arm.alias("_arm"), "_v"))
+    vals = per.groupBy("_v").agg(
+        F.sum(F.expr("CAST(_arm = 0 AS BIGINT)")).alias("ca"),
+        F.sum(F.expr("CAST(_arm = 1 AS BIGINT)")).alias("cb"))
+    wv = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    scored = vals.select(
+        "ca", "cb",
+        F.coalesce(F.sum("cb").over(wv), F.lit(0)).alias("cum_b"))
+    agg = scored.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.expr("ca * (2 * cum_b + cb)")).cast("long").alias("u2"),
+        F.sum(F.expr("(ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)"))
+        .cast("long").alias("t3t"))
+    return agg.selectExpr(
+        "n_a", "n_b", "u2", "t3t",
+        f"CAST(floor(({_MWU_Z}) * 1000000) AS BIGINT) AS z_x1e6",
+    ).selectExpr(
+        "n_a", "n_b", "u2", "t3t", "z_x1e6",
+        f"CAST(abs(z_x1e6) >= {z_crit_x1e6} AS INT) AS significant")
+
+
+# log-rank z: O_a, E (x1e6) and V (x1e6) summed as integers over the
+# collapsed risk table, one double expression at the end.
+_LOGRANK_Z = """
+  (CAST(o_a AS DOUBLE) * 1000000.0 - CAST(e_a_x1e6 AS DOUBLE)) /
+  sqrt(CAST(v_x1e6 AS DOUBLE) * 1000000.0)
+"""
+
+
+def logrank_test(durations: DataFrame, dur_col: str,
+                 observed_col: str, group_col: str,
+                 z_crit_x1e6: int = 1960000) -> DataFrame:
+    """Two-group log-rank test: do the survival curves of group 0 and
+    group 1 differ? (The hypothesis test that belongs next to
+    km_survival's curve.)
+
+    All per-time quantities are integers over the collapsed risk
+    table: at each distinct duration t, observed group-0 events
+    d_a(t), expected e_a(t) = d(t)*n_a(t)/n(t) accumulated as x1e6
+    integers, and the hypergeometric variance accumulated as x1e6
+    integers (per-time truncation <= 1e-6, deterministic and
+    identical in the oracle — magnitudes hold to ~10k subjects per
+    group at the x1e6 scale). The z statistic is one shared-verbatim
+    double expression. ``group_col`` must be 0/1.
+    """
+    per = (durations
+           .select(F.col(dur_col).cast("long").alias("d"),
+                   F.col(observed_col).cast("int").alias("o"),
+                   F.col(group_col).cast("int").alias("g"))
+           .groupBy("d")
+           .agg(F.sum(F.expr("CAST(o = 1 AND g = 0 AS BIGINT)"))
+                .alias("da"),
+                F.sum(F.expr("CAST(o = 1 AND g = 1 AS BIGINT)"))
+                .alias("db"),
+                F.sum(F.expr("CAST(g = 0 AS BIGINT)")).alias("ta"),
+                F.sum(F.expr("CAST(g = 1 AS BIGINT)")).alias("tb")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    tot = per.agg(F.sum("ta").alias("_na"), F.sum("tb").alias("_nb"))
+    risk = (per.crossJoin(F.broadcast(tot))
+            .select("d", "da", "db",
+                    (F.col("_na") - F.coalesce(
+                        F.sum("ta").over(w), F.lit(0))).alias("na"),
+                    (F.col("_nb") - F.coalesce(
+                        F.sum("tb").over(w), F.lit(0))).alias("nb")))
+    agg = risk.agg(
+        F.sum("da").cast("long").alias("o_a"),
+        F.sum(F.expr("((da + db) * na * 1000000) DIV (na + nb)"))
+        .cast("long").alias("e_a_x1e6"),
+        F.sum(F.expr(
+            "CASE WHEN na + nb > 1 THEN "
+            "((da + db) * (na + nb - (da + db)) * na * nb * 1000000) "
+            "DIV ((na + nb) * (na + nb) * (na + nb - 1)) "
+            "ELSE 0 END")).cast("long").alias("v_x1e6"))
+    return agg.selectExpr(
+        "o_a", "e_a_x1e6", "v_x1e6",
+        f"CAST(floor(({_LOGRANK_Z}) * 1000000) AS BIGINT) AS z_x1e6",
+    ).selectExpr(
+        "o_a", "e_a_x1e6", "v_x1e6", "z_x1e6",
+        f"CAST(abs(z_x1e6) >= {z_crit_x1e6} AS INT) AS significant")

@@ -406,3 +406,68 @@ def test_overdispersion_brute(spark):
     assert out["bursty"]["dispersion_ppm"] == \
         ((n * ssq - s * s) * 1000000) // (n * s)
     assert out["bursty"]["overdispersed"] == 1
+
+
+# ------------------------------------------- nonparametric inference
+
+def test_mann_whitney_brute_force(spark):
+    from logging_spark.operators.stats import mann_whitney_u
+    rows = [(i, 50 + (i * 17) % 23 + (9 if i % 3 == 0 else 0))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "u long, v long")
+    r = mann_whitney_u(df, "u", "v", seed="ab").collect()[0]
+    arms = {0: [], 1: []}
+    for u, v in rows:
+        arms[_h60(f"ab:{u}") % 2].append(v)
+    a, b = arms[0], arms[1]
+    # 2U by direct pair counting: 2*#(a>b) + #(a==b)
+    u2 = sum(2 for x in a for y in b if x > y) + \
+        sum(1 for x in a for y in b if x == y)
+    assert r["u2"] == u2
+    assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+    from collections import Counter
+    ties = Counter(a + b)
+    t3t = sum(t ** 3 - t for t in ties.values())
+    assert r["t3t"] == t3t
+    n = len(a) + len(b)
+    z = ((u2 - len(a) * len(b)) / 2.0) / math.sqrt(
+        (len(a) * len(b) / 12.0) *
+        ((n + 1.0) - t3t / (n * (n - 1.0))))
+    assert r["z_x1e6"] == math.floor(z * 1000000)
+
+
+def test_logrank_brute_force(spark):
+    from logging_spark.operators.stats import logrank_test
+    # group 1 churns systematically earlier -> strongly significant
+    subj = [(3 + (i % 4), 1, 1) for i in range(40)] + \
+           [(9 + (i % 5), 1, 0) for i in range(40)] + \
+           [(14, 0, 0), (14, 0, 1)]
+    df = spark.createDataFrame(subj, "d long, o int, g int")
+    r = logrank_test(df, "d", "o", "g").collect()[0]
+    # python twin with the SAME integer x1e6 truncation
+    from collections import defaultdict
+    per = defaultdict(lambda: [0, 0, 0, 0])  # da, db, ta, tb
+    for d, o, g in subj:
+        row = per[d]
+        if o and g == 0:
+            row[0] += 1
+        if o and g == 1:
+            row[1] += 1
+        row[2 if g == 0 else 3] += 1
+    na = sum(1 for d, o, g in subj if g == 0)
+    nb = len(subj) - na
+    o_a = e6 = v6 = 0
+    for d in sorted(per):
+        da, db, ta, tb = per[d]
+        dt, nt = da + db, na + nb
+        o_a += da
+        e6 += (dt * na * 1000000) // nt
+        if nt > 1:
+            v6 += (dt * (nt - dt) * na * nb * 1000000) // \
+                (nt * nt * (nt - 1))
+        na -= ta
+        nb -= tb
+    assert (r["o_a"], r["e_a_x1e6"], r["v_x1e6"]) == (o_a, e6, v6)
+    z = (o_a * 1000000.0 - e6) / math.sqrt(v6 * 1000000.0)
+    assert r["z_x1e6"] == math.floor(z * 1000000)
+    assert r["significant"] == 1
