@@ -5001,6 +5001,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return logrank_test(dur, "dur_h", "observed", "arm")
     q["events_logrank"] = events_logrank
 
+    # -- Theil-Sen robust daily trend per type: median of pairwise
+    # slopes in x1e6 fixed point (lower-median order stat), immune
+    # to the outlier days that drag the OLS twin (events_trend_slope).
+    def events_theil_sen(spark, sf):
+        from logging_spark.operators.timeseries import theil_sen
+        daily = (_read(spark, sf, "events")
+                 .groupBy("event_type",
+                          F.datediff(F.col("ts").cast("date"),
+                                     F.lit("2024-01-01")).alias("day"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("n")))
+        return theil_sen(daily, "event_type", "day", "n")
+    q["events_theil_sen"] = events_theil_sen
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -9708,5 +9721,26 @@ SELECT o_a, e_a_x1e6, v_x1e6,
        CAST(abs(CAST(floor(({_LOGRANK_Z}) * 1000000) AS BIGINT))
             >= 1960000 AS INT) AS significant
 FROM agg"""
+
+    o["events_theil_sen"] = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+         ((b.y - a.y) * 1000000) // (b.x - a.x) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.x < b.x),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         list_sort(list(s)) AS ss
+  FROM pairs GROUP BY 1)
+SELECT event_type, n_pairs,
+       CAST(ss[CAST((n_pairs + 1) // 2 AS INT)] AS BIGINT)
+         AS slope_x1e6
+FROM g"""
 
     return o

@@ -477,3 +477,37 @@ def overdispersion(df: DataFrame, key: str, ts_col: str,
                "(n_hours * _s)").cast("long").alias("dispersion_ppm")
     ).select("*", (F.col("dispersion_ppm") >= threshold_ppm)
              .cast("int").alias("overdispersed"))
+
+
+def theil_sen(df: DataFrame, key: str, x_col: str,
+              y_col: str) -> DataFrame:
+    """Theil-Sen robust trend slope per key: the median of all
+    pairwise slopes — up to ~29% contaminated points can't move it,
+    where OLS (trend_slope) follows every outlier.
+
+    Integer-exact: slopes are ((y2-y1)*1e6) DIV (x2-x1) fixed point,
+    the median is the LOWER median order statistic (element
+    ceil(m/2) of the sorted slope list — deterministic, no
+    averaging). The pairwise expansion is per key over the COLLAPSED
+    series (n^2/2 pairs of the daily/hourly rollup, not raw rows) —
+    fine for per-period series; for very long series subsample
+    pairs upstream, the estimator tolerates it.
+    """
+    base = df.select(F.col(key), F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+    a = base.select(F.col(key), F.col("x").alias("xa"),
+                    F.col("y").alias("ya"))
+    b = base.select(F.col(key), F.col("x").alias("xb"),
+                    F.col("y").alias("yb"))
+    pairs = (a.join(b, key)
+             .where(F.col("xa") < F.col("xb"))
+             .select(F.col(key),
+                     F.expr("((yb - ya) * 1000000) DIV (xb - xa)")
+                     .alias("s")))
+    g = pairs.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sort_array(F.collect_list("s")).alias("_ss"))
+    return g.select(
+        key, "n_pairs",
+        F.expr("CAST(element_at(_ss, CAST((n_pairs + 1) DIV 2 AS INT))"
+               " AS BIGINT)").alias("slope_x1e6"))

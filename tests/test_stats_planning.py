@@ -471,3 +471,22 @@ def test_logrank_brute_force(spark):
     z = (o_a * 1000000.0 - e6) / math.sqrt(v6 * 1000000.0)
     assert r["z_x1e6"] == math.floor(z * 1000000)
     assert r["significant"] == 1
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from logging_spark.operators.timeseries import theil_sen
+    # clean slope 3/day with one wild outlier at day 5
+    pts = [(d, 10 + 3 * d + (500 if d == 5 else 0))
+           for d in range(12)]
+    df = spark.createDataFrame([("k", x, y) for x, y in pts],
+                               "k string, x long, y long")
+    r = theil_sen(df, "k", "x", "y").collect()[0]
+    slopes = sorted(
+        ((y2 - y1) * 1000000) // (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for x2, y2 in pts[i + 1:])
+    m = len(slopes)
+    assert r["n_pairs"] == m == 66
+    assert r["slope_x1e6"] == slopes[(m + 1) // 2 - 1]
+    # the outlier does not move the median slope off 3.0
+    assert r["slope_x1e6"] == 3000000
