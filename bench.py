@@ -195,6 +195,12 @@ HEADLINE = [
     "dq_isotonic",
     "sample_neyman",
     "text_vocab_coverage",
+    "sample_raking",
+    "docs_venn3",
+    "events_overdispersion",
+    "events_mannwhitney",
+    "events_logrank",
+    "events_theil_sen",
 ]
 
 

@@ -5014,6 +5014,38 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return theil_sen(daily, "event_type", "day", "n")
     q["events_theil_sen"] = events_theil_sen
 
+    # -- lead-lag cross-correlation: at which hourly shift do errors
+    # best predict purchases? The pair's denominator is constant
+    # across lags, so the integer numerator ranks lags exactly —
+    # the argmax needs no float (operators/timeseries.py).
+    def events_crosscorr(spark, sf):
+        from logging_spark.operators.timeseries import cross_correlation
+        return cross_correlation(_read(spark, sf, "events"),
+                                 "event_type", "ts", "error",
+                                 "purchase", max_lag=6)
+    q["events_crosscorr"] = events_crosscorr
+
+    # -- leakage-free churn training set: features strictly before
+    # the cutoff, label strictly after (operators/cohort.py).
+    def events_churn_labels(spark, sf):
+        from logging_spark.operators.cohort import churn_labels
+        return churn_labels(_read(spark, sf, "events"), "user_id",
+                            "ts", "2024-01-20 00:00:00",
+                            horizon_days=7, feature_days=7)
+    q["events_churn_labels"] = events_churn_labels
+
+    # -- xxhash64 production twin of the Poisson bootstrap: same CDF
+    # constants, ~10x cheaper draws; rows-only by design (DuckDB has
+    # no xxhash64) — the md5 twin above is the value-checked one.
+    def events_bootstrap_ci_fast(spark, sf):
+        from logging_spark.operators.stats import poisson_bootstrap_ci
+        vals = _read(spark, sf, "events").select(
+            "event_id",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"))
+        return poisson_bootstrap_ci(vals, "event_id", "cents",
+                                    fast=True)
+    q["events_bootstrap_ci_fast"] = events_bootstrap_ci_fast
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -9742,5 +9774,65 @@ SELECT event_type, n_pairs,
        CAST(ss[CAST((n_pairs + 1) // 2 AS INT)] AS BIGINT)
          AS slope_x1e6
 FROM g"""
+
+    o["events_crosscorr"] = """
+WITH ev AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS hour
+  FROM events WHERE event_type IN ('error', 'purchase')),
+b AS MATERIALIZED (
+  SELECT k, hour, CAST(count(*) AS BIGINT) AS x
+  FROM ev GROUP BY 1, 2),
+span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM b),
+grid AS (
+  SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM span CROSS JOIN (SELECT DISTINCT k FROM ev)),
+dense AS MATERIALIZED (
+  SELECT g.k, CAST(epoch(g.hour) AS BIGINT) // 3600 AS h,
+         COALESCE(b.x, 0) AS x
+  FROM grid g LEFT JOIN b ON b.k = g.k AND b.hour = g.hour),
+st AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS s
+       FROM dense GROUP BY 1),
+dev AS MATERIALIZED (
+  SELECT d.k, d.h, d.x * st.n - st.s AS dv
+  FROM dense d JOIN st USING (k)),
+da AS (SELECT h, dv AS dva FROM dev WHERE k = 'error'),
+db AS (SELECT h, dv AS dvb FROM dev WHERE k = 'purchase'),
+nums AS MATERIALIZED (
+  SELECT l.lag, CAST(sum(da.dva * db.dvb) AS BIGINT) AS num
+  FROM (SELECT CAST(unnest(range(-6, 7)) AS INT) AS lag) l
+  JOIN da ON true
+  JOIN db ON db.h = da.h + l.lag
+  GROUP BY 1),
+rk AS (SELECT *, row_number() OVER (ORDER BY num DESC, lag ASC) AS rn
+       FROM nums)
+SELECT lag, num, CAST(rn = 1 AS INT) AS is_best FROM rk"""
+
+    o["events_churn_labels"] = """
+WITH ev AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+    AND ts < TIMESTAMP '2024-01-27 00:00:00'),
+per AS (
+  SELECT user_id,
+         CAST(sum(CAST(ts < TIMESTAMP '2024-01-20 00:00:00'
+                  AS BIGINT)) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT CASE WHEN ts < TIMESTAMP
+           '2024-01-20 00:00:00' THEN event_type END) AS BIGINT)
+           AS n_types,
+         CAST(count(DISTINCT CASE WHEN ts < TIMESTAMP
+           '2024-01-20 00:00:00' THEN CAST(ts AS DATE) END)
+           AS BIGINT) AS days_active,
+         max(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+             THEN ts END) AS last_ts,
+         CAST(sum(CAST(ts >= TIMESTAMP '2024-01-20 00:00:00'
+                  AS BIGINT)) AS BIGINT) AS n_after
+  FROM ev GROUP BY 1)
+SELECT user_id, n_events, n_types, days_active,
+       (CAST(epoch_us(TIMESTAMP '2024-01-20 00:00:00') AS BIGINT)
+        - CAST(epoch_us(last_ts) AS BIGINT)) // 3600000000
+         AS recency_hours,
+       CAST(n_after = 0 AS INT) AS churned
+FROM per WHERE n_events > 0"""
 
     return o

@@ -49,8 +49,8 @@ def _poisson_weight(u):
 
 
 def poisson_bootstrap_ci(df: DataFrame, id_col: str, value_col: str,
-                         n_reps: int = 40,
-                         seed: str = "boot") -> DataFrame:
+                         n_reps: int = 40, seed: str = "boot",
+                         fast: bool = False) -> DataFrame:
     """95% percentile-bootstrap CI for the mean of an integer value
     column, via n_reps deterministic Poisson(1) resamples.
 
@@ -64,10 +64,17 @@ def poisson_bootstrap_ci(df: DataFrame, id_col: str, value_col: str,
     order-stat selection sorts a B-element array on one row.
     """
     b = F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("_b")
-    u = F.expr(
-        f"CAST(conv(substring(md5(concat('{seed}:', CAST(_id AS "
-        f"STRING), ':', CAST(_b AS STRING))), 1, 15), 16, 10) AS "
-        f"BIGINT) % 1000000")
+    if fast:
+        # xxhash64 production twin: ~10x cheaper per draw than md5
+        # (one JVM hash vs hex + conv), rows-only by design — DuckDB
+        # has no xxhash64, so the md5 path is the value-checked one
+        u = F.expr(
+            f"pmod(xxhash64('{seed}', _id, _b), 1000000)")
+    else:
+        u = F.expr(
+            f"CAST(conv(substring(md5(concat('{seed}:', CAST(_id AS "
+            f"STRING), ':', CAST(_b AS STRING))), 1, 15), 16, 10) AS "
+            f"BIGINT) % 1000000")
     rep = (df.select(F.col(id_col).alias("_id"),
                      F.col(value_col).cast("long").alias("_v"), b)
            .select("_id", "_v", "_b", u.alias("_u"))

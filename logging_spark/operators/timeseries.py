@@ -511,3 +511,62 @@ def theil_sen(df: DataFrame, key: str, x_col: str,
         key, "n_pairs",
         F.expr("CAST(element_at(_ss, CAST((n_pairs + 1) DIV 2 AS INT))"
                " AS BIGINT)").alias("slope_x1e6"))
+
+
+def cross_correlation(df: DataFrame, key: str, ts_col: str,
+                      key_a: str, key_b: str,
+                      max_lag: int = 6) -> DataFrame:
+    """Lead-lag detection between two keys' hourly count series:
+    at which shift does series A best predict series B? ("errors
+    lead purchases by 2 hours.")
+
+    Same n-scaled integer deviations as acf_integer, on the shared
+    hour grid of the two series (union span, missing hours 0). For
+    a FIXED pair the cross-correlation denominator
+    sqrt(den_a * den_b) is constant across lags, so ranking lags by
+    the integer numerator num_k = sum(da_t * db_{t+k}) IS ranking by
+    correlation — the argmax needs no float at all. Output one row
+    per lag in [-max_lag, +max_lag] (positive lag = A leads B) with
+    num_k, plus is_best marking the argmax (ties -> smallest lag).
+    """
+    ev = df.where(F.col(key).isin([key_a, key_b]))
+    buckets = (ev.groupBy(F.col(key).alias("k"),
+                          F.date_trunc("hour", F.col(ts_col))
+                          .alias("hour"))
+               .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    span = buckets.agg(F.min("hour").alias("_lo"),
+                       F.max("hour").alias("_hi"))
+    grid = (span.select(F.explode(F.sequence(
+        "_lo", "_hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+        .crossJoin(F.broadcast(
+            ev.select(F.col(key).alias("k")).distinct())))
+    dense = (grid.join(buckets, ["k", "hour"], "left")
+             .select("k",
+                     (F.unix_timestamp(F.col("hour").cast("timestamp"))
+                      / 3600).cast("long").alias("h"),
+                     F.coalesce("x", F.lit(0)).alias("x")))
+    dense = dense.localCheckpoint()
+    stats = dense.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"))
+    dev = (dense.join(stats, "k")
+           .select("k", "h",
+                   (F.col("n") * F.col("x") - F.col("s")).alias("d")))
+    da = dev.where(F.col("k") == key_a).select("h", F.col("d").alias("da"))
+    db = dev.where(F.col("k") == key_b).select("h", F.col("d").alias("db"))
+    out = None
+    for lag in range(-max_lag, max_lag + 1):
+        shifted = db.select((F.col("h") - F.lit(lag)).alias("h"),
+                            "db")
+        num = (da.join(shifted, "h")
+               .agg(F.sum(F.col("da") * F.col("db")).cast("long")
+                    .alias("num"))
+               .withColumn("lag", F.lit(lag).cast("int")))
+        out = num if out is None else out.unionByName(num)
+    best = out.agg(F.max(F.struct(
+        F.col("num"), (-F.col("lag")).alias("_nl"))).alias("_m"))
+    return (out.crossJoin(F.broadcast(best))
+            .select("lag", "num",
+                    ((F.col("num") == F.col("_m.num")) &
+                     (F.col("lag") == -F.col("_m._nl")))
+                    .cast("int").alias("is_best")))

@@ -490,3 +490,66 @@ def test_theil_sen_robust_to_outlier(spark):
     assert r["slope_x1e6"] == slopes[(m + 1) // 2 - 1]
     # the outlier does not move the median slope off 3.0
     assert r["slope_x1e6"] == 3000000
+
+
+def test_crosscorr_detects_planted_lead(spark):
+    import datetime as dt
+    from logging_spark.operators.timeseries import cross_correlation
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    # A spikes at hours {5, 15, 25, 35}; B spikes exactly 3h later
+    for h in range(48):
+        na = 8 if h % 10 == 5 else 1
+        nb = 8 if h % 10 == 8 else 1
+        for _ in range(na):
+            rows.append(("error", base + dt.timedelta(hours=h)))
+        for _ in range(nb):
+            rows.append(("purchase", base + dt.timedelta(hours=h)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["lag"]: r for r in cross_correlation(
+        df, "event_type", "ts", "error", "purchase",
+        max_lag=5).collect()}
+    assert len(out) == 11
+    best = [lag for lag, r in out.items() if r["is_best"]]
+    assert best == [3]
+    assert sum(r["is_best"] for r in out.values()) == 1
+
+
+def test_churn_labels_temporal_hygiene(spark):
+    import datetime as dt
+    from logging_spark.operators.cohort import churn_labels
+    c = dt.datetime(2024, 1, 20)
+    rows = [
+        # u1: active before, silent after -> churned
+        (1, "click", c - dt.timedelta(days=2)),
+        (1, "view", c - dt.timedelta(days=1, hours=5)),
+        # u2: active before AND after -> retained
+        (2, "click", c - dt.timedelta(hours=3)),
+        (2, "click", c + dt.timedelta(days=2)),
+        # u3: only active AFTER cutoff -> excluded (no feature row)
+        (3, "view", c + dt.timedelta(days=1)),
+        # u4: active before the feature window only -> excluded
+        (4, "view", c - dt.timedelta(days=10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["user_id"]: r for r in churn_labels(
+        df, "user_id", "ts", "2024-01-20 00:00:00").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["churned"] == 1 and out[2]["churned"] == 0
+    assert out[1]["n_events"] == 2 and out[1]["n_types"] == 2
+    # both u1 feature events fall on 2024-01-18 -> one active day
+    assert out[1]["days_active"] == 1
+    assert out[1]["recency_hours"] == 29
+    assert out[2]["recency_hours"] == 3
+
+
+def test_bootstrap_fast_partitioning_invariant(spark):
+    from logging_spark.operators.stats import poisson_bootstrap_ci
+    df = spark.createDataFrame(
+        [(i, 200 + (i * 31) % 70) for i in range(400)], "id long, v long")
+    a = poisson_bootstrap_ci(df, "id", "v", fast=True).collect()[0]
+    b = poisson_bootstrap_ci(df.repartition(13), "id", "v",
+                             fast=True).collect()[0]
+    assert a == b
+    assert a["lo_x100"] <= a["est_x100"] <= a["hi_x100"]
