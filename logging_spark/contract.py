@@ -5046,6 +5046,34 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     fast=True)
     q["events_bootstrap_ci_fast"] = events_bootstrap_ci_fast
 
+    # -- one-way ANOVA per type over hour-of-day groups of the dense
+    # hourly counts: eta^2 (variance explained by time-of-day, ppm)
+    # + F statistic — is the diurnal pattern real or noise?
+    def events_anova_hour(spark, sf):
+        from logging_spark.operators.stats import anova_oneway
+        from logging_spark.operators.timeseries import (gapfill_hourly,
+                                                        hourly_buckets)
+        b = hourly_buckets(_read(spark, sf, "events"), "event_type",
+                           "ts", [F.count(F.lit(1)).cast("long")
+                                  .alias("x")])
+        dense = gapfill_hourly(b, "event_type", zero_cols=["x"])
+        obs = dense.select("event_type",
+                           F.hour("hour").alias("hod"), "x")
+        return anova_oneway(obs, "event_type", "hod", "x")
+    q["events_anova_hour"] = events_anova_hour
+
+    # -- Simpson's-paradox audit: sign of the length-vocabulary
+    # association per source vs pooled (exact integer covariance
+    # numerators; flip would mean the pooled trend lies).
+    def dq_simpson(spark, sf):
+        from logging_spark.functions import text as T
+        from logging_spark.operators.dq import simpson_flip
+        d = _read(spark, sf, "documents").select(
+            "source", F.col("n_chars").cast("long").alias("len"),
+            T.distinct_token_count("text").cast("long").alias("vocab"))
+        return simpson_flip(d, "source", "len", "vocab")
+    q["dq_simpson"] = dq_simpson
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -9834,5 +9862,68 @@ SELECT user_id, n_events, n_types, days_active,
          AS recency_hours,
        CAST(n_after = 0 AS INT) AS churned
 FROM per WHERE n_events > 0"""
+
+    from logging_spark.operators.stats import _ANOVA_F
+    o["events_anova_hour"] = f"""
+WITH b AS MATERIALIZED (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+         FROM b GROUP BY 1),
+grid AS (SELECT event_type,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+         FROM span),
+dense AS (
+  SELECT g.event_type, hour(g.hour) AS hod, COALESCE(b.x, 0) AS x
+  FROM grid g LEFT JOIN b ON b.event_type = g.event_type
+                         AND b.hour = g.hour),
+per AS (
+  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(x) AS BIGINT) AS sg,
+         CAST(sum(x * x) AS BIGINT) AS ssqg
+  FROM dense GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, CAST(sum(ng) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(sg) AS BIGINT) AS s,
+         CAST(sum(ssqg) AS BIGINT) AS ssq,
+         CAST(sum((sg * sg * 1000000) // ng) AS BIGINT) AS bq
+  FROM per GROUP BY 1),
+ss AS (
+  SELECT event_type, n, k,
+         bq - (s * s * 1000000) // n AS ssb_x1e6,
+         ssq * 1000000 - bq AS ssw_x1e6
+  FROM agg)
+SELECT event_type, n, k, ssb_x1e6, ssw_x1e6,
+       CAST((ssb_x1e6 * 1000000) // greatest(ssb_x1e6 + ssw_x1e6, 1)
+            AS BIGINT) AS eta2_ppm,
+       CAST(floor(({_ANOVA_F}) * 1000000) AS BIGINT) AS f_x1e6
+FROM ss"""
+
+    o["dq_simpson"] = f"""
+WITH toks AS (SELECT doc_id, source,
+                     CAST(n_chars AS BIGINT) AS len,
+                     {TOKS} AS toks
+              FROM documents),
+d AS (SELECT source, len,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS vocab
+      FROM toks),
+per AS MATERIALIZED (
+  SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(len) AS BIGINT) AS sx,
+         CAST(sum(vocab) AS BIGINT) AS sy,
+         CAST(sum(len * vocab) AS BIGINT) AS sxy
+  FROM d GROUP BY 1),
+pooled AS (
+  SELECT CAST(sum(n) * sum(sxy) - sum(sx) * sum(sy) AS BIGINT)
+           AS pooled_cov_num
+  FROM per)
+SELECT g AS source, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       pooled_cov_num,
+       CAST(sign(n * sxy - sx * sy) * sign(pooled_cov_num) < 0
+            AS INT) AS flip
+FROM per, pooled"""
 
     return o

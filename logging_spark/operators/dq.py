@@ -364,3 +364,37 @@ def freshness(df: DataFrame, ts_col: str, group_cols: list[str],
             .select(*group_cols, "n_rows", "max_us",
                     F.expr(f"({as_of_us} - max_us) DIV 1000000")
                     .cast("long").alias("staleness_s")))
+
+
+def simpson_flip(df: DataFrame, group_col: str, x_col: str,
+                 y_col: str) -> DataFrame:
+    """Simpson's-paradox audit: does the x-y association reverse
+    sign inside every (or any) subgroup vs the pooled data? The
+    classic aggregation hazard — a pooled trend that every stratum
+    contradicts — caught BEFORE someone ships the pooled number.
+
+    Association is the exact integer covariance numerator
+    cov = n*sum(xy) - sum(x)*sum(y) (same sign as the correlation,
+    no division). One grouped aggregate per stratum; the pooled
+    numerator recomputes from the SAME per-group sums (no second
+    scan). Output per group: n, cov_num, pooled_cov_num, and
+    flip = 1 iff both are nonzero with opposite signs.
+    """
+    per = (df.select(F.col(group_col).alias("g"),
+                     F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+           .groupBy("g")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    per = per.localCheckpoint()  # feeds the pooled agg + the output
+    pooled = per.agg(
+        (F.sum("n") * F.sum("sxy") - F.sum("sx") * F.sum("sy"))
+        .cast("long").alias("pooled_cov_num"))
+    return (per.crossJoin(F.broadcast(pooled))
+            .select(F.col("g").alias(group_col), "n",
+                    F.expr("n * sxy - sx * sy").cast("long")
+                    .alias("cov_num"), "pooled_cov_num")
+            .withColumn("flip", F.expr(
+                "CAST(sign(cov_num) * sign(pooled_cov_num) < 0 "
+                "AS INT)")))

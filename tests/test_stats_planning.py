@@ -553,3 +553,39 @@ def test_bootstrap_fast_partitioning_invariant(spark):
                              fast=True).collect()[0]
     assert a == b
     assert a["lo_x100"] <= a["est_x100"] <= a["hi_x100"]
+
+
+def test_anova_brute_force(spark):
+    from logging_spark.operators.stats import anova_oneway
+    rows = [("t1", g, 10 * g + (i % 3)) for g in range(4)
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "series string, g int, y long")
+    r = anova_oneway(df, "series", "g", "y").collect()[0]
+    vals = {g: [10 * g + (i % 3) for i in range(6)] for g in range(4)}
+    N = 24
+    S = sum(sum(v) for v in vals.values())
+    SSQ = sum(x * x for v in vals.values() for x in v)
+    B = sum((sum(v) ** 2 * 1000000) // len(v) for v in vals.values())
+    ssb = B - (S * S * 1000000) // N
+    ssw = SSQ * 1000000 - B
+    assert (r["n"], r["k"]) == (24, 4)
+    assert r["ssb_x1e6"] == ssb
+    assert r["ssw_x1e6"] == ssw
+    assert r["eta2_ppm"] == (ssb * 1000000) // (ssb + ssw)
+    f = (ssb / (4 - 1.0)) / (ssw / (24 - 4.0))
+    assert r["f_x1e6"] == math.floor(f * 1000000)
+    # group means dominate within-noise: eta^2 near 1
+    assert r["eta2_ppm"] > 990000
+
+
+def test_simpson_flip_detects_reversal(spark):
+    from logging_spark.operators.dq import simpson_flip
+    # classic construction: within each group y DECREASES with x,
+    # but the high-x group has uniformly higher y -> pooled increases
+    rows = ([("lo", x, 50 - x) for x in range(10)] +
+            [("hi", x + 100, 250 - x) for x in range(10)])
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in simpson_flip(df, "g", "x", "y").collect()}
+    assert out["lo"]["cov_num"] < 0 and out["hi"]["cov_num"] < 0
+    assert out["lo"]["pooled_cov_num"] > 0
+    assert out["lo"]["flip"] == 1 and out["hi"]["flip"] == 1
