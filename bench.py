@@ -201,6 +201,11 @@ HEADLINE = [
     "events_mannwhitney",
     "events_logrank",
     "events_theil_sen",
+    "events_crosscorr",
+    "events_churn_labels",
+    "events_bootstrap_ci_fast",
+    "events_anova_hour",
+    "dq_simpson",
 ]
 
 
