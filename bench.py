@@ -206,6 +206,7 @@ HEADLINE = [
     "events_bootstrap_ci_fast",
     "events_anova_hour",
     "dq_simpson",
+    "events_ks_test",
 ]
 
 

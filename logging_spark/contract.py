@@ -5074,6 +5074,20 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simpson_flip(d, "source", "len", "vocab")
     q["dq_simpson"] = dq_simpson
 
+    # -- two-sample Kolmogorov-Smirnov between md5-parity arms on
+    # per-user purchase cents: exact integer sup |ecdf_a - ecdf_b|
+    # (cumA*n_b - cumB*n_a over the collapsed value table); catches
+    # shape shifts the t/U tests miss.
+    def events_ks_test(spark, sf):
+        from logging_spark.operators.stats import ks_test
+        per_user = (_read(spark, sf, "events")
+                    .where("event_type = 'purchase'")
+                    .groupBy("user_id")
+                    .agg(F.expr("CAST(sum(floor(value * 100)) AS BIGINT)")
+                         .alias("cents")))
+        return ks_test(per_user, "user_id", "cents")
+    q["events_ks_test"] = events_ks_test
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -9925,5 +9939,40 @@ SELECT g AS source, n,
        CAST(sign(n * sxy - sx * sy) * sign(pooled_cov_num) < 0
             AS INT) AS flip
 FROM per, pooled"""
+
+    from logging_spark.operators.stats import _KS_STAT
+    o["events_ks_test"] = f"""
+WITH per AS (
+  SELECT CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 2 AS arm,
+         CAST(sum(floor(value * 100)) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+vals AS (
+  SELECT v, CAST(sum(CAST(arm = 0 AS BIGINT)) AS BIGINT) AS ca,
+         CAST(sum(CAST(arm = 1 AS BIGINT)) AS BIGINT) AS cb
+  FROM per GROUP BY 1),
+cum AS (
+  SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+  FROM vals),
+tot AS (
+  SELECT CAST(sum(CAST(arm = 0 AS BIGINT)) AS BIGINT) AS n_a,
+         CAST(sum(CAST(arm = 1 AS BIGINT)) AS BIGINT) AS n_b
+  FROM per),
+agg AS (
+  SELECT n_a, n_b,
+         CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_num
+  FROM cum, tot GROUP BY n_a, n_b)
+SELECT n_a, n_b, d_num,
+       CAST(floor(({_KS_STAT}) * 1000000) AS BIGINT) AS d_x1e6,
+       CAST(floor((1.358 * sqrt((CAST(n_a AS DOUBLE) +
+         CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) *
+         CAST(n_b AS DOUBLE)))) * 1000000) AS BIGINT) AS thr_x1e6,
+       CAST(CAST(floor(({_KS_STAT}) * 1000000) AS BIGINT) >
+            CAST(floor((1.358 * sqrt((CAST(n_a AS DOUBLE) +
+              CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) *
+              CAST(n_b AS DOUBLE)))) * 1000000) AS BIGINT)
+            AS INT) AS significant
+FROM agg"""
 
     return o

@@ -462,3 +462,59 @@ def anova_oneway(df: DataFrame, key: str, group_col: str,
         "CAST((ssb_x1e6 * 1000000) DIV "
         "greatest(ssb_x1e6 + ssw_x1e6, 1L) AS BIGINT) AS eta2_ppm",
         f"CAST(floor(({_ANOVA_F}) * 1000000) AS BIGINT) AS f_x1e6")
+
+
+# KS significance: D > c(alpha) * sqrt((na+nb)/(na*nb)) with
+# c(.05) = 1.358, evaluated on integers: d_num/(na*nb) > thr
+# <=> d_num^2 * 1e12 > c^2_x1e12-scaled bound — kept in doubles via
+# one shared string instead (d_num and the sizes are exact BIGINTs).
+_KS_STAT = """
+  CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+"""
+
+
+def ks_test(df: DataFrame, unit_col: str, value_col: str,
+            seed: str = "ab", c_alpha: float = 1.358) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between md5-parity arms:
+    did the WHOLE distribution shift, not just the mean? (Catches
+    variance/shape changes Welch and Mann-Whitney can miss.)
+
+    The D statistic is exact integer arithmetic end to end:
+    D = max_v |cumA(v)*n_b - cumB(v)*n_a| / (n_a*n_b), where the
+    numerator and the cumulative counts come from one prefix-sum
+    pass over the COLLAPSED value table (same shape as
+    mann_whitney_u — distinct values, not rows, cross the window).
+    Output: n_a, n_b, d_num (the exact scaled sup), d_x1e6, the
+    alpha=0.05 asymptotic threshold as thr_x1e6, significant.
+    """
+    arm = (F.expr(
+        f"CAST(conv(substring(md5(concat('{seed}:', CAST(_u AS "
+        f"STRING))), 1, 15), 16, 10) AS BIGINT) % 2"))
+    per = (df.select(F.col(unit_col).alias("_u"),
+                     F.col(value_col).cast("long").alias("_v"))
+           .select(arm.alias("_arm"), "_v"))
+    vals = per.groupBy("_v").agg(
+        F.sum(F.expr("CAST(_arm = 0 AS BIGINT)")).alias("ca"),
+        F.sum(F.expr("CAST(_arm = 1 AS BIGINT)")).alias("cb"))
+    wv = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        F.sum("ca").over(wv).alias("cuma"),
+        F.sum("cb").over(wv).alias("cumb"))
+    tot = per.groupBy().agg(
+        F.sum(F.expr("CAST(_arm = 0 AS BIGINT)")).alias("n_a"),
+        F.sum(F.expr("CAST(_arm = 1 AS BIGINT)")).alias("n_b"))
+    agg = (cum.crossJoin(F.broadcast(tot))
+           .agg(F.first("n_a").cast("long").alias("n_a"),
+                F.first("n_b").cast("long").alias("n_b"),
+                F.max(F.abs(F.col("cuma") * F.col("n_b")
+                            - F.col("cumb") * F.col("n_a")))
+                .cast("long").alias("d_num")))
+    return agg.selectExpr(
+        "n_a", "n_b", "d_num",
+        f"CAST(floor(({_KS_STAT}) * 1000000) AS BIGINT) AS d_x1e6",
+        f"CAST(floor(({c_alpha!r} * sqrt((CAST(n_a AS DOUBLE) + "
+        f"CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) * "
+        f"CAST(n_b AS DOUBLE)))) * 1000000) AS BIGINT) AS thr_x1e6",
+    ).selectExpr(
+        "n_a", "n_b", "d_num", "d_x1e6", "thr_x1e6",
+        "CAST(d_x1e6 > thr_x1e6 AS INT) AS significant")

@@ -554,15 +554,17 @@ def cross_correlation(df: DataFrame, key: str, ts_col: str,
                    (F.col("n") * F.col("x") - F.col("s")).alias("d")))
     da = dev.where(F.col("k") == key_a).select("h", F.col("d").alias("da"))
     db = dev.where(F.col("k") == key_b).select("h", F.col("d").alias("db"))
-    out = None
-    for lag in range(-max_lag, max_lag + 1):
-        shifted = db.select((F.col("h") - F.lit(lag)).alias("h"),
-                            "db")
-        num = (da.join(shifted, "h")
-               .agg(F.sum(F.col("da") * F.col("db")).cast("long")
-                    .alias("num"))
-               .withColumn("lag", F.lit(lag).cast("int")))
-        out = num if out is None else out.unionByName(num)
+    # all lags in ONE equi-join: each A deviation probes its 2L+1
+    # shifted hours via a narrow explode, then one groupBy(lag) —
+    # not 2L+1 sequential joins (each with its own stage overhead)
+    probes = (da.select(
+        "da", F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag)))
+        .alias("lag"), "h")
+        .select("da", "lag", (F.col("h") + F.col("lag")).alias("h")))
+    out = (probes.join(db, "h")
+           .groupBy(F.col("lag").cast("int").alias("lag"))
+           .agg(F.sum(F.col("da") * F.col("db")).cast("long")
+                .alias("num")))
     best = out.agg(F.max(F.struct(
         F.col("num"), (-F.col("lag")).alias("_nl"))).alias("_m"))
     return (out.crossJoin(F.broadcast(best))

@@ -589,3 +589,26 @@ def test_simpson_flip_detects_reversal(spark):
     assert out["lo"]["cov_num"] < 0 and out["hi"]["cov_num"] < 0
     assert out["lo"]["pooled_cov_num"] > 0
     assert out["lo"]["flip"] == 1 and out["hi"]["flip"] == 1
+
+
+def test_ks_brute_force(spark):
+    from logging_spark.operators.stats import ks_test
+    rows = [(i, 10 + (i * 7) % 30 + (25 if i % 2 == 0 else 0))
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "u long, v long")
+    r = ks_test(df, "u", "v", seed="ab").collect()[0]
+    arms = {0: [], 1: []}
+    for u, v in rows:
+        arms[_h60(f"ab:{u}") % 2].append(v)
+    a, b = sorted(arms[0]), sorted(arms[1])
+    na, nb = len(a), len(b)
+    import bisect
+    vals = sorted(set(a + b))
+    d_num = max(abs(bisect.bisect_right(a, v) * nb
+                    - bisect.bisect_right(b, v) * na) for v in vals)
+    assert (r["n_a"], r["n_b"], r["d_num"]) == (na, nb, d_num)
+    d = d_num / (na * nb)
+    assert r["d_x1e6"] == math.floor(d * 1000000)
+    thr = 1.358 * math.sqrt((na + nb) / (na * nb))
+    assert r["thr_x1e6"] == math.floor(thr * 1000000)
+    assert r["significant"] == (r["d_x1e6"] > r["thr_x1e6"])
