@@ -207,6 +207,7 @@ HEADLINE = [
     "events_anova_hour",
     "dq_simpson",
     "events_ks_test",
+    "events_chi2_daypart",
 ]
 
 

@@ -5088,6 +5088,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ks_test(per_user, "user_id", "cents")
     q["events_ks_test"] = events_ks_test
 
+    # -- chi-square independence: event type x daypart (6h buckets).
+    # Ordered-fold double summation (sorted cells, seeded fold) —
+    # the portable pattern for statistics whose integer form would
+    # overflow BIGINT. df = 4*3 = 12 -> crit .05 = 21.026.
+    def events_chi2_daypart(spark, sf):
+        from logging_spark.operators.stats import chi2_independence
+        ev = _read(spark, sf, "events").select(
+            "event_type",
+            F.expr("CAST(hour(ts) AS BIGINT) DIV 6").alias("daypart"))
+        return chi2_independence(ev, "event_type", "daypart",
+                                 crit_x1e6=21026000)
+    q["events_chi2_daypart"] = events_chi2_daypart
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -9974,5 +9987,35 @@ SELECT n_a, n_b, d_num,
               CAST(n_b AS DOUBLE)))) * 1000000) AS BIGINT)
             AS INT) AS significant
 FROM agg"""
+
+    o["events_chi2_daypart"] = """
+WITH cells AS MATERIALIZED (
+  SELECT event_type AS r, CAST(hour(ts) AS BIGINT) // 6 AS c,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY 1),
+cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT r) AS BIGINT) AS nr,
+               CAST(count(DISTINCT c) AS BIGINT) AS nc
+        FROM cells),
+terms AS (
+  SELECT cells.r, cells.c,
+         ((CAST(o AS DOUBLE) - (CAST(rn AS DOUBLE) *
+           CAST(cn AS DOUBLE)) / CAST(n AS DOUBLE)) *
+          (CAST(o AS DOUBLE) - (CAST(rn AS DOUBLE) *
+           CAST(cn AS DOUBLE)) / CAST(n AS DOUBLE))) /
+         ((CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)) /
+          CAST(n AS DOUBLE)) AS t
+  FROM cells JOIN rm USING (r) JOIN cm USING (c), tot),
+f AS (SELECT list_reduce(list(CAST(t AS DOUBLE) ORDER BY r, c),
+                         (a, b) -> a + b) AS chi2
+      FROM terms)
+SELECT tot.n, tot.nr AS n_row_levels, tot.nc AS n_col_levels,
+       CAST((tot.nr - 1) * (tot.nc - 1) AS BIGINT) AS df,
+       CAST(floor(chi2 * 1000000) AS BIGINT) AS chi2_x1e6,
+       CAST(CAST(floor(chi2 * 1000000) AS BIGINT) > 21026000
+            AS INT) AS significant
+FROM f, tot"""
 
     return o

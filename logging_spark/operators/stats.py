@@ -518,3 +518,56 @@ def ks_test(df: DataFrame, unit_col: str, value_col: str,
     ).selectExpr(
         "n_a", "n_b", "d_num", "d_x1e6", "thr_x1e6",
         "CAST(d_x1e6 > thr_x1e6 AS INT) AS significant")
+
+
+def chi2_independence(df: DataFrame, row_col: str, col_col: str,
+                      crit_x1e6: int) -> DataFrame:
+    """Pearson chi-square test of independence over a contingency
+    table (are the two categoricals related, e.g. event type x
+    daypart?). One row out: n, n_rows_levels, n_cols_levels, df,
+    chi2_x1e6, significant (vs the caller's critical value for this
+    df at alpha=.05).
+
+    Portability pattern (new here): the per-cell terms
+    (o - e)^2 / e are IEEE doubles, and their SUM is made
+    order-deterministic by folding over the cell list SORTED by
+    (row, col) — Spark aggregate() over sort_array(collect_list)
+    mirrored by DuckDB list_reduce over list(... ORDER BY ...), both
+    seeded so (0.0 + t1) == t1 exactly. Use this fold when a
+    statistic's integer form would overflow BIGINT (here (o*N-r*c)^2
+    can pass 2^63) but per-term doubles are fine.
+    """
+    cells = (df.groupBy(F.col(row_col).alias("_r"),
+                        F.col(col_col).alias("_c"))
+             .agg(F.count(F.lit(1)).cast("long").alias("_o")))
+    cells = cells.localCheckpoint()  # feeds margins + the fold
+    rm = cells.groupBy("_r").agg(F.sum("_o").alias("_rn"))
+    cm = cells.groupBy("_c").agg(F.sum("_o").alias("_cn"))
+    tot = cells.agg(F.sum("_o").alias("_n"),
+                    F.count_distinct("_r").cast("long").alias("_nr"),
+                    F.count_distinct("_c").cast("long").alias("_nc"))
+    j = (cells.join(F.broadcast(rm), "_r")
+         .join(F.broadcast(cm), "_c")
+         .crossJoin(F.broadcast(tot)))
+    term = ("((CAST(_o AS DOUBLE) - (CAST(_rn AS DOUBLE) * "
+            "CAST(_cn AS DOUBLE)) / CAST(_n AS DOUBLE)) * "
+            "(CAST(_o AS DOUBLE) - (CAST(_rn AS DOUBLE) * "
+            "CAST(_cn AS DOUBLE)) / CAST(_n AS DOUBLE))) / "
+            "((CAST(_rn AS DOUBLE) * CAST(_cn AS DOUBLE)) / "
+            "CAST(_n AS DOUBLE))")
+    folded = (j.select("_r", "_c", "_n", "_nr", "_nc",
+                       F.expr(term).alias("_t"))
+              .groupBy()
+              .agg(F.first("_n").cast("long").alias("n"),
+                   F.first("_nr").cast("long").alias("n_row_levels"),
+                   F.first("_nc").cast("long").alias("n_col_levels"),
+                   F.expr("aggregate(sort_array(collect_list("
+                          "struct(_r, _c, _t))), CAST(0.0 AS DOUBLE), "
+                          "(acc, x) -> acc + x._t)").alias("_chi2")))
+    return folded.selectExpr(
+        "n", "n_row_levels", "n_col_levels",
+        "CAST((n_row_levels - 1) * (n_col_levels - 1) AS BIGINT) "
+        "AS df",
+        "CAST(floor(_chi2 * 1000000) AS BIGINT) AS chi2_x1e6",
+        f"CAST(CAST(floor(_chi2 * 1000000) AS BIGINT) > {crit_x1e6} "
+        f"AS INT) AS significant")

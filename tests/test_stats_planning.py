@@ -612,3 +612,24 @@ def test_ks_brute_force(spark):
     thr = 1.358 * math.sqrt((na + nb) / (na * nb))
     assert r["thr_x1e6"] == math.floor(thr * 1000000)
     assert r["significant"] == (r["d_x1e6"] > r["thr_x1e6"])
+
+
+def test_chi2_brute_force(spark):
+    from logging_spark.operators.stats import chi2_independence
+    rows = [("a", 0)] * 30 + [("a", 1)] * 10 + \
+           [("b", 0)] * 12 + [("b", 1)] * 28
+    df = spark.createDataFrame(rows, "r string, c int")
+    out = chi2_independence(df, "r", "c", crit_x1e6=3841000).collect()[0]
+    # brute force in the SAME sorted-fold order
+    from collections import Counter
+    cells = Counter(rows)
+    rm = Counter(r for r, _ in rows)
+    cm = Counter(c for _, c in rows)
+    n = len(rows)
+    chi2 = 0.0
+    for (r, c) in sorted(cells):
+        e = (rm[r] * cm[c]) / n
+        chi2 = chi2 + ((cells[(r, c)] - e) * (cells[(r, c)] - e)) / e
+    assert out["n"] == n and out["df"] == 1
+    assert out["chi2_x1e6"] == math.floor(chi2 * 1000000)
+    assert out["significant"] == 1  # strong association planted
