@@ -56,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--write-salt", type=int, default=1,
                    help="writers per hot (sink,bucket) cell; >1 only at "
                         "scale — each salt multiplies sink file count")
+    p.add_argument("--predict", action="store_true",
+                   help="print a pre-flight join-size/skew prediction "
+                        "line (exact, from per-key counts) before "
+                        "running the job")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the steady-state warm-up pass (cold-start timing)")
     p.add_argument("--export-jsonl", default=None, metavar="DIR",
@@ -78,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     from logging_spark import synth
+    from pyspark.sql import functions as F
     from logging_spark.plans.job import run_pipeline
     from logging_spark.sources.catalog import Catalog
 
@@ -132,6 +137,24 @@ def main(argv: list[str] | None = None) -> int:
 
     cat = Catalog(spark, args.warehouse)
     n_input_turns = turns.count()
+
+    if args.predict:
+        # pre-flight planning pass (operators/planning.py): exact
+        # enrich-join output size + hottest-key share from two cheap
+        # per-key count scans — the check you run BEFORE committing a
+        # cluster to the full job. Printed as its own JSON line so
+        # harnesses can gate on predicted skew.
+        from logging_spark.operators.planning import join_cardinality
+        pred = join_cardinality(
+            turns.select(F.col("conv_id").alias("k")),
+            lookup.select(F.col("conv_id").alias("k")),
+            "k").collect()[0]
+        print(json.dumps({"predict": {
+            "join": "turns x lookup ON conv_id",
+            "n_keys_joined": pred["n_keys_joined"],
+            "predicted_rows": pred["predicted_rows"],
+            "max_key_rows": pred["max_key_rows"],
+            "max_key_share_ppm": pred["max_key_share_ppm"]}}))
 
     if not args.no_warmup:
         # steady-state warm-up: run the full transform once on a tiny

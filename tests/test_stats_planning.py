@@ -633,3 +633,21 @@ def test_chi2_brute_force(spark):
     assert out["n"] == n and out["df"] == 1
     assert out["chi2_x1e6"] == math.floor(chi2 * 1000000)
     assert out["significant"] == 1  # strong association planted
+
+
+def test_run_job_predict_flag(spark, tmp_path, capsys):
+    import json
+    import run_job
+    rc = run_job.main([
+        "--warehouse", str(tmp_path / "wh"), "--n-conversations", "50",
+        "--turns-per-conv", "10", "--num-buckets", "4",
+        "--snapshot", "v1", "--predict", "--no-warmup"])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    pred = next(ln["predict"] for ln in lines if "predict" in ln)
+    assert pred["n_keys_joined"] == 50
+    assert pred["predicted_rows"] > 0
+    # the synthetic hot conversations dominate the join — the
+    # pre-flight line is exactly what flags them
+    assert pred["max_key_share_ppm"] > 100000
