@@ -571,3 +571,38 @@ def chi2_independence(df: DataFrame, row_col: str, col_col: str,
         "CAST(floor(_chi2 * 1000000) AS BIGINT) AS chi2_x1e6",
         f"CAST(CAST(floor(_chi2 * 1000000) AS BIGINT) > {crit_x1e6} "
         f"AS INT) AS significant")
+
+
+def binned_ks(cur: DataFrame, ref: DataFrame, bucket_col: str,
+              cnt_col: str) -> DataFrame:
+    """Binned two-sample KS distance between two histograms — the
+    batch twin of streaming/drift.py: D over the bucketed ECDFs,
+    exact integers (D_num = max |cumCur*nRef - cumRef*nCur| over the
+    full-outer bucket union). With matched binning this IS the KS
+    statistic of the binned data; the binning granularity is the
+    only approximation and it is explicit in the input.
+
+    One row: n_cur, n_ref, d_num, d_x1e6.
+    """
+    c = cur.select(F.col(bucket_col).cast("long").alias("b"),
+                   F.col(cnt_col).cast("long").alias("cc"))
+    r = ref.select(F.col(bucket_col).cast("long").alias("b"),
+                   F.col(cnt_col).cast("long").alias("cr"))
+    u = (c.join(r, "b", "full_outer")
+         .select("b", F.coalesce("cc", F.lit(0)).alias("cc"),
+                 F.coalesce("cr", F.lit(0)).alias("cr")))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = u.select(F.sum("cc").over(w).alias("cumc"),
+                   F.sum("cr").over(w).alias("cumr"))
+    tot = u.agg(F.sum("cc").alias("n_cur"), F.sum("cr").alias("n_ref"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .agg(F.first("n_cur").cast("long").alias("n_cur"),
+                 F.first("n_ref").cast("long").alias("n_ref"),
+                 F.max(F.abs(F.col("cumc") * F.col("n_ref")
+                             - F.col("cumr") * F.col("n_cur")))
+                 .cast("long").alias("d_num"))
+            .selectExpr(
+                "n_cur", "n_ref", "d_num",
+                "CAST(floor((CAST(d_num AS DOUBLE) / "
+                "(CAST(n_cur AS DOUBLE) * CAST(n_ref AS DOUBLE))) "
+                "* 1000000) AS BIGINT) AS d_x1e6"))
