@@ -208,6 +208,7 @@ HEADLINE = [
     "dq_simpson",
     "events_ks_test",
     "events_chi2_daypart",
+    "events_covariate_balance",
 ]
 
 

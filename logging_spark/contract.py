@@ -5101,6 +5101,24 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  crit_x1e6=21026000)
     q["events_chi2_daypart"] = events_chi2_daypart
 
+    # -- randomization-health audit: standardized mean difference of
+    # pre-period covariates between the md5-parity arms (|SMD|<0.1
+    # = balanced) — run BEFORE trusting any A/B readout.
+    def events_covariate_balance(spark, sf):
+        from logging_spark.operators.stats import covariate_balance
+        per_user = (_read(spark, sf, "events")
+                    .where("ts < TIMESTAMP '2024-01-16 00:00:00'")
+                    .groupBy("user_id")
+                    .agg(F.count(F.lit(1)).cast("long")
+                         .alias("n_events"),
+                         F.countDistinct("event_type").cast("long")
+                         .alias("n_types"),
+                         F.expr("CAST(sum(floor(value * 100)) "
+                                "AS BIGINT)").alias("cents")))
+        return covariate_balance(per_user, "user_id",
+                                 ["n_events", "n_types", "cents"])
+    q["events_covariate_balance"] = events_covariate_balance
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -10017,5 +10035,34 @@ SELECT tot.n, tot.nr AS n_row_levels, tot.nc AS n_col_levels,
        CAST(CAST(floor(chi2 * 1000000) AS BIGINT) > 21026000
             AS INT) AS significant
 FROM f, tot"""
+
+    from logging_spark.operators.stats import _SMD_GUARDED
+    o["events_covariate_balance"] = f"""
+WITH per AS (
+  SELECT CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 2 AS arm,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(sum(floor(value * 100)) AS BIGINT) AS cents
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+  GROUP BY user_id),
+long AS (
+  SELECT arm, 'n_events' AS cov, n_events AS x FROM per
+  UNION ALL SELECT arm, 'n_types', n_types FROM per
+  UNION ALL SELECT arm, 'cents', cents FROM per),
+agg AS (
+  SELECT cov, arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS ss
+  FROM long GROUP BY 1, 2),
+j AS (
+  SELECT a.cov, a.n AS n_a, a.s AS sa, a.ss AS ssa,
+         b.n AS n_b, b.s AS sb, b.ss AS ssb
+  FROM (SELECT * FROM agg WHERE arm = 0) a
+  JOIN (SELECT * FROM agg WHERE arm = 1) b USING (cov))
+SELECT cov, n_a, n_b,
+       ({_SMD_GUARDED}) AS smd_x1e6,
+       CAST(abs(({_SMD_GUARDED})) < 100000 AS INT) AS balanced
+FROM j"""
 
     return o

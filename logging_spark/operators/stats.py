@@ -606,3 +606,73 @@ def binned_ks(cur: DataFrame, ref: DataFrame, bucket_col: str,
                 "CAST(floor((CAST(d_num AS DOUBLE) / "
                 "(CAST(n_cur AS DOUBLE) * CAST(n_ref AS DOUBLE))) "
                 "* 1000000) AS BIGINT) AS d_x1e6"))
+
+
+_SMD = """
+  ((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)) -
+   (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))) /
+  sqrt((((CAST(ssa AS DOUBLE) - (CAST(sa AS DOUBLE) *
+    CAST(sa AS DOUBLE)) / CAST(n_a AS DOUBLE)) /
+    (CAST(n_a AS DOUBLE) - 1.0)) +
+       ((CAST(ssb AS DOUBLE) - (CAST(sb AS DOUBLE) *
+    CAST(sb AS DOUBLE)) / CAST(n_b AS DOUBLE)) /
+    (CAST(n_b AS DOUBLE) - 1.0))) / 2.0)
+"""
+
+# a constant covariate (both arms zero-variance) has no standardized
+# scale: 0 when the means agree, a signed "infinite" sentinel when
+# they differ (999e6 = SMD 999, far past any balance threshold).
+# The guard conditions are exact integers, so both engines branch
+# identically — and ANSI double division never sees a 0 denominator.
+_SMD_GUARDED = f"""
+  CASE WHEN n_a < 2 OR n_b < 2 THEN CAST(0 AS BIGINT)
+       WHEN ssa * n_a - sa * sa = 0 AND ssb * n_b - sb * sb = 0
+       THEN CASE WHEN sa * n_b = sb * n_a THEN CAST(0 AS BIGINT)
+                 ELSE CAST(CASE WHEN sa * n_b > sb * n_a
+                           THEN 999000000 ELSE -999000000 END
+                      AS BIGINT) END
+       ELSE CAST(floor(({_SMD}) * 1000000) AS BIGINT) END
+"""
+
+
+def covariate_balance(df: DataFrame, unit_col: str,
+                      covariate_cols: list[str], seed: str = "ab",
+                      smd_max_x1e6: int = 100000) -> DataFrame:
+    """Randomization-health check: standardized mean difference of
+    every PRE-experiment covariate between the md5-parity arms. An
+    |SMD| above ~0.1 means the split is unlucky (or the hash is
+    correlated with behavior) and the experiment readout needs
+    adjustment — the audit every platform runs before trusting an
+    A/B number.
+
+    One pass: covariates unpivot long-form (stack), one grouped
+    aggregate per (covariate, arm) collapses to 6 BIGINTs, SMD
+    evaluates in one shared-verbatim double expression. Output one
+    row per covariate: n_a, n_b, smd_x1e6, balanced.
+    """
+    k = len(covariate_cols)
+    stack = ", ".join(f"'{c}', CAST(`{c}` AS BIGINT)"
+                      for c in covariate_cols)
+    arm = (F.expr(
+        f"CAST(conv(substring(md5(concat('{seed}:', CAST(`{unit_col}`"
+        f" AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2"))
+    long = (df.select(arm.alias("_arm"),
+                      F.expr(f"stack({k}, {stack}) AS (cov, x)"))
+            .groupBy("cov", "_arm")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("x").alias("s"),
+                 F.sum(F.col("x") * F.col("x")).alias("ss")))
+    a = long.where("_arm = 0").select(
+        "cov", F.col("n").alias("n_a"), F.col("s").alias("sa"),
+        F.col("ss").alias("ssa"))
+    b = long.where("_arm = 1").select(
+        "cov", F.col("n").alias("n_b"), F.col("s").alias("sb"),
+        F.col("ss").alias("ssb"))
+    return (a.join(b, "cov")
+            .selectExpr(
+                "cov", "n_a", "n_b",
+                f"({_SMD_GUARDED}) AS smd_x1e6")
+            .selectExpr(
+                "cov", "n_a", "n_b", "smd_x1e6",
+                f"CAST(abs(smd_x1e6) < {smd_max_x1e6} AS INT) "
+                f"AS balanced"))

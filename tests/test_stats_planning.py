@@ -651,3 +651,38 @@ def test_run_job_predict_flag(spark, tmp_path, capsys):
     # the synthetic hot conversations dominate the join — the
     # pre-flight line is exactly what flags them
     assert pred["max_key_share_ppm"] > 100000
+
+
+def test_covariate_balance_detects_imbalance(spark):
+    from logging_spark.operators.stats import covariate_balance
+    # biased covariate: value correlated with the md5 arm itself
+    rows = []
+    # n must dominate SMD sampling noise (~2/sqrt(n)): 3000 rows
+    # put a truly arm-independent covariate well under the 0.1 bar
+    for i in range(3000):
+        arm = _h60(f"ab:{i}") % 2
+        rows.append((i, 50 + (i * 13) % 20,  # balanced covariate
+                     100 + 80 * arm + (i * 7) % 10))  # biased one
+    df = spark.createDataFrame(rows, "u long, fair long, biased long")
+    out = {r["cov"]: r for r in covariate_balance(
+        df, "u", ["fair", "biased"]).collect()}
+    assert out["fair"]["balanced"] == 1
+    assert out["biased"]["balanced"] == 0
+    assert abs(out["biased"]["smd_x1e6"]) > 1000000  # SMD >> 1
+    # brute-force the fair covariate's SMD
+    import statistics
+    arms = {0: [], 1: []}
+    for i, fair, _ in rows:
+        arms[_h60(f"ab:{i}") % 2].append(fair)
+    smd = (statistics.mean(arms[0]) - statistics.mean(arms[1])) / \
+        math.sqrt((statistics.variance(arms[0])
+                   + statistics.variance(arms[1])) / 2.0)
+    assert abs(out["fair"]["smd_x1e6"] / 1e6 - smd) < 1e-3
+
+
+def test_covariate_balance_constant_covariate(spark):
+    from logging_spark.operators.stats import covariate_balance
+    df = spark.createDataFrame([(i, 7) for i in range(100)],
+                               "u long, c long")
+    r = covariate_balance(df, "u", ["c"]).collect()[0]
+    assert r["smd_x1e6"] == 0 and r["balanced"] == 1
