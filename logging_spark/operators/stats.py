@@ -500,9 +500,12 @@ def ks_test(df: DataFrame, unit_col: str, value_col: str,
     cum = vals.select(
         F.sum("ca").over(wv).alias("cuma"),
         F.sum("cb").over(wv).alias("cumb"))
-    tot = per.groupBy().agg(
-        F.sum(F.expr("CAST(_arm = 0 AS BIGINT)")).alias("n_a"),
-        F.sum(F.expr("CAST(_arm = 1 AS BIGINT)")).alias("n_b"))
+    # arm totals from the COLLAPSED value table — never a second
+    # scan of the per-unit rows; pin vals (it feeds the window AND
+    # the totals, and it is small by construction)
+    vals = vals.localCheckpoint()
+    tot = vals.agg(F.sum("ca").alias("n_a"),
+                   F.sum("cb").alias("n_b"))
     agg = (cum.crossJoin(F.broadcast(tot))
            .agg(F.first("n_a").cast("long").alias("n_a"),
                 F.first("n_b").cast("long").alias("n_b"),
@@ -662,6 +665,9 @@ def covariate_balance(df: DataFrame, unit_col: str,
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.sum("x").alias("s"),
                  F.sum(F.col("x") * F.col("x")).alias("ss")))
+    # pin: the collapsed (covariate, arm) table feeds both join
+    # sides — without it the per-unit aggregate subtree runs twice
+    long = long.localCheckpoint()
     a = long.where("_arm = 0").select(
         "cov", F.col("n").alias("n_a"), F.col("s").alias("sa"),
         F.col("ss").alias("ssa"))

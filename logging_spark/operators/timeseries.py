@@ -552,6 +552,9 @@ def cross_correlation(df: DataFrame, key: str, ts_col: str,
     dev = (dense.join(stats, "k")
            .select("k", "h",
                    (F.col("n") * F.col("x") - F.col("s")).alias("d")))
+    # pin: dev feeds both the A and B sides — without it the whole
+    # grid+stats subtree runs once per side
+    dev = dev.localCheckpoint()
     da = dev.where(F.col("k") == key_a).select("h", F.col("d").alias("da"))
     db = dev.where(F.col("k") == key_b).select("h", F.col("d").alias("db"))
     # all lags in ONE equi-join: each A deviation probes its 2L+1

@@ -404,3 +404,36 @@ def test_changepoint_windowless_argmax(spark):
     # argmax groupBy REUSES the window's partitioning (SortAggregate
     # directly above Window, no third exchange)
     assert _n_exchanges(plan) == 2, plan[:1500]
+
+
+def test_inference_family_plan_shapes(spark):
+    # rank-free tests: the prefix-sum window must run over the
+    # COLLAPSED value table (a groupBy aggregate below the Window),
+    # and nothing in the family may nest a quadratic join
+    for name in ("events_mannwhitney", "events_ks_test"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+        tree = plan.split("\n\n")[0].splitlines()
+        win = next(i for i, ln in enumerate(tree) if "Window" in ln)
+        assert any("HashAggregate" in ln for ln in tree[win:]), name
+        assert _n_exchanges(plan) <= 4, name
+
+    plan = _plan(spark, "events_chi2_daypart")
+    assert "CartesianProduct" not in plan
+
+    # SMD balance: the long-form expand aggregates before any join —
+    # only the tiny (covariate, arm) table reaches the a x b join
+    plan = _plan(spark, "events_covariate_balance")
+    assert "CartesianProduct" not in plan
+    assert _n_exchanges(plan) <= 4
+
+    # cross-correlation: ONE join carries all lags (the explode
+    # probe), not one join per lag
+    plan = _plan(spark, "events_crosscorr")
+    tree = plan.split("\n\n")[0].splitlines()
+    gens = [ln for ln in tree if "Generate" in ln]
+    assert len(gens) >= 1  # the lag-probe explode exists
+    joins = [ln for ln in tree
+             if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+             or "BroadcastHashJoin" in ln]
+    assert len(joins) <= 4, plan[:1500]
