@@ -209,6 +209,7 @@ HEADLINE = [
     "events_ks_test",
     "events_chi2_daypart",
     "events_covariate_balance",
+    "dq_pr_curve",
 ]
 
 

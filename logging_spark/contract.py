@@ -5119,6 +5119,18 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  ["n_events", "n_types", "cents"])
     q["events_covariate_balance"] = events_covariate_balance
 
+    # -- exact PR curve: one point per distinct score threshold from
+    # a descending prefix sum over the score-collapsed table (the
+    # auc_exact shape); f1 is one DIV.
+    def dq_pr_curve(spark, sf):
+        from logging_spark.operators.mleval import pr_curve
+        d = _read(spark, sf, "documents")
+        lab = d.select((F.col("n_chars") * 1000).cast("long")
+                       .alias("score_ppm"),
+                       (F.col("doc_id") % 7 < 3).cast("long").alias("y"))
+        return pr_curve(lab, "score_ppm", "y")
+    q["dq_pr_curve"] = dq_pr_curve
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -10064,5 +10076,28 @@ SELECT cov, n_a, n_b,
        ({_SMD_GUARDED}) AS smd_x1e6,
        CAST(abs(({_SMD_GUARDED})) < 100000 AS INT) AS balanced
 FROM j"""
+
+    o["dq_pr_curve"] = """
+WITH lab AS (
+  SELECT CAST(n_chars * 1000 AS BIGINT) AS t,
+         CAST(doc_id % 7 < 3 AS BIGINT) AS y
+  FROM documents),
+s AS MATERIALIZED (
+  SELECT t, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM lab GROUP BY 1),
+tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p_all FROM s),
+cum AS (
+  SELECT t, p_all,
+         CAST(sum(pos) OVER (ORDER BY t DESC) AS BIGINT) AS tp,
+         CAST(sum(n) OVER (ORDER BY t DESC) AS BIGINT)
+           - CAST(sum(pos) OVER (ORDER BY t DESC) AS BIGINT) AS fp
+  FROM s, tot)
+SELECT t AS threshold_ppm, tp, fp, p_all - tp AS fn,
+       (tp * 1000000) // (tp + fp) AS precision_ppm,
+       (tp * 1000000) // greatest(p_all, 1) AS recall_ppm,
+       (2 * tp * 1000000) // greatest(2 * tp + fp + (p_all - tp), 1)
+         AS f1_ppm
+FROM cum"""
 
     return o

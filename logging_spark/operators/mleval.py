@@ -226,3 +226,40 @@ def isotonic_fit(bins: DataFrame, bin_col: str, w_col: str,
                              .alias("fit_x1e6")))
     return (bins.join(pts, F.col(bin_col).cast("long") == F.col("i"))
             .drop("i"))
+
+
+def pr_curve(df: DataFrame, score_ppm_col: str,
+             label_col: str) -> DataFrame:
+    """Exact precision-recall curve: one point per DISTINCT score
+    threshold (predict positive iff score >= t), from one descending
+    prefix sum over the score-collapsed table — the same
+    collapse-first shape as auc_exact, so a billion rows cost one
+    groupBy plus a window over distinct scores.
+
+    Integer outputs per threshold: tp, fp, fn, precision_ppm,
+    recall_ppm, f1_ppm (= 2*tp*1e6 DIV (2*tp+fp+fn) — one DIV,
+    exact).
+    """
+    s = (df.select(F.col(score_ppm_col).cast("long").alias("t"),
+                   F.col(label_col).cast("long").alias("y"))
+         .groupBy("t")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("y").cast("long").alias("pos")))
+    s = s.localCheckpoint()  # feeds the window + the total
+    tot = s.agg(F.sum("pos").alias("p_all"))
+    w = (Window.orderBy(F.col("t").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (s.crossJoin(F.broadcast(tot))
+           .select("t", "p_all",
+                   F.sum("pos").over(w).alias("tp"),
+                   (F.sum("n").over(w) - F.sum("pos").over(w))
+                   .alias("fp")))
+    return cum.select(
+        F.col("t").alias("threshold_ppm"), "tp", "fp",
+        (F.col("p_all") - F.col("tp")).alias("fn"),
+        F.expr("(tp * 1000000) DIV (tp + fp)").cast("long")
+        .alias("precision_ppm"),
+        F.expr("(tp * 1000000) DIV greatest(p_all, 1L)").cast("long")
+        .alias("recall_ppm"),
+        F.expr("(2 * tp * 1000000) DIV greatest(2 * tp + fp + "
+               "(p_all - tp), 1L)").cast("long").alias("f1_ppm"))
