@@ -210,6 +210,7 @@ HEADLINE = [
     "events_chi2_daypart",
     "events_covariate_balance",
     "dq_pr_curve",
+    "events_unique_users_curve",
 ]
 
 

@@ -5131,6 +5131,24 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pr_curve(lab, "score_ppm", "y")
     q["dq_pr_curve"] = dq_pr_curve
 
+    # -- cumulative-unique-users curve: each user counts once, on
+    # their FIRST day — new/cumulative audience per day from one
+    # per-user min + one day rollup + a prefix sum over days (the
+    # audience-growth twin of docs_vocab_growth).
+    def events_unique_users_curve(spark, sf):
+        first = (_read(spark, sf, "events")
+                 .groupBy("user_id")
+                 .agg(F.min(F.col("ts").cast("date")).alias("d")))
+        daily = first.groupBy("d").agg(
+            F.count(F.lit(1)).cast("long").alias("new_users"))
+        w = Window.orderBy("d").rowsBetween(
+            Window.unboundedPreceding, 0)
+        return (daily.withColumn(
+            "cum_users", F.sum("new_users").over(w).cast("long"))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "new_users", "cum_users"))
+    q["events_unique_users_curve"] = events_unique_users_curve
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -10099,5 +10117,16 @@ SELECT t AS threshold_ppm, tp, fp, p_all - tp AS fn,
        (2 * tp * 1000000) // greatest(2 * tp + fp + (p_all - tp), 1)
          AS f1_ppm
 FROM cum"""
+
+    o["events_unique_users_curve"] = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d
+  FROM events GROUP BY 1),
+daily AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS new_users
+  FROM first GROUP BY 1)
+SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+FROM daily"""
 
     return o
