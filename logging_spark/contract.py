@@ -10062,6 +10062,9 @@ f AS (SELECT list_reduce(list(CAST(t AS DOUBLE) ORDER BY r, c),
 SELECT tot.n, tot.nr AS n_row_levels, tot.nc AS n_col_levels,
        CAST((tot.nr - 1) * (tot.nc - 1) AS BIGINT) AS df,
        CAST(floor(chi2 * 1000000) AS BIGINT) AS chi2_x1e6,
+       CAST(floor((sqrt(chi2 / (CAST(tot.n AS DOUBLE) *
+         CAST(least(tot.nr - 1, tot.nc - 1) AS DOUBLE))))
+         * 1000000) AS BIGINT) AS cramers_v_x1e6,
        CAST(CAST(floor(chi2 * 1000000) AS BIGINT) > 21026000
             AS INT) AS significant
 FROM f, tot"""

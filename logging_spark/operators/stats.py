@@ -567,11 +567,17 @@ def chi2_independence(df: DataFrame, row_col: str, col_col: str,
                    F.expr("aggregate(sort_array(collect_list("
                           "struct(_r, _c, _t))), CAST(0.0 AS DOUBLE), "
                           "(acc, x) -> acc + x._t)").alias("_chi2")))
+    # Cramer's V effect size rides the same fold output: the
+    # significance answer ("is there ANY association?") saturates at
+    # big n, V answers "how strong?" on a 0..1 scale
+    v = ("sqrt(_chi2 / (CAST(n AS DOUBLE) * CAST(least("
+         "n_row_levels - 1, n_col_levels - 1) AS DOUBLE)))")
     return folded.selectExpr(
         "n", "n_row_levels", "n_col_levels",
         "CAST((n_row_levels - 1) * (n_col_levels - 1) AS BIGINT) "
         "AS df",
         "CAST(floor(_chi2 * 1000000) AS BIGINT) AS chi2_x1e6",
+        f"CAST(floor(({v}) * 1000000) AS BIGINT) AS cramers_v_x1e6",
         f"CAST(CAST(floor(_chi2 * 1000000) AS BIGINT) > {crit_x1e6} "
         f"AS INT) AS significant")
 
