@@ -9497,7 +9497,7 @@ j AS (
   FROM (SELECT * FROM agg WHERE arm = 0) a
   CROSS JOIN (SELECT * FROM agg WHERE arm = 1) b),
 t AS (
-  SELECT n_a, n_b,
+  SELECT n_a, n_b, sa, sb, ssa, ssb,
          (100 * sa) // n_a AS mean_a_x100,
          (100 * sb) // n_b AS mean_b_x100,
          CAST(floor((((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)) -
@@ -9511,6 +9511,14 @@ t AS (
            * 1000000) AS BIGINT) AS t_x1e6
   FROM j)
 SELECT n_a, n_b, mean_a_x100, mean_b_x100, t_x1e6,
+       CAST(floor((((CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)) -
+          (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))) /
+         sqrt((((CAST(ssa AS DOUBLE) - (CAST(sa AS DOUBLE) *
+          CAST(sa AS DOUBLE)) / CAST(n_a AS DOUBLE))) +
+          ((CAST(ssb AS DOUBLE) - (CAST(sb AS DOUBLE) *
+          CAST(sb AS DOUBLE)) / CAST(n_b AS DOUBLE)))) /
+          (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)))
+         * 1000000) AS BIGINT) AS cohens_d_x1e6,
        CAST(abs(t_x1e6) >= 1960000 AS INT) AS significant
 FROM t"""
 
@@ -9801,6 +9809,8 @@ agg AS (
   FROM sc)
 SELECT n_a, n_b, u2, t3t,
        CAST(floor(({_MWU_Z}) * 1000000) AS BIGINT) AS z_x1e6,
+       CAST(((u2 - n_a * n_b) * 1000000) // (n_a * n_b) AS BIGINT)
+         AS rank_biserial_x1e6,
        CAST(abs(CAST(floor(({_MWU_Z}) * 1000000) AS BIGINT))
             >= 1960000 AS INT) AS significant
 FROM agg"""

@@ -140,12 +140,24 @@ def welch_ab_test(df: DataFrame, unit_col: str, value_col: str,
         "((CAST(_ssb AS DOUBLE) - (CAST(_sb AS DOUBLE) * "
         "CAST(_sb AS DOUBLE)) / CAST(n_b AS DOUBLE)) / "
         "(CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))")
+    # Cohen's d rides the same six sums: the t answers "is there an
+    # effect?", d answers "how big?" in pooled-sd units
+    d_expr = (
+        "((CAST(_sa AS DOUBLE) / CAST(n_a AS DOUBLE)) - "
+        " (CAST(_sb AS DOUBLE) / CAST(n_b AS DOUBLE))) / "
+        "sqrt((((CAST(_ssa AS DOUBLE) - (CAST(_sa AS DOUBLE) * "
+        "CAST(_sa AS DOUBLE)) / CAST(n_a AS DOUBLE))) + "
+        "((CAST(_ssb AS DOUBLE) - (CAST(_sb AS DOUBLE) * "
+        "CAST(_sb AS DOUBLE)) / CAST(n_b AS DOUBLE)))) / "
+        "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))")
     return j.select(
         "n_a", "n_b",
         F.expr("(100 * _sa) DIV n_a").cast("long").alias("mean_a_x100"),
         F.expr("(100 * _sb) DIV n_b").cast("long").alias("mean_b_x100"),
         F.expr(f"CAST(floor(({t_expr}) * 1000000) AS BIGINT)")
         .alias("t_x1e6"),
+        F.expr(f"CAST(floor(({d_expr}) * 1000000) AS BIGINT)")
+        .alias("cohens_d_x1e6"),
     ).select(
         "*",
         (F.abs(F.col("t_x1e6")) >= z_crit_x1e6).cast("int")
@@ -351,8 +363,12 @@ def mann_whitney_u(df: DataFrame, unit_col: str, value_col: str,
     return agg.selectExpr(
         "n_a", "n_b", "u2", "t3t",
         f"CAST(floor(({_MWU_Z}) * 1000000) AS BIGINT) AS z_x1e6",
+        # rank-biserial effect size r = 2U/(na*nb) - 1, exact
+        # integers: ((u2 - na*nb) * 1e6) DIV (na*nb)
+        "CAST(((u2 - n_a * n_b) * 1000000) DIV (n_a * n_b) "
+        "AS BIGINT) AS rank_biserial_x1e6",
     ).selectExpr(
-        "n_a", "n_b", "u2", "t3t", "z_x1e6",
+        "n_a", "n_b", "u2", "t3t", "z_x1e6", "rank_biserial_x1e6",
         f"CAST(abs(z_x1e6) >= {z_crit_x1e6} AS INT) AS significant")
 
 
