@@ -211,6 +211,7 @@ HEADLINE = [
     "events_covariate_balance",
     "dq_pr_curve",
     "events_unique_users_curve",
+    "events_ab_bootstrap_delta",
 ]
 
 

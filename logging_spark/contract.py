@@ -5149,6 +5149,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "new_users", "cum_users"))
     q["events_unique_users_curve"] = events_unique_users_curve
 
+    # -- bootstrap CI on the A/B treatment effect itself (delta of
+    # per-user purchase cents between md5-parity arms): the CI an
+    # experiment readout ships, not just a yes/no test.
+    def events_ab_bootstrap_delta(spark, sf):
+        from logging_spark.operators.stats import ab_bootstrap_delta
+        per_user = (_read(spark, sf, "events")
+                    .where("event_type = 'purchase'")
+                    .groupBy("user_id")
+                    .agg(F.expr("CAST(sum(floor(value * 100)) AS BIGINT)")
+                         .alias("cents")))
+        return ab_bootstrap_delta(per_user, "user_id", "cents")
+    q["events_ab_bootstrap_delta"] = events_ab_bootstrap_delta
+
     return _stratify(q, set(build_oracles()))
 
 
@@ -10141,5 +10154,65 @@ daily AS (
 SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
        CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
 FROM daily"""
+
+    o["events_ab_bootstrap_delta"] = """
+WITH base AS MATERIALIZED (
+  SELECT user_id AS id,
+         CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 2 AS arm,
+         CAST(sum(floor(value * 100)) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+rep AS (
+  SELECT arm, b, v,
+         CAST('0x' || substr(md5('boot:' || CAST(id AS VARCHAR) ||
+              ':' || CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
+           % 1000000 AS u
+  FROM base CROSS JOIN (SELECT unnest(range(40)) AS b)),
+wtd AS (
+  SELECT arm, b, v,
+         CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+              WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+              WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+              WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+              WHEN u < 999998 THEN 8 ELSE 9 END AS w
+  FROM rep),
+per AS (
+  SELECT b, arm, CAST(sum(w * v) AS BIGINT) AS wv,
+         CAST(sum(w) AS BIGINT) AS wn
+  FROM wtd GROUP BY 1, 2),
+deltas AS (
+  SELECT b,
+         (100 * CAST(sum(CASE WHEN arm = 0 THEN wv ELSE 0 END)
+                AS BIGINT))
+           // greatest(CAST(sum(CASE WHEN arm = 0 THEN wn ELSE 0
+                       END) AS BIGINT), 1)
+         - (100 * CAST(sum(CASE WHEN arm = 1 THEN wv ELSE 0 END)
+                  AS BIGINT))
+           // greatest(CAST(sum(CASE WHEN arm = 1 THEN wn ELSE 0
+                       END) AS BIGINT), 1) AS d
+  FROM per GROUP BY 1),
+sorted AS (
+  SELECT d, row_number() OVER (ORDER BY d) AS rn FROM deltas),
+pt AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         (100 * CAST(sum(CASE WHEN arm = 0 THEN v ELSE 0 END)
+                AS BIGINT))
+           // greatest(CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0
+                       END) AS BIGINT), 1)
+         - (100 * CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END)
+                  AS BIGINT))
+           // greatest(CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0
+                       END) AS BIGINT), 1) AS delta_x100
+  FROM base)
+SELECT n_a, n_b, CAST(delta_x100 AS BIGINT) AS delta_x100,
+       (SELECT d FROM sorted WHERE rn = 1) AS lo_x100,
+       (SELECT d FROM sorted WHERE rn = 39) AS hi_x100,
+       CAST((SELECT d FROM sorted WHERE rn = 1) > 0 OR
+            (SELECT d FROM sorted WHERE rn = 39) < 0 AS INT)
+         AS significant
+FROM pt"""
 
     return o

@@ -704,3 +704,76 @@ def covariate_balance(df: DataFrame, unit_col: str,
                 "cov", "n_a", "n_b", "smd_x1e6",
                 f"CAST(abs(smd_x1e6) < {smd_max_x1e6} AS INT) "
                 f"AS balanced"))
+
+
+def ab_bootstrap_delta(df: DataFrame, unit_col: str, value_col: str,
+                       n_reps: int = 40, seed: str = "boot",
+                       arm_seed: str = "ab") -> DataFrame:
+    """Poisson-bootstrap CI on the A/B treatment effect itself —
+    the mean difference between md5-parity arms with a 95%
+    percentile interval, the number an experiment readout actually
+    ships (a CI on the delta, not just a yes/no test).
+
+    Same deterministic machinery as poisson_bootstrap_ci: per
+    replicate each unit gets an independent Poisson(1) weight, arms
+    resample independently, delta_b = meanA_b - meanB_b in x100
+    integer fixed point, CI = order statistics of the sorted
+    replicate deltas. The replicate explode partially aggregates to
+    2*n_reps rows before the only shuffle. One row out: n_a, n_b,
+    delta_x100 (point estimate), lo_x100, hi_x100, significant
+    (CI excludes zero).
+    """
+    import math
+    arm = (F.expr(
+        f"CAST(conv(substring(md5(concat('{arm_seed}:', CAST(_id AS "
+        f"STRING))), 1, 15), 16, 10) AS BIGINT) % 2"))
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("_b")
+    u = F.expr(
+        f"CAST(conv(substring(md5(concat('{seed}:', CAST(_id AS "
+        f"STRING), ':', CAST(_b AS STRING))), 1, 15), 16, 10) AS "
+        f"BIGINT) % 1000000")
+    base = df.select(F.col(unit_col).alias("_id"),
+                     F.col(value_col).cast("long").alias("_v"))
+    rep = (base.select("_id", "_v", arm.alias("_arm"), b)
+           .select("_id", "_v", "_arm", "_b", u.alias("_u"))
+           .select("_arm", "_b", "_v",
+                   _poisson_weight(F.col("_u")).alias("_w"))
+           .groupBy("_b", "_arm")
+           .agg(F.sum(F.col("_w") * F.col("_v")).alias("_wv"),
+                F.sum("_w").alias("_wn")))
+    deltas = (rep.groupBy("_b")
+              .agg(F.expr(
+                  "(100 * sum(CASE WHEN _arm = 0 THEN _wv ELSE 0 END))"
+                  " DIV greatest(sum(CASE WHEN _arm = 0 THEN _wn "
+                  "ELSE 0 END), 1L) - "
+                  "(100 * sum(CASE WHEN _arm = 1 THEN _wv ELSE 0 END))"
+                  " DIV greatest(sum(CASE WHEN _arm = 1 THEN _wn "
+                  "ELSE 0 END), 1L)").alias("_d")))
+    ds = deltas.agg(F.sort_array(F.collect_list("_d")).alias("_ds"))
+    pt = (base.select(arm.alias("_arm"), "_v")
+          .groupBy("_arm")
+          .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+               F.sum("_v").alias("_s")))
+    pt = (pt.agg(
+        F.sum(F.expr("CASE WHEN _arm = 0 THEN _n ELSE 0 END"))
+        .cast("long").alias("n_a"),
+        F.sum(F.expr("CASE WHEN _arm = 1 THEN _n ELSE 0 END"))
+        .cast("long").alias("n_b"),
+        F.expr("(100 * sum(CASE WHEN _arm = 0 THEN _s ELSE 0 END)) "
+               "DIV greatest(sum(CASE WHEN _arm = 0 THEN _n ELSE 0 "
+               "END), 1L) - "
+               "(100 * sum(CASE WHEN _arm = 1 THEN _s ELSE 0 END)) "
+               "DIV greatest(sum(CASE WHEN _arm = 1 THEN _n ELSE 0 "
+               "END), 1L)").cast("long").alias("delta_x100")))
+    lo_i = math.ceil(0.025 * n_reps)
+    hi_i = math.ceil(0.975 * n_reps)
+    return (pt.crossJoin(F.broadcast(ds))
+            .select("n_a", "n_b", "delta_x100",
+                    F.element_at("_ds", lo_i).cast("long")
+                    .alias("lo_x100"),
+                    F.element_at("_ds", hi_i).cast("long")
+                    .alias("hi_x100"))
+            .selectExpr("n_a", "n_b", "delta_x100", "lo_x100",
+                        "hi_x100",
+                        "CAST(lo_x100 > 0 OR hi_x100 < 0 AS INT) "
+                        "AS significant"))

@@ -686,3 +686,38 @@ def test_covariate_balance_constant_covariate(spark):
                                "u long, c long")
     r = covariate_balance(df, "u", ["c"]).collect()[0]
     assert r["smd_x1e6"] == 0 and r["balanced"] == 1
+
+
+def test_ab_bootstrap_delta_brute_replicate(spark):
+    from logging_spark.operators.stats import (POISSON1_CDF_PPM,
+                                               ab_bootstrap_delta)
+    rows = [(i, 100 + (i * 19) % 60) for i in range(240)]
+    df = spark.createDataFrame(rows, "u long, v long")
+    r = ab_bootstrap_delta(df, "u", "v").collect()[0]
+    # point delta matches the direct per-arm means
+    arms = {0: [], 1: []}
+    for u, v in rows:
+        arms[_h60(f"ab:{u}") % 2].append(v)
+    pt = (100 * sum(arms[0])) // len(arms[0]) - \
+         (100 * sum(arms[1])) // len(arms[1])
+    assert r["delta_x100"] == pt
+    assert (r["n_a"], r["n_b"]) == (len(arms[0]), len(arms[1]))
+    # replicate 0 delta brute force
+    wa = wv_a = wb = wv_b = 0
+    for u, v in rows:
+        uu = _h60(f"boot:{u}:0") % 1000000
+        w = next((k for k, c in enumerate(POISSON1_CDF_PPM)
+                  if uu < c), len(POISSON1_CDF_PPM))
+        if _h60(f"ab:{u}") % 2 == 0:
+            wa += w
+            wv_a += w * v
+        else:
+            wb += w
+            wv_b += w * v
+    d0 = (100 * wv_a) // max(wa, 1) - (100 * wv_b) // max(wb, 1)
+    # d0 must be one of the sorted replicate deltas inside the CI
+    # span or at its edges; at minimum the CI must bracket the
+    # point estimate for this well-behaved fixture
+    assert r["lo_x100"] <= r["delta_x100"] <= r["hi_x100"]
+    assert r["lo_x100"] <= d0 <= r["hi_x100"] or d0 in (
+        r["lo_x100"], r["hi_x100"])
