@@ -415,15 +415,27 @@ def logrank_test(durations: DataFrame, dur_col: str,
                         F.sum("ta").over(w), F.lit(0))).alias("na"),
                     (F.col("_nb") - F.coalesce(
                         F.sum("tb").over(w), F.lit(0))).alias("nb")))
+    # Per-time E and V terms ride DECIMAL(38,0): the BIGINT products
+    # (da+db)*na*1e6 and (da+db)*(n-(da+db))*na*nb*1e6 wrap silently
+    # (non-ANSI) past ~3e6 / ~10k subjects at risk with ties; the
+    # decimal forms are exact to ~4.5e8 at risk and, past THAT, raise
+    # NUMERIC_VALUE_OUT_OF_RANGE under ANSI instead of returning a
+    # wrong z. Quotients are small, so DIV's BIGINT result is exact;
+    # the oracle's DuckDB `//` on BIGINT is checked arithmetic and
+    # agrees everywhere it doesn't itself error.
     agg = risk.agg(
         F.sum("da").cast("long").alias("o_a"),
-        F.sum(F.expr("((da + db) * na * 1000000) DIV (na + nb)"))
+        F.sum(F.expr(
+            "(CAST(da + db AS DECIMAL(38,0)) * na * 1000000) "
+            "DIV (na + nb)"))
         .cast("long").alias("e_a_x1e6"),
         F.sum(F.expr(
             "CASE WHEN na + nb > 1 THEN "
-            "((da + db) * (na + nb - (da + db)) * na * nb * 1000000) "
-            "DIV ((na + nb) * (na + nb) * (na + nb - 1)) "
-            "ELSE 0 END")).cast("long").alias("v_x1e6"))
+            "(CAST(da + db AS DECIMAL(38,0)) * (na + nb - (da + db)) "
+            "* na * nb * 1000000) "
+            "DIV (CAST(na + nb AS DECIMAL(38,0)) * (na + nb) * "
+            "(na + nb - 1)) "
+            "ELSE CAST(0 AS BIGINT) END")).cast("long").alias("v_x1e6"))
     return agg.selectExpr(
         "o_a", "e_a_x1e6", "v_x1e6",
         f"CAST(floor(({_LOGRANK_Z}) * 1000000) AS BIGINT) AS z_x1e6",
@@ -512,14 +524,15 @@ def ks_test(df: DataFrame, unit_col: str, value_col: str,
     vals = per.groupBy("_v").agg(
         F.sum(F.expr("CAST(_arm = 0 AS BIGINT)")).alias("ca"),
         F.sum(F.expr("CAST(_arm = 1 AS BIGINT)")).alias("cb"))
+    # arm totals from the COLLAPSED value table — never a second
+    # scan of the per-unit rows; pin vals BEFORE deriving either
+    # consumer (the window AND the totals) or the window path keeps
+    # the unpinned lineage and re-runs the per-unit aggregate
+    vals = vals.localCheckpoint()
     wv = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     cum = vals.select(
         F.sum("ca").over(wv).alias("cuma"),
         F.sum("cb").over(wv).alias("cumb"))
-    # arm totals from the COLLAPSED value table — never a second
-    # scan of the per-unit rows; pin vals (it feeds the window AND
-    # the totals, and it is small by construction)
-    vals = vals.localCheckpoint()
     tot = vals.agg(F.sum("ca").alias("n_a"),
                    F.sum("cb").alias("n_b"))
     agg = (cum.crossJoin(F.broadcast(tot))

@@ -36,7 +36,15 @@ _STATE_SCHEMA = ("na long, sa long, ssa long, nb long, sb long, "
 
 
 def _t_x1e6(na, sa, ssa, nb, sb, ssb):
-    # the batch operator's parenthesization, verbatim
+    # the batch operator's parenthesization, verbatim — and its
+    # ROUNDING: the batch side CASTs each BIGINT sum to DOUBLE before
+    # any arithmetic, so sa*sa there is double*double (rounded) where
+    # Python unbounded-int sa*sa would be exact. Convert every input
+    # to binary64 up front so each op is the same IEEE op; past
+    # sa ~ 2^26.5 the two orders differ by 1 ulp and can flip
+    # floor(t*1e6).
+    na, sa, ssa = float(na), float(sa), float(ssa)
+    nb, sb, ssb = float(nb), float(sb), float(ssb)
     t = (((sa / na) - (sb / nb)) /
          math.sqrt(((ssa - (sa * sa) / na) / (na - 1.0)) / na +
                    ((ssb - (sb * sb) / nb) / (nb - 1.0)) / nb))

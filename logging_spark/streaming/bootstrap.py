@@ -36,6 +36,15 @@ OUTPUT_SCHEMA = ("key string, n_processed long, est_x100 long, "
 _STATE_SCHEMA = "wv array<long>, wn array<long>, n long, sv long"
 
 
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division, matching Spark DIV /
+    DuckDB ``//`` — Python's ``//`` floors toward -inf, which differs
+    by 1 on negative numerators (the repo's documented trunc-vs-floor
+    trap; weights are nonnegative but a metric can be)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
 def _update_factory(n_reps: int):
     lo_i = math.ceil(0.025 * n_reps) - 1   # 0-indexed order stats
     hi_i = math.ceil(0.975 * n_reps) - 1
@@ -61,11 +70,11 @@ def _update_factory(n_reps: int):
             n += len(pdf)
             sv += int(v.sum())
         state.update((wv.tolist(), wn.tolist(), n, sv))
-        means = sorted((100 * a) // max(b, 1)
+        means = sorted(_tdiv(100 * a, max(b, 1))
                        for a, b in zip(wv.tolist(), wn.tolist()))
         yield pd.DataFrame({
             "key": [key[0]], "n_processed": [n],
-            "est_x100": [(100 * sv) // max(n, 1)],
+            "est_x100": [_tdiv(100 * sv, max(n, 1))],
             "lo_x100": [means[lo_i]], "hi_x100": [means[hi_i]]})
 
     return update

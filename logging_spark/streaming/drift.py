@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Iterator, Mapping
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,8 +59,14 @@ def _update_factory(ref: Mapping[int, int], bucket_width: int):
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            vc = (pdf["v"].astype("int64") // bucket_width) \
-                .value_counts()
+            # trunc-toward-zero bucketing to match the batch twin's
+            # Spark DIV (pandas // floors: -1 would land in bucket -1
+            # there but bucket 0 in batch); abs-then-resign is exact
+            # int64 arithmetic, no float round-trip
+            v = pdf["v"].astype("int64")
+            vc = (np.where(v < 0, -(np.abs(v) // bucket_width),
+                           v // bucket_width)).astype("int64")
+            vc = pd.Series(vc).value_counts()
             for b, c in vc.items():
                 cur[int(b)] = cur.get(int(b), 0) + int(c)
             n += len(pdf)
