@@ -151,6 +151,44 @@ def test_driver_window_is_stratified():
     assert len(rows_only) <= 2, f"too many rows-only queries in driver window: {rows_only}"
 
 
+def test_driver_window_rotates_per_round():
+    """The stratification offset (derived from the number of
+    CORRECTNESS_r*.json artifacts, i.e. the round) must rotate the
+    driver's first-50 window substantially round over round while
+    keeping the pinned flagship chains and full family coverage in
+    every rotation.  Round 4's finding: a static window left 249
+    oracle-checked queries with no driver-side row ever."""
+    from logging_spark import contract
+
+    saved = os.environ.get("SPARK_GRAFT_ROTATION")
+    windows = {}
+    try:
+        for off in range(0, 6):
+            os.environ["SPARK_GRAFT_ROTATION"] = str(off)
+            keys = list(contract.build_queries())
+            assert keys[0] == "pipe_e2e"
+            head = set(keys[:50])
+            for p in contract._PINNED_IN_WINDOW:
+                assert p in head, f"offset {off}: pinned {p} fell out"
+            fams = {k.split("_", 1)[0] for k in keys[:50]}
+            assert fams == {k.split("_", 1)[0] for k in keys}
+            assert len([k for k in head if k not in ORACLES]) <= 2
+            windows[off] = head
+    finally:
+        if saved is None:
+            os.environ.pop("SPARK_GRAFT_ROTATION", None)
+        else:
+            os.environ["SPARK_GRAFT_ROTATION"] = saved
+    for off in range(1, 6):
+        fresh = len(windows[off] - windows[off - 1])
+        assert fresh >= 20, (
+            f"rotation {off-1}->{off} refreshed only {fresh} queries")
+    # every rotation must also differ substantially from the round-4
+    # static window (= offset 0)
+    for off in range(1, 6):
+        assert len(windows[off] - windows[0]) >= 30, off
+
+
 def test_rows_only_queries_run(spark):
     for name in sorted(set(QUERIES) - set(ORACLES)):
         df = QUERIES[name](spark, SF_DIR)
