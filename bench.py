@@ -214,8 +214,45 @@ HEADLINE = [
     "events_ab_bootstrap_delta",
 ]
 
+# THE headline tier: flagship chains plus the historically expensive /
+# once-regressed set, one pass ~30 queries. The 135-query full list
+# above stays the secondary artifact ("full_*" keys); the core subtotal
+# is the per-round signal — a 135-query suite needs a ~100 s calm
+# window, which this VM rarely grants, and the round-over-round diff
+# drowned in ambient noise at that width.
+CORE_TIER = [
+    "pipe_e2e", "pipe_route_fanout", "pipe_parse_grok",
+    "pipe_sessionize_capped", "pipe_multiline",
+    "tpch_q1_pricing", "tpch_q3_top_revenue",
+    "tpch_q21_lone_fault_supplier", "window_top3_orders",
+    "text_quality", "text_repetition", "text_bm25_topk",
+    "text_tfidf_topk",
+    "dedup_exact", "dedup_minhash_lsh_fast", "dedup_jaccard_threshold",
+    "dedup_containment",
+    "docs_clean_e2e", "docs_passage_dedup", "docs_token_budget",
+    "docs_link_prediction",
+    "sim_topk_cosine", "sim_topk_sharded", "sim_hard_negatives",
+    "sim_kmeans",
+    "sample_importance", "sample_global_shuffle",
+    "events_session_analytics_e2e", "events_bootstrap_ci",
+    "events_scd2", "events_cusum_hourly",
+    "agg_kmv_audit", "dq_score_auc", "audit_fingerprint",
+]
 
-def run_suite(cpus: int, repeats: int = 3) -> dict:
+
+def _plan_exchanges(df) -> int:
+    """Count true shuffle exchanges in the pre-AQE physical plan —
+    hash/range/SinglePartition only; BroadcastExchange moves no
+    shuffle data and ReusedExchange was already counted once (the
+    tools/plan_audit.py convention)."""
+    import re
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(
+        r"(?<![A-Za-z])Exchange (?:hashpartitioning|"
+        r"rangepartitioning|SinglePartition)", plan))
+
+
+def run_suite(cpus: int, repeats: int = 3, tier: str = "full") -> dict:
     from logging_spark.session import build_session
     from logging_spark import contract
 
@@ -237,9 +274,10 @@ def run_suite(cpus: int, repeats: int = 3) -> dict:
     # a noisy window from any single query. min is the headline
     # (closest to the machine's true capability); median is reported
     # alongside so regressions are distinguishable from noise.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    suite = CORE_TIER if tier == "core" else HEADLINE
+    samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(repeats):
-        for name in HEADLINE:
+        for name in suite:
             # time the BUILD too: iterative operators (dedup_cluster's
             # CC rounds) do their real work eagerly at build time via
             # localCheckpoint — timing only the final noop write would
@@ -249,17 +287,34 @@ def run_suite(cpus: int, repeats: int = 3) -> dict:
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.time() - t0, 3))
             spark.catalog.clearCache()  # operators cache intermediates; isolate queries
+    # record each query's shuffle-exchange count (pre-AQE physical
+    # plan, no execution) so plan-shape regressions land in the bench
+    # artifact — the repo's plan guards caught three double-lineage
+    # subtrees the day they were written; this makes that continuous
+    plan_ex = {}
+    for name in suite:
+        try:
+            plan_ex[name] = _plan_exchanges(queries[name](spark, SF_DIR))
+        except Exception:  # noqa: BLE001 — plan audit must not fail the bench
+            plan_ex[name] = None
     import statistics
     best = {n: min(s) for n, s in samples.items()}
     med = {n: round(statistics.median(s), 3) for n, s in samples.items()}
-    total = round(sum(best.values()), 3)
+    core = [n for n in (CORE_TIER if tier != "core" else suite) if n in best]
+    core_total = round(sum(best[n] for n in core), 3)
     out = {
-        "metric": f"headline suite wall time ({len(HEADLINE)} queries, parse/enrich/route/agg + dedup/ANN/TPCH; per-query best of {repeats} interleaved)",
-        "value": total,
+        "metric": (f"core-tier suite wall time ({len(core)} queries, "
+                   f"parse/enrich/route/agg + dedup/ANN/TPCH flagships; "
+                   f"per-query best of {repeats} interleaved"
+                   + (f"; full {len(suite)}-query suite under full_*"
+                      if tier != "core" else "") + ")"),
+        "value": core_total,
         "unit": "sec",
-        "queries": best,
-        "queries_median": med,
-        "value_median": round(sum(med.values()), 3),
+        "queries": {n: best[n] for n in core},
+        "queries_median": {n: med[n] for n in core},
+        "value_median": round(sum(med[n] for n in core), 3),
+        "tier": tier,
+        "plan_exchanges": plan_ex,
         "sf": SF_DIR,
         "cpus": cpus,
         "throughput": {
@@ -267,6 +322,29 @@ def run_suite(cpus: int, repeats: int = 3) -> dict:
             "n_turns": n_turns,
         },
     }
+    if tier != "core":
+        out["full_value"] = round(sum(best.values()), 3)
+        out["full_value_median"] = round(sum(med.values()), 3)
+        out["full_queries"] = best
+        out["full_queries_median"] = med
+    # diff plan shapes vs the previous artifact: a grown exchange
+    # count is a silent scale regression even when wall time hides it
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_results", "headline_latest.json")
+    regress = []
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f).get("plan_exchanges", {})
+        for n, v in plan_ex.items():
+            pv = prev.get(n)
+            if pv is not None and v is not None and v > pv:
+                regress.append({"query": n, "was": pv, "now": v})
+    except (OSError, json.JSONDecodeError):
+        pass
+    out["plan_regressions"] = regress
+    if regress:
+        print(f"WARNING: shuffle-exchange count grew for "
+              f"{[r['query'] for r in regress]}", file=sys.stderr)
     spark.stop()
     return out
 
@@ -769,8 +847,12 @@ def main() -> int:
         return 0
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    out = run_suite(cpus, repeats=repeats)
-    _persist("headline", out)
+    tier = "full"
+    if "--tier" in sys.argv:
+        tier = sys.argv[sys.argv.index("--tier") + 1]
+        assert tier in ("core", "full"), tier
+    out = run_suite(cpus, repeats=repeats, tier=tier)
+    _persist("headline" if tier != "core" else "headline_core", out)
     print(json.dumps(out))
     return 0
 

@@ -75,3 +75,48 @@ def test_streaming_cusum_flags_out_of_order(spark, tmp_path):
     snap = _latest(spark, out, "a")
     assert snap["n_points"] == 15
     assert not snap["in_order"]
+
+
+@pytest.mark.slow
+def test_streaming_cusum_crash_restart_recovery(spark, tmp_path):
+    """Injected sink failure mid-stream, then restart from the same
+    checkpoint: the fold state rolls back to the committed batch and
+    the recovered snapshot equals both the uninterrupted run and the
+    batch fold (no double-folding of the replayed batch)."""
+    src = str(tmp_path / "src")
+    b1 = _series("svc", 0, 40, shift_at=30)
+    b2 = _series("svc", 40, 90, shift_at=30)
+    spark.createDataFrame(b1).coalesce(1).write.parquet(f"{src}/p1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(f"{src}/p2")
+
+    def run(out, chk, crash_at=None):
+        stream = spark.readStream.schema(
+            "key string, o long, v long, k long") \
+            .option("maxFilesPerTrigger", 1).parquet(f"{src}/p*")
+
+        def sink(df, bid):
+            if crash_at is not None and bid >= crash_at:
+                raise RuntimeError("injected crash")
+            df.write.mode("append").parquet(out)
+
+        q = (streaming_cusum(stream, "key", "o", "v", "k")
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", chk)
+             .outputMode("update").trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            assert crash_at is not None
+        finally:
+            q.stop()
+
+    out, chk = str(tmp_path / "c_out"), str(tmp_path / "c_chk")
+    run(out, chk, crash_at=1)   # batch 0 commits, batch 1 dies
+    run(out, chk)               # recover from checkpoint
+    snap = _latest(spark, out, "svc")
+    batch = cusum_fold(spark.createDataFrame(b1 + b2),
+                       "key", "o", "v", "k").first()
+    assert snap["in_order"]
+    assert snap["n_points"] == batch["n_points"] == 90
+    assert snap["peak_cusum"] == batch["peak_cusum"]
+    assert snap["peak_pos"] == batch["peak_pos"]
