@@ -38,8 +38,11 @@ story as the batch dedup window.
 CAVEAT (inherent to event-time timeouts): sessions still open when the
 stream stops are not emitted until a later trigger advances the
 watermark past their horizon. An availableNow drain therefore reports
-only CLOSED sessions; the batch operator is the source of truth for a
-point-in-time full snapshot.
+only CLOSED sessions — ``open_sessions_snapshot`` closes the gap: it
+reads the stopped query's state store with the Spark 4 state data
+source and flushes the pending buffers as ``closed = false`` rows, so
+drain output + snapshot equals the batch operator's full point-in-time
+sessionization (pinned in tests/test_streaming_stateful.py).
 """
 
 from __future__ import annotations
@@ -166,3 +169,58 @@ def streaming_sessionize(turns: DataFrame, gap_minutes: int = 30,
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def open_sessions_snapshot(spark, checkpoint_dir: str,
+                           gap_minutes: int = 30,
+                           max_duration_minutes: int | None = None
+                           ) -> DataFrame:
+    """Flush the sessions still PENDING in a stopped/drained query's
+    state store as a batch DataFrame with ``closed = false``.
+
+    An append-mode drain emits only watermark-frozen sessions (module
+    CAVEAT); this reads the checkpoint's state with the Spark 4 state
+    data source (`format("statestore")` — a committed batch must
+    exist) and re-segments each conversation's pending buffer with the
+    SAME gap/cap rule the operator applies, numbering sessions from
+    the per-key emitted count — so
+
+        drained rows (closed = true)  UNION  this snapshot
+
+    equals the batch operator's full point-in-time sessionization.
+    Rows here are provisional: a late-but-within-watermark arrival can
+    still reshape them, which is exactly what closed=false declares.
+
+    One state row per conversation crosses the Python boundary (3
+    narrow columns); the flush is mapInPandas over the state table,
+    no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    gap_ms = gap_minutes * 60 * 1000
+    max_dur_ms = (max_duration_minutes * 60 * 1000
+                  if max_duration_minutes is not None else None)
+    st = (spark.read.format("statestore").load(checkpoint_dir)
+          .select(F.col("key.conv_id").alias("conv_id"),
+                  F.col("value.groupState.sid").alias("sid"),
+                  F.col("value.groupState.buf").alias("buf")))
+
+    cols = ["conv_id", "session_id", "n_turns",
+            "session_start", "session_end"]
+
+    def flush(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out = []
+            for conv, sid, buf in zip(pdf["conv_id"], pdf["sid"],
+                                      pdf["buf"]):
+                pending = sorted(int(x) for x in buf)
+                if not pending:
+                    continue
+                for i, g in enumerate(_segment(pending, gap_ms,
+                                               max_dur_ms)):
+                    out.append(_row(conv, int(sid) + 1 + i, g))
+            yield (pd.DataFrame(out, columns=cols) if out
+                   else pd.DataFrame(columns=cols))
+
+    return (st.mapInPandas(flush, schema=SESSION_SCHEMA)
+            .withColumn("closed", F.lit(False)))

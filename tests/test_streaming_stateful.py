@@ -331,3 +331,53 @@ def test_streaming_sessionize_crash_restart_recovery(spark, tmp_path):
          r["session_start"], r["session_end"])
         for r in _read_sessions(spark, c_sink))
     assert got == ref
+
+
+def test_open_sessions_snapshot_completes_drain_to_batch(spark, tmp_path):
+    """Drain mid-session, then flush the state store: drained closed
+    sessions + open_sessions_snapshot must equal the batch operator's
+    full sessionization of the same rows (round-4 verdict item 8 —
+    the availableNow drain gap, now closed via the state source)."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from logging_spark.operators.sessionize import sessionize
+    from logging_spark.streaming.stateful import open_sessions_snapshot
+
+    d = {k: str(tmp_path / k) for k in ("input", "sink", "chk")}
+    rows = [
+        # conv A: session 1 (2 turns), session 2 still open at drain
+        ("A", 1, T0), ("A", 2, T0 + timedelta(minutes=10)),
+        ("A", 3, T0 + timedelta(hours=2)),
+        # conv B: one open session, 3 turns, never emitted by the drain
+        ("B", 1, T0 + timedelta(hours=1)),
+        ("B", 2, T0 + timedelta(hours=1, minutes=20)),
+        ("B", 3, T0 + timedelta(hours=1, minutes=45)),
+    ]
+    spark.createDataFrame(rows, IN_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(d["input"])
+    _drain(spark, d["input"], d["sink"], d["chk"])
+
+    drained = {(r["conv_id"], r["session_id"],
+                r["n_turns"], r["session_start"], r["session_end"])
+               for r in _read_sessions(spark, d["sink"])}
+    snap_rows = open_sessions_snapshot(spark, d["chk"],
+                                       gap_minutes=30).collect()
+    assert all(r["closed"] is False for r in snap_rows)
+    got = drained | {(r["conv_id"], r["session_id"], r["n_turns"],
+                      r["session_start"], r["session_end"])
+                     for r in snap_rows}
+
+    batch = (sessionize(spark.createDataFrame(rows, IN_SCHEMA),
+                        key="conv_id", ts_col="ts", gap_seconds=1800)
+             .groupBy("conv_id", "session_id")
+             .agg(F.count("*").alias("n_turns"),
+                  F.min("ts").alias("session_start"),
+                  F.max("ts").alias("session_end")))
+    want = {(r["conv_id"], r["session_id"], r["n_turns"],
+             r["session_start"], r["session_end"])
+            for r in batch.collect()}
+    assert got == want
+    # and the drain alone was NOT complete (the gap this closes)
+    assert drained != want
