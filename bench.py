@@ -212,6 +212,10 @@ HEADLINE = [
     "dq_pr_curve",
     "events_unique_users_curve",
     "events_ab_bootstrap_delta",
+    # round-5 additions: retrieval ranking metrics (baked-constant
+    # integer nDCG)
+    "dq_retrieval_ndcg",
+    "dq_retrieval_mrr",
 ]
 
 # THE headline tier: flagship chains plus the historically expensive /

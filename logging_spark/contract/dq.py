@@ -287,6 +287,43 @@ def register(q):
         return pr_curve(lab, "score_ppm", "y")
     q["dq_pr_curve"] = dq_pr_curve
 
+    # -- retrieval ranking metrics (operators/ranking.py): nDCG@10 /
+    # MRR / recall@10 per source over a deterministic ranked list
+    # (n_chars-desc rank, doc_id-derived graded relevance). The DCG
+    # weights are floor(1e9/log2(i+1)) BIGINT constants baked in
+    # Python and shared verbatim with the oracle — no float log in
+    # either engine; everything else is commutative integer sums.
+    def _ranked_docs(spark, sf):
+        from pyspark.sql import Window
+        d = _read(spark, sf, "documents")
+        w = Window.partitionBy("source").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id"))
+        return (d.select("source", "doc_id",
+                         F.row_number().over(w).alias("rank"))
+                .where("rank <= 25")
+                .withColumn("gain", F.expr(
+                    "CAST(shiftleft(1, CAST(doc_id % 4 AS INT)) "
+                    "AS BIGINT) - 1"))
+                .withColumn("rel", F.expr(
+                    "CAST(doc_id % 7 = 0 AS INT)")))
+
+    def dq_retrieval_ndcg(spark, sf):
+        from logging_spark.operators.ranking import ndcg_at_k
+        return ndcg_at_k(_ranked_docs(spark, sf), "source", "rank",
+                         "gain", k=10)
+    q["dq_retrieval_ndcg"] = dq_retrieval_ndcg
+
+    def dq_retrieval_mrr(spark, sf):
+        from logging_spark.operators.ranking import mrr
+        return mrr(_ranked_docs(spark, sf), "source", "rank", "rel")
+    q["dq_retrieval_mrr"] = dq_retrieval_mrr
+
+    def dq_retrieval_recall(spark, sf):
+        from logging_spark.operators.ranking import recall_at_k
+        return recall_at_k(_ranked_docs(spark, sf), "source", "rank",
+                           "rel", k=10)
+    q["dq_retrieval_recall"] = dq_retrieval_recall
+
 
 def register_oracles(o):
 
@@ -658,3 +695,66 @@ SELECT t AS threshold_ppm, tp, fp, p_all - tp AS fn,
        (2 * tp * 1000000) // greatest(2 * tp + fp + (p_all - tp), 1)
          AS f1_ppm
 FROM cum"""
+
+    _register_ranking_oracles(o)
+
+
+def _register_ranking_oracles(o):
+    from logging_spark.operators.ranking import dcg_weights_x1e9
+
+    w9 = dcg_weights_x1e9(10)
+    cases = " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(w9))
+    ranked = """
+ranked AS (
+  SELECT source AS query, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents),
+g AS (SELECT query, rk,
+             CAST((1 << CAST(doc_id % 4 AS INT)) - 1 AS BIGINT) AS gain,
+             CAST(doc_id % 7 = 0 AS INT) AS rel
+      FROM ranked WHERE rk <= 25)"""
+
+    # intra-tie order in the ideal ranking is irrelevant: tied gains
+    # occupy a FIXED set of positions, and sum(g * w[pos]) over that
+    # set does not depend on which tied row got which position
+    o["dq_retrieval_ndcg"] = f"""
+WITH {ranked},
+i AS (SELECT query, rk, gain,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY gain DESC) AS irk
+      FROM g),
+s AS (SELECT query,
+             CAST(count(*) AS BIGINT) AS n_ranked,
+             CAST(sum(gain * CASE rk {cases} ELSE 0 END) AS BIGINT)
+               AS dcg_x1e9,
+             CAST(sum(gain * CASE irk {cases} ELSE 0 END) AS BIGINT)
+               AS idcg_x1e9
+      FROM i GROUP BY query)
+SELECT query, n_ranked, dcg_x1e9, idcg_x1e9,
+       CASE WHEN idcg_x1e9 > 0
+            THEN (dcg_x1e9 * 1000000) // idcg_x1e9
+            ELSE CAST(0 AS BIGINT) END AS ndcg_x1e6
+FROM s"""
+
+    o["dq_retrieval_mrr"] = f"""
+WITH {ranked},
+s AS (SELECT query, min(CASE WHEN rel > 0 THEN rk END) AS first_rel_rank
+      FROM g GROUP BY query)
+SELECT query, CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+       CASE WHEN first_rel_rank IS NOT NULL
+            THEN 1000000 // first_rel_rank
+            ELSE CAST(0 AS BIGINT) END AS rr_x1e6
+FROM s"""
+
+    o["dq_retrieval_recall"] = f"""
+WITH {ranked},
+s AS (SELECT query,
+             CAST(sum(CASE WHEN rel > 0 AND rk <= 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS rel_topk,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rel_total
+      FROM g GROUP BY query)
+SELECT query, rel_topk, rel_total,
+       (rel_topk * 1000000) // rel_total AS recall_x1e6
+FROM s WHERE rel_total > 0"""
