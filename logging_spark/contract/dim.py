@@ -102,6 +102,48 @@ def register(q):
                      F.max("score").alias("max_score")))
     q["dim_entity_matches"] = dim_entity_matches
 
+    # -- survivorship (linkage.golden_records): collapse accepted
+    # match pairs (score >= 2 — the sf-stable acceptance band; the
+    # FS 'match' class is empty below sf0.1) into golden part records
+    # via connected components + per-field rules. Oracle mirrors with
+    # a recursive reachability CTE (the docs_dup_family_sizes CC
+    # pattern) and window-argmax survivors.
+    def dim_golden_parts(spark, sf):
+        from logging_spark.operators.linkage import (blocked_pairs,
+                                                     golden_records,
+                                                     match_scores)
+        p = _read(spark, sf, "part").select(
+            "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+            F.split("p_name", " ").getItem(0).alias("w1"),
+            F.split("p_name", " ").getItem(1).alias("w2"),
+            F.floor(F.col("p_retailprice") * 10).cast("long")
+            .alias("price_d"))
+        pairs = blocked_pairs(
+            p, "p_partkey",
+            F.concat_ws("|", F.col("w2"), F.col("p_brand")),
+            max_block=10_000)
+        rules = [
+            (F.col("a.w1") == F.col("b.w1"), 3, -2),
+            (F.col("a.p_type") == F.col("b.p_type"), 1, -1),
+            (F.abs(F.col("a.p_size") - F.col("b.p_size")) <= 2, 1, -1),
+            (F.abs(F.col("a.price_d") - F.col("b.price_d")) <= 10,
+             1, -1),
+        ]
+        matched = (match_scores(pairs, "p_partkey", rules,
+                                t_match=5, t_possible=0)
+                   .where("score >= 2").select("id_a", "id_b"))
+        g = golden_records(
+            p.select("p_partkey", "p_name", "p_brand", "p_size",
+                     "price_d"),
+            "p_partkey", matched,
+            {"p_name": "longest", "p_brand": "mode",
+             "p_size": "max", "price_d": "min"})
+        return g.select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "n_members", "p_name", "p_brand",
+            F.col("p_size").cast("long").alias("p_size"), "price_d")
+    q["dim_golden_parts"] = dim_golden_parts
+
 
 def register_oracles(o):
 
@@ -186,3 +228,60 @@ SELECT CASE WHEN score >= 5 THEN 'match'
        CAST(min(score) AS INT) AS min_score,
        CAST(max(score) AS INT) AS max_score
 FROM pr GROUP BY 1"""
+
+    _register_golden_oracle(o)
+
+
+def _register_golden_oracle(o):
+    o["dim_golden_parts"] = """
+WITH RECURSIVE e AS (
+  SELECT p_partkey, p_name, p_brand, p_size,
+         string_split(p_name, ' ')[1] AS w1,
+         string_split(p_name, ' ')[2] || '|' || p_brand AS blk_key,
+         p_type, CAST(floor(p_retailprice * 10) AS BIGINT) AS price_d
+  FROM part),
+blk AS (SELECT * FROM e
+        QUALIFY count(*) OVER (PARTITION BY blk_key) <= 10000),
+pr AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+       FROM blk a JOIN blk b
+         ON a.blk_key = b.blk_key AND a.p_partkey < b.p_partkey
+       WHERE (CASE WHEN a.w1 = b.w1 THEN 3 ELSE -2 END
+              + CASE WHEN a.p_type = b.p_type THEN 1 ELSE -1 END
+              + CASE WHEN abs(a.p_size - b.p_size) <= 2
+                     THEN 1 ELSE -1 END
+              + CASE WHEN abs(a.price_d - b.price_d) <= 10
+                     THEN 1 ELSE -1 END) >= 2),
+und AS (SELECT id_a AS s, id_b AS d FROM pr
+        UNION SELECT id_b, id_a FROM pr),
+reach(node, r) AS (
+  SELECT s, d FROM und
+  UNION
+  SELECT reach.node, und.d FROM reach JOIN und ON reach.r = und.s),
+cl AS (SELECT node, least(node, min(r)) AS canonical_id
+       FROM reach GROUP BY node),
+m AS (SELECT e.*,
+             CAST(coalesce(cl.canonical_id, e.p_partkey) AS BIGINT)
+               AS cluster_id
+      FROM e LEFT JOIN cl ON e.p_partkey = cl.node),
+name_pick AS (
+  SELECT cluster_id, p_name FROM m
+  QUALIFY row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY length(p_name) DESC,
+                                      p_name DESC) = 1),
+brand_cnt AS (
+  SELECT cluster_id, p_brand, count(*) AS n
+  FROM m GROUP BY 1, 2),
+brand_pick AS (
+  SELECT cluster_id, p_brand FROM brand_cnt
+  QUALIFY row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY n DESC, p_brand ASC) = 1),
+agg AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(max(p_size) AS BIGINT) AS p_size,
+         CAST(min(price_d) AS BIGINT) AS price_d
+  FROM m GROUP BY 1)
+SELECT agg.cluster_id, n_members, name_pick.p_name,
+       brand_pick.p_brand, p_size, price_d
+FROM agg
+JOIN name_pick ON agg.cluster_id = name_pick.cluster_id
+JOIN brand_pick ON agg.cluster_id = brand_pick.cluster_id"""

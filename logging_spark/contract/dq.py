@@ -324,6 +324,24 @@ def register(q):
                            "rel", k=10)
     q["dq_retrieval_recall"] = dq_retrieval_recall
 
+    # -- split-conformal coverage (mleval.conformal_threshold/_audit):
+    # distribution-free prediction-set calibration — q_hat is the
+    # ceil((n+1)(1-alpha))-th smallest calibration score (an exact
+    # integer order statistic via the collapsed-value prefix sum; no
+    # global row sort) and the audit checks held-out coverage against
+    # the 90% target. Splits by doc_id parity, scored per source.
+    def dq_conformal_coverage(spark, sf):
+        from logging_spark.operators.mleval import conformal_audit
+        d = _read(spark, sf, "documents").select(
+            "source", "doc_id",
+            F.expr("CAST(n_chars * 1000 + doc_id % 997 AS BIGINT)")
+            .alias("score"))
+        cal = d.where("doc_id % 2 = 0")
+        tst = d.where("doc_id % 2 = 1")
+        return conformal_audit(cal, tst, "score", ["source"],
+                               alpha_ppm=100_000)
+    q["dq_conformal_coverage"] = dq_conformal_coverage
+
 
 def register_oracles(o):
 
@@ -758,3 +776,37 @@ s AS (SELECT query,
 SELECT query, rel_topk, rel_total,
        (rel_topk * 1000000) // rel_total AS recall_x1e6
 FROM s WHERE rel_total > 0"""
+
+    # conformal: ceil((n+1)*(1-alpha)) via (x + 1e6 - 1) // 1e6 on ppm;
+    # DuckDB's default ORDER BY window frame is RANGE, which groups
+    # tied scores exactly like the collapsed-value prefix sum
+    o["dq_conformal_coverage"] = """
+WITH scored AS (
+  SELECT source, CAST(n_chars * 1000 + doc_id % 997 AS BIGINT) AS s,
+         doc_id % 2 AS half
+  FROM documents),
+cal AS (SELECT source, s FROM scored WHERE half = 0),
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_cal
+      FROM cal GROUP BY source),
+kk AS (SELECT source, n_cal,
+              CAST(((n_cal + 1) * 900000 + 999999) // 1000000
+                   AS BIGINT) AS k
+       FROM n),
+per AS (SELECT source, s, CAST(count(*) AS BIGINT) AS c
+        FROM cal GROUP BY 1, 2),
+cum AS (SELECT source, s,
+               CAST(sum(c) OVER (PARTITION BY source ORDER BY s)
+                    AS BIGINT) AS cum
+        FROM per),
+q AS (SELECT kk.source, kk.n_cal, kk.k,
+             CAST(min(cum.s) AS BIGINT) AS q_hat
+      FROM cum JOIN kk ON cum.source = kk.source AND cum.cum >= kk.k
+      GROUP BY 1, 2, 3),
+t AS (SELECT source, s FROM scored WHERE half = 1)
+SELECT q.source, n_cal, k, q_hat,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST((sum(CASE WHEN t.s <= q_hat THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS coverage_ppm,
+       CAST(900000 AS BIGINT) AS target_ppm
+FROM t JOIN q ON t.source = q.source
+GROUP BY 1, 2, 3, 4"""

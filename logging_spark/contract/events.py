@@ -1396,3 +1396,52 @@ def register(q):
                          .alias("cents")))
         return ab_bootstrap_delta(per_user, "user_id", "cents")
     q["events_ab_bootstrap_delta"] = events_ab_bootstrap_delta
+
+    # -- incremental session maintenance (sessionize_incremental):
+    # recompute ONLY delta-touched keys over a committed rollup; the
+    # oracle is the FULL recompute — the identity that proves the
+    # interval-merge correct (same proof pattern as salted_agg /
+    # skew_split_join). Cut at Jan 20: both halves non-trivial.
+    def events_sessionize_incremental(spark, sf):
+        from logging_spark.operators.sessionize import (
+            session_rollup, sessionize_incremental)
+        ev = _read(spark, sf, "events").select("user_id", "ts")
+        prior = session_rollup(
+            ev.where("ts < TIMESTAMP '2024-01-20 00:00:00'"),
+            key="user_id", ts_col="ts", gap_seconds=1800)
+        delta = ev.where("ts >= TIMESTAMP '2024-01-20 00:00:00'")
+        inc = sessionize_incremental(prior, delta, key="user_id",
+                                     ts_col="ts", gap_seconds=1800)
+        return inc.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_turns", "session_start", "session_end")
+    q["events_sessionize_incremental"] = events_sessionize_incremental
+
+    # -- offline policy evaluation (mleval.policy_replay): replay +
+    # uniform-logging IPS for a deterministic target policy over the
+    # logged (event_type, reward) rounds; 5 arms, reward = cents.
+    def events_policy_replay(spark, sf):
+        from logging_spark.operators.mleval import policy_replay
+        ev = _read(spark, sf, "events").select(
+            "event_type",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+            F.expr("CASE WHEN user_id % 3 = 0 THEN 'purchase' "
+                   "WHEN user_id % 3 = 1 THEN 'click' "
+                   "ELSE 'view' END").alias("policy"),
+            F.expr("CAST(user_id % 3 AS BIGINT)").alias("segment"))
+        return policy_replay(ev, "event_type", "cents", "policy",
+                             n_actions=5, by=["segment"])
+    q["events_policy_replay"] = events_policy_replay
+
+    # -- cross-source score calibration (normalize.quantile_normalize):
+    # map each event type's cents distribution onto the global one by
+    # rank (max-rank tie convention, 200 levels) — collapsed-value
+    # windows only, level table broadcast back.
+    def events_quantile_normalize(spark, sf):
+        from logging_spark.operators.normalize import quantile_normalize
+        ev = _read(spark, sf, "events").select(
+            "event_type",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"))
+        return quantile_normalize(ev, "event_type", "cents", levels=200)
+    q["events_quantile_normalize"] = events_quantile_normalize

@@ -291,3 +291,76 @@ SELECT n_a, n_b, CAST(delta_x100 AS BIGINT) AS delta_x100,
             (SELECT d FROM sorted WHERE rn = 39) < 0 AS INT)
          AS significant
 FROM pt"""
+
+    # identity oracle: the FULL recompute the incremental path must
+    # reproduce; unix_timestamp (second floor, UTC session) twins as
+    # epoch_us // 1000000
+    o["events_sessionize_incremental"] = """
+WITH ev AS (
+  SELECT user_id, ts, epoch_us(ts) // 1000000 AS sec FROM events),
+g AS (
+  SELECT user_id, ts, sec,
+         CASE WHEN lag(sec) OVER w IS NULL
+                   OR sec - lag(sec) OVER w > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sid AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2"""
+
+    o["events_policy_replay"] = """
+WITH r AS (
+  SELECT CAST(user_id % 3 AS BIGINT) AS segment,
+         CAST(event_type = CASE WHEN user_id % 3 = 0 THEN 'purchase'
+                                WHEN user_id % 3 = 1 THEN 'click'
+                                ELSE 'view' END AS BIGINT) AS m,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events),
+a AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(m) AS BIGINT) AS n_matched,
+         CAST(sum(m * cents) AS BIGINT) AS mr
+  FROM r GROUP BY segment)
+SELECT segment, n, n_matched,
+       (n_matched * 1000000) // n AS match_ppm,
+       CASE WHEN n_matched > 0 THEN (mr * 100) // n_matched
+            ELSE NULL END AS replay_value_x100,
+       (5 * mr * 100) // n AS ips_value_x100
+FROM a"""
+
+    # level emission twin: DuckDB range(a, b) is end-exclusive and
+    # EMPTY when a >= b (no Spark-style descending surprise)
+    o["events_quantile_normalize"] = """
+WITH per AS (
+  SELECT event_type AS grp, CAST(floor(value * 100) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+rk AS (
+  SELECT grp, v,
+         CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS r,
+         CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n_group
+  FROM per),
+gl AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS gv,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+gc AS (
+  SELECT gv, CAST(sum(c) OVER (ORDER BY gv) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (ORDER BY gv) - c AS BIGINT) AS cum_prev,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM gl),
+lv AS (
+  SELECT gv, CAST(t.p AS BIGINT) AS p
+  FROM gc, unnest(range((cum_prev * 200) // n + 1,
+                        (cum * 200) // n + 1)) AS t(p))
+SELECT rk.grp AS event_type, rk.v AS cents, n_group, r,
+       CAST((r * 200 + n_group - 1) // n_group AS BIGINT) AS q,
+       gv AS norm_value
+FROM rk JOIN lv ON (r * 200 + n_group - 1) // n_group = lv.p"""

@@ -66,3 +66,65 @@ def match_scores(pairs: DataFrame, id_col: str, rules: list[MatchRule],
                         F.when(F.col("score") >= t_match, "match")
                         .when(F.col("score") >= t_possible, "possible")
                         .otherwise("non_match")))
+
+
+def golden_records(df: DataFrame, id_col: str, matched: DataFrame,
+                   rules: dict[str, str]) -> DataFrame:
+    """Survivorship: collapse each matched-entity cluster to ONE
+    canonical ("golden") record, completing the block -> score ->
+    classify -> CLUSTER -> MERGE entity-resolution pipeline.
+
+    ``matched`` is a pair table (id_a, id_b) of accepted matches (the
+    `match` class from match_scores); clusters come from
+    cluster.duplicate_clusters (connected components, min-id
+    canonical). Records in no match pair survive unchanged as their
+    own cluster. ``rules`` maps column -> survivorship rule:
+
+    - 'max' / 'min': extreme value (freshest timestamp, lowest price);
+    - 'longest': longest string, ties broken by the larger string —
+      one struct-max, no window (the repo's windowless-argmax trick);
+    - 'mode': most frequent value, ties to the smaller value — the
+      one rule needing its own (cluster, value) count pass, joined
+      back per mode column.
+
+    Output: cluster_id (min member id), n_members, and one survivor
+    value per ruled column. Everything is groupBy aggregates on the
+    cluster key; the cluster map is a pair-graph-sized broadcast
+    join, never a corpus shuffle by anything but the cluster id.
+    """
+    from logging_spark.operators.cluster import duplicate_clusters
+
+    clusters = duplicate_clusters(matched, "id_a", "id_b")
+    base = (df.join(F.broadcast(clusters.withColumnRenamed(
+                "doc_id", id_col)), id_col, "left")
+            .withColumn("cluster_id",
+                        F.coalesce("canonical_id", F.col(id_col))))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_members")]
+    mode_cols = []
+    for col, rule in rules.items():
+        if rule == "max":
+            aggs.append(F.max(col).alias(col))
+        elif rule == "min":
+            aggs.append(F.min(col).alias(col))
+        elif rule == "longest":
+            aggs.append(F.max(F.struct(F.length(col).alias("l"),
+                                       F.col(col).alias("v")))
+                        .getField("v").alias(col))
+        elif rule == "mode":
+            mode_cols.append(col)
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r}")
+    out = base.groupBy("cluster_id").agg(*aggs)
+    for col in mode_cols:
+        # argmax of (count, -tiebreak) per cluster without a window:
+        # max(struct(n, v)) picks highest count, ties to the LARGER
+        # value — flip via min over (-n, v) to keep ties deterministic
+        # at the smaller value
+        cnt = (base.groupBy("cluster_id", col)
+               .agg(F.count(F.lit(1)).alias("_n")))
+        pick = (cnt.groupBy("cluster_id")
+                .agg(F.min(F.struct((-F.col("_n")).alias("nn"),
+                                    F.col(col).alias("v")))
+                     .getField("v").alias(col)))
+        out = out.join(pick, "cluster_id")
+    return out

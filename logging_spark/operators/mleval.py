@@ -263,3 +263,101 @@ def pr_curve(df: DataFrame, score_ppm_col: str,
         .alias("recall_ppm"),
         F.expr("(2 * tp * 1000000) DIV greatest(2 * tp + fp + "
                "(p_all - tp), 1L)").cast("long").alias("f1_ppm"))
+
+
+def conformal_threshold(df: DataFrame, score_col: str,
+                        by: list[str] | None = None,
+                        alpha_ppm: int = 100_000) -> DataFrame:
+    """Split-conformal prediction threshold (Vovk et al.; Angelopoulos
+    & Bates 2021 tutorial): the k-th smallest calibration
+    nonconformity score with k = ceil((n+1) * (1 - alpha)) — the
+    value q_hat such that predicting {score <= q_hat} covers a fresh
+    point with probability >= 1 - alpha, distribution-free.
+
+    k is exact integer arithmetic (ceil via (x + 1e6 - 1) DIV 1e6 on
+    ppm), and the order statistic comes from the repo's collapsed-
+    value prefix-sum pattern: scores collapse to (value, count) per
+    group, a cumulative count window picks the first value whose
+    prefix reaches k — distinct values, not rows, cross the window.
+    Output: by..., n_cal, k, q_hat (NULL when k > n: alpha too small
+    for this calibration size — caller must grow the split).
+    """
+    by = list(by or [])
+    per = (df.groupBy(*by, F.col(score_col).cast("long").alias("_s"))
+           .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    w = (Window.partitionBy(*by) if by else Window.partitionBy()
+         ).orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(*by, "_s", F.sum("_c").over(w).alias("_cum"))
+    n = per.groupBy(*by).agg(F.sum("_c").cast("long").alias("n_cal"))
+    kexpr = (f"((n_cal + 1) * CAST({PPM - alpha_ppm} AS BIGINT) "
+             f"+ {PPM - 1}) DIV {PPM}")
+    j = cum.join(n, by) if by else cum.crossJoin(F.broadcast(n))
+    got = (j.selectExpr(*by, "_s", "_cum", "n_cal",
+                        f"{kexpr} AS k")
+           .where("_cum >= k")
+           .groupBy(*by, "n_cal", "k")
+           .agg(F.min("_s").cast("long").alias("q_hat")))
+    # groups where k > n produce no row above; re-attach with NULL
+    base = n.selectExpr(*by, "n_cal", f"{kexpr} AS k")
+    if by:
+        return base.join(got.select(*by, "q_hat"), by, "left")
+    return base.crossJoin(F.broadcast(
+        got.select(F.col("q_hat"))))
+
+
+def conformal_audit(cal: DataFrame, test: DataFrame, score_col: str,
+                    by: list[str] | None = None,
+                    alpha_ppm: int = 100_000) -> DataFrame:
+    """Empirical coverage of the split-conformal threshold on a
+    held-out split: share of test scores <= q_hat, vs the 1 - alpha
+    target. Both splits aggregate independently; the threshold table
+    is one row per group and broadcasts into the test-side count —
+    no test-row shuffle beyond its own groupBy."""
+    by = list(by or [])
+    thr = conformal_threshold(cal, score_col, by, alpha_ppm)
+    t = test.select(*by, F.col(score_col).cast("long").alias("_s"))
+    joined = (t.join(F.broadcast(thr), by) if by
+              else t.crossJoin(F.broadcast(thr)))
+    return (joined.groupBy(*by, "n_cal", "k", "q_hat")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_test"),
+                 F.sum(F.expr("CAST(_s <= q_hat AS BIGINT)"))
+                 .cast("long").alias("n_covered"))
+            .selectExpr(*by, "n_cal", "k", "q_hat", "n_test",
+                        "(n_covered * 1000000) DIV n_test "
+                        "AS coverage_ppm",
+                        f"CAST({PPM - alpha_ppm} AS BIGINT) "
+                        "AS target_ppm"))
+
+
+def policy_replay(df: DataFrame, action_col: str, reward_col: str,
+                  policy_col: str, n_actions: int,
+                  by: list[str] | None = None) -> DataFrame:
+    """Offline policy evaluation on logged interaction data (Li et al.
+    2011 replay method): how would a DETERMINISTIC target policy have
+    performed, using only rounds where the logged action happens to
+    agree with it?
+
+    Two estimators ride one aggregate, both exact integers:
+    - replay_value_x100 = mean reward over matched rounds (unbiased
+      when logging was uniform-random over ``n_actions`` arms);
+    - ips_value_x100 = n_actions * sum(matched reward) / n — inverse
+      propensity scoring under the same uniform-logging assumption
+      (propensity 1/K per arm), which also counts the zero
+      contribution of unmatched rounds.
+    Output per group: n, n_matched, match_ppm, both values x100.
+    NULL replay value when nothing matched.
+    """
+    by = list(by or [])
+    m = F.expr(f"CAST({action_col} = {policy_col} AS BIGINT)")
+    r = F.col(reward_col).cast("long")
+    g = df.groupBy(*by) if by else df.groupBy()
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(m).cast("long").alias("n_matched"),
+        F.sum(m * r).cast("long").alias("_mr"))
+    return agg.selectExpr(
+        *by, "n", "n_matched",
+        "(n_matched * 1000000) DIV n AS match_ppm",
+        "CASE WHEN n_matched > 0 THEN (_mr * 100) DIV n_matched "
+        "ELSE CAST(NULL AS BIGINT) END AS replay_value_x100",
+        f"({n_actions} * _mr * 100) DIV n AS ips_value_x100")

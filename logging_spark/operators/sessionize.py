@@ -96,3 +96,72 @@ def sessionize_capped(
         return pdf
 
     return df.groupBy(key).applyInPandas(walk, schema=out_schema)
+
+
+def session_rollup(df: DataFrame, key: str = "user_id",
+                   ts_col: str = "ts", gap_seconds: int = 1800
+                   ) -> DataFrame:
+    """Sessionize + roll up to one row per (key, session_id):
+    n_turns, session_start, session_end — the committed-session-table
+    shape that ``sessionize_incremental`` maintains."""
+    s = sessionize(df, key=key, ts_col=ts_col, gap_seconds=gap_seconds)
+    return (s.groupBy(key, "session_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end")))
+
+
+def sessionize_incremental(prior: DataFrame, new_events: DataFrame,
+                           key: str = "user_id", ts_col: str = "ts",
+                           gap_seconds: int = 1800) -> DataFrame:
+    """Incrementally maintain a committed session-rollup table
+    (``session_rollup`` shape) as new events arrive, recomputing ONLY
+    the keys the delta touches — the batch-maintenance twin of the
+    streaming sessionizer, for the nightly-delta-over-committed-table
+    case where replaying all history per run is the scale bug.
+
+    Correctness rests on an interval-merge identity: a session is a
+    maximal run of events with internal gaps <= gap, so its INTERIOR
+    never changes membership — only boundaries can. Each prior
+    session therefore participates as one [start, end] interval
+    carrying its n_turns, each new event as a point interval of
+    weight 1, and re-running gap-sessionization over the interval
+    starts (break when start - running_max(prev ends) > gap) merges
+    exactly the sessions/events a full recompute would. The contract
+    oracle IS the full recompute (identity proof).
+
+    Plan: untouched keys pass through with a broadcast-able LEFT ANTI
+    join against the delta's distinct keys (no window touches them);
+    affected keys re-segment over |their sessions| + |delta| rows,
+    both tiny next to raw history. Session ids renumber 1..n per key
+    by start (ids are per-key contiguous labels, not stable handles —
+    same convention as the batch operator).
+    """
+    touched = new_events.select(F.col(key)).distinct()
+    keep = prior.join(F.broadcast(touched), key, "left_anti")
+    iv = (prior.join(F.broadcast(touched), key)
+          .select(key, F.col("session_start").alias("_s"),
+                  F.col("session_end").alias("_e"),
+                  F.col("n_turns").alias("_n"))
+          .unionByName(
+              new_events.select(key, F.col(ts_col).alias("_s"),
+                                F.col(ts_col).alias("_e"),
+                                F.lit(1).cast("long").alias("_n"))))
+    w = Window.partitionBy(key).orderBy("_s", "_e")
+    run = w.rowsBetween(Window.unboundedPreceding, -1)
+    se = F.unix_timestamp(F.col("_s"))
+    prev_end = F.max(F.unix_timestamp(F.col("_e"))).over(run)
+    is_new = F.when(prev_end.isNull()
+                    | ((se - prev_end) > gap_seconds), 1).otherwise(0)
+    # two windows, same (key, _s, _e) sort -> one exchange + one sort;
+    # the break flag must be a materialized column before the running
+    # sum (window functions cannot nest in one expression)
+    seg = iv.withColumn("_brk", is_new).withColumn(
+        "_sid", F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))).drop("_brk")
+    merged = (seg.groupBy(key, "_sid")
+              .agg(F.sum("_n").cast("long").alias("n_turns"),
+                   F.min("_s").alias("session_start"),
+                   F.max("_e").alias("session_end"))
+              .withColumnRenamed("_sid", "session_id"))
+    return keep.unionByName(merged)

@@ -9,6 +9,10 @@ from pathlib import Path
 
 PKG = Path(__file__).resolve().parent.parent / "logging_spark" / "contract"
 
+# bump together when the contract grows
+N_QUERIES = 307
+N_ORACLES = 293
+
 
 def test_package_replaces_module():
     assert PKG.is_dir()
@@ -32,17 +36,17 @@ def test_every_family_module_registers():
         m.register(q)
         seen_counts[m.__name__.rsplit(".", 1)[-1]] = len(q) - before
     assert all(v > 0 for v in seen_counts.values()), seen_counts
-    assert len(q) == 302
+    assert len(q) == N_QUERIES
     o: dict = {}
     for m in c._ORACLE_MODULES:
         m.register_oracles(o)
-    assert len(o) == 288
+    assert len(o) == N_ORACLES
     assert set(o) <= set(q)
 
 
 def test_build_surface_unchanged():
-    """build_queries()/build_oracles() keep the exact contract: 302
-    queries (288 oracle-checked), stratified ordering starts at the
+    """build_queries()/build_oracles() keep the exact contract: 304
+    queries (290 oracle-checked), stratified ordering starts at the
     pinned flagships, every oracle key pairs with a query."""
     import logging_spark.contract as c
 
@@ -56,7 +60,7 @@ def test_build_surface_unchanged():
             os.environ.pop("SPARK_GRAFT_ROTATION", None)
         else:
             os.environ["SPARK_GRAFT_ROTATION"] = saved
-    assert len(q) == 302 and len(o) == 288
+    assert len(q) == N_QUERIES and len(o) == N_ORACLES
     keys = list(q)
     assert keys[: len(c._PINNED_IN_WINDOW)] == c._PINNED_IN_WINDOW
     assert set(o) <= set(q)
