@@ -298,11 +298,13 @@ def conformal_threshold(df: DataFrame, score_col: str,
            .groupBy(*by, "n_cal", "k")
            .agg(F.min("_s").cast("long").alias("q_hat")))
     # groups where k > n produce no row above; re-attach with NULL
+    # (the no-by path needs an always-true LEFT join: a crossJoin
+    # against an EMPTY got would drop the base row entirely)
     base = n.selectExpr(*by, "n_cal", f"{kexpr} AS k")
     if by:
         return base.join(got.select(*by, "q_hat"), by, "left")
-    return base.crossJoin(F.broadcast(
-        got.select(F.col("q_hat"))))
+    return base.join(F.broadcast(got.select("q_hat")),
+                     F.lit(True), "left")
 
 
 def conformal_audit(cal: DataFrame, test: DataFrame, score_col: str,

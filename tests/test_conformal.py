@@ -57,3 +57,13 @@ def test_conformal_global_no_by(spark):
     assert len(r) == 1
     # k = ceil(101 * 0.5) = 51 -> 51st smallest of 1..100 is 51
     assert (r[0]["n_cal"], r[0]["k"], r[0]["q_hat"]) == (100, 51, 51)
+
+
+def test_conformal_global_small_n_yields_null_row(spark):
+    """No-by path with k > n must still return its single summary row
+    (NULL q_hat), not an empty frame."""
+    from pyspark.sql import Row
+    tiny = spark.createDataFrame([Row(s=5), Row(s=9)])
+    r = conformal_threshold(tiny, "s", alpha_ppm=100_000).collect()
+    assert len(r) == 1
+    assert r[0]["n_cal"] == 2 and r[0]["k"] == 3 and r[0]["q_hat"] is None
