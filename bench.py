@@ -213,9 +213,10 @@ HEADLINE = [
     "events_unique_users_curve",
     "events_ab_bootstrap_delta",
     # round-5 additions: retrieval ranking metrics (baked-constant
-    # integer nDCG)
+    # integer nDCG), Stupid-Backoff trigram LM band
     "dq_retrieval_ndcg",
     "dq_retrieval_mrr",
+    "text_backoff_lm",
 ]
 
 # THE headline tier: flagship chains plus the historically expensive /

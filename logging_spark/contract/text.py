@@ -459,6 +459,28 @@ def register(q):
         return vocab_coverage(_read(spark, sf, "documents"), "text")
     q["text_vocab_coverage"] = text_vocab_coverage
 
+    # -- Stupid Backoff trigram LM band (surprisal.backoff_trigram_
+    # score): tiered trigram->bigram->unigram scores with the exact
+    # 2/5 backoff rationals; per-source rollup. The tier census is
+    # the quality signal: templated text is tier-1-heavy, garbage is
+    # tier-3-heavy.
+    def text_backoff_lm(spark, sf):
+        from logging_spark.operators.surprisal import (
+            backoff_trigram_score)
+        d = _read(spark, sf, "documents")
+        per = backoff_trigram_score(d)
+        return (per.join(d.select("doc_id", "source"), "doc_id")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum("n_trigrams").cast("long").alias("n_tri"),
+                     F.sum("n_tier1").cast("long").alias("n_t1"),
+                     F.sum("n_tier2").cast("long").alias("n_t2"),
+                     F.sum("n_tier3").cast("long").alias("n_t3"),
+                     F.sum("score_sum_ppm").cast("long").alias("s_ppm"),
+                     F.min("mean_ppm").cast("long").alias("min_mean"),
+                     F.max("mean_ppm").cast("long").alias("max_mean")))
+    q["text_backoff_lm"] = text_backoff_lm
+
 
 def register_oracles(o):
 
@@ -1038,3 +1060,73 @@ SELECT n_tokens, s_obs, f1, f2,
        (f1 * 1000000) // n_tokens AS unseen_mass_ppm,
        s_obs + (f1 * f1) // greatest(2 * f2, 1) AS chao1
 FROM s"""
+
+    _register_backoff_oracle(o)
+
+
+def _register_backoff_oracle(o):
+    from logging_spark.contract._fixtures import TOKS
+
+    o["text_backoff_lm"] = f"""
+WITH t AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+nt AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM uni),
+tg AS MATERIALIZED (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(toks) >= 3 THEN list_transform(
+                  range(1, len(toks) - 1),
+                  i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [] END) AS g3
+  FROM t),
+bgm AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2 THEN list_transform(
+                  range(1, len(toks)),
+                  i -> array_to_string(toks[i:i+1], ' '))
+                ELSE [] END) AS g2
+  FROM t),
+tri AS (SELECT g3, CAST(count(*) AS BIGINT) AS c3 FROM tg GROUP BY 1),
+bi AS MATERIALIZED (
+  SELECT g2, CAST(count(*) AS BIGINT) AS c2 FROM bgm GROUP BY 1),
+inst AS (
+  SELECT doc_id, source, g3,
+         array_to_string(string_split(g3, ' ')[1:2], ' ') AS g2p,
+         array_to_string(string_split(g3, ' ')[2:3], ' ') AS g2s,
+         string_split(g3, ' ')[2] AS w2,
+         string_split(g3, ' ')[3] AS w3
+  FROM tg),
+j AS (
+  SELECT inst.doc_id, inst.source,
+         tri.c3, bp.c2 AS c2p, bs.c2 AS c2s, u2.c1 AS c1w2,
+         u3.c1 AS c1w3, nt.n_total
+  FROM inst
+  JOIN tri ON inst.g3 = tri.g3
+  JOIN bi bp ON inst.g2p = bp.g2
+  JOIN bi bs ON inst.g2s = bs.g2
+  JOIN uni u2 ON inst.w2 = u2.tok
+  JOIN uni u3 ON inst.w3 = u3.tok
+  CROSS JOIN nt),
+sc AS (
+  SELECT doc_id, source,
+         CASE WHEN c3 >= 2 THEN 1
+              WHEN c2s >= 2 THEN 2 ELSE 3 END AS t,
+         CASE WHEN c3 >= 2 THEN (c3 * 1000000) // c2p
+              WHEN c2s >= 2 THEN (2 * c2s * 1000000) // (5 * c1w2)
+              ELSE (4 * c1w3 * 1000000) // (25 * n_total) END AS s
+  FROM j),
+per AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         CAST(sum(CASE WHEN t = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+         CAST(sum(CASE WHEN t = 3 THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+         CAST(sum(s) AS BIGINT) AS ss
+  FROM sc GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tri,
+       CAST(sum(t1) AS BIGINT) AS n_t1,
+       CAST(sum(t2) AS BIGINT) AS n_t2,
+       CAST(sum(t3) AS BIGINT) AS n_t3,
+       CAST(sum(ss) AS BIGINT) AS s_ppm,
+       CAST(min(ss // n) AS BIGINT) AS min_mean,
+       CAST(max(ss // n) AS BIGINT) AS max_mean
+FROM per GROUP BY 1"""
