@@ -129,6 +129,15 @@ def register(q):
                 .withColumnRenamed("node", "doc_id"))
     q["docs_kcore"] = docs_kcore
 
+    # -- double-sweep diameter probe (cluster.diameter_2sweep): how
+    # long are the drifted-copy chains in the near-dup graph? Two BFS
+    # sweeps, endpoints picked by bounded 1-row collects; oracle runs
+    # the same two sweeps as depth-bounded recursive CTEs.
+    def docs_graph_diameter(spark, sf):
+        from logging_spark.operators.cluster import diameter_2sweep
+        return diameter_2sweep(lsh_pairs_portable(spark, sf), hops=4)
+    q["docs_graph_diameter"] = docs_graph_diameter
+
     # -- common-neighbor link prediction (operators/cluster.py
     # link_prediction): Jaccard-scored non-adjacent two-hop pairs over
     # the LSH graph — "family pairs the band collisions missed". One
@@ -1167,3 +1176,42 @@ SELECT mask,
          CASE WHEN (mask & 4) != 0 THEN 'alt' END) AS corpora,
        CAST(count(*) AS BIGINT) AS n_ids
 FROM m GROUP BY 1"""
+
+    _register_diameter_oracle(o)
+
+
+def _register_diameter_oracle(o):
+    from logging_spark.contract._fixtures import _lsh_ctes, _lsh_pairs
+
+    # recursive UNION dedups (id, dist) pairs; min(dist) per id is the
+    # BFS layer; dist < 4 bounds both sweeps to the operator's hops=4
+    o["docs_graph_diameter"] = f"""
+WITH RECURSIVE {_lsh_ctes},
+pairs AS MATERIALIZED ({_lsh_pairs}),
+und AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+st AS (SELECT min(s) AS v FROM und),
+w1(id, dist) AS (
+  SELECT v, 0 FROM st
+  UNION
+  SELECT u.d, w1.dist + 1 FROM w1 JOIN und u ON u.s = w1.id
+  WHERE w1.dist < 4),
+l1 AS MATERIALIZED (
+  SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM w1 GROUP BY 1),
+farpick AS MATERIALIZED (
+  SELECT id AS v, dist AS ecc FROM l1
+  ORDER BY dist DESC, id LIMIT 1),
+w2(id, dist) AS (
+  SELECT v, 0 FROM farpick
+  UNION
+  SELECT u.d, w2.dist + 1 FROM w2 JOIN und u ON u.s = w2.id
+  WHERE w2.dist < 4),
+l2 AS (SELECT id, min(dist) AS dist FROM w2 GROUP BY 1)
+SELECT CAST((SELECT v FROM st) AS BIGINT) AS start_node,
+       CAST((SELECT ecc FROM farpick) AS BIGINT) AS ecc_start,
+       CAST((SELECT v FROM farpick) AS BIGINT) AS far_node,
+       CAST(max(dist) AS BIGINT) AS diameter_lb,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(max(dist) >= 4 OR (SELECT ecc FROM farpick) >= 4 AS INT)
+         AS truncated
+FROM l2"""

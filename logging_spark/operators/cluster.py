@@ -322,3 +322,44 @@ def bfs_layers(pairs: DataFrame, seed_pred, hops: int = 3,
         frontier = nxt
     return reached.select(F.col("id").alias(id_col),
                           F.col("dist").cast("int").alias("dist"))
+
+
+def diameter_2sweep(pairs: DataFrame, src: str = "doc_a",
+                    dst: str = "doc_b", hops: int = 4) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib
+    2009): BFS from a deterministic start (the minimum node id), jump
+    to the farthest reached node (ties to the smaller id), BFS again
+    — the second eccentricity lower-bounds the diameter of the
+    start's component, exactly on trees and near-exactly on real
+    graphs, for the cost of two BFS sweeps instead of n.
+
+    The operator answers "how long are the chains?" over a near-dup
+    pair graph: transitive dup families with large diameters are the
+    drifted-copy chains worth human eyes. Output one row: start_node,
+    ecc_start, far_node, diameter_lb, n_reached, truncated
+    (true when a sweep hit the `hops` bound — the bound is then
+    ">= hops", not exact).
+
+    Two bounded 1-row collects pick the sweep endpoints (same class
+    as the cluster tier probe / BPE argmax); each sweep is
+    bfs_layers' checkpoint-pinned frontier expansion.
+    """
+    und = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    start = und.agg(F.least(F.min("a"), F.min("b"))
+                    .alias("m")).collect()[0]["m"]
+    b1 = bfs_layers(pairs, lambda c: c == F.lit(start), hops=hops,
+                    src=src, dst=dst)
+    far_row = (b1.orderBy(F.col("dist").desc(), "doc_id")
+               .limit(1).collect()[0])
+    far, ecc1 = far_row["doc_id"], int(far_row["dist"])
+    b2 = bfs_layers(pairs, lambda c: c == F.lit(far), hops=hops,
+                    src=src, dst=dst)
+    return (b2.agg(F.max("dist").cast("long").alias("diameter_lb"),
+                   F.count(F.lit(1)).cast("long").alias("n_reached"))
+            .select(F.lit(start).cast("long").alias("start_node"),
+                    F.lit(ecc1).cast("long").alias("ecc_start"),
+                    F.lit(far).cast("long").alias("far_node"),
+                    "diameter_lb", "n_reached",
+                    ((F.col("diameter_lb") >= hops)
+                     | F.lit(ecc1 >= hops)).cast("int")
+                    .alias("truncated")))

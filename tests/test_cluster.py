@@ -150,3 +150,61 @@ def test_bfs_layers_min_hop_distances(spark):
     assert got == {0: 0, 10: 0, 1: 1, 5: 1, 11: 1, 2: 2, 3: 3}
     # hops bound: 4 (dist 4) not reported
     assert 4 not in got
+
+
+def test_diameter_2sweep_matches_brute_force(spark):
+    """Double-sweep vs brute-force BFS on a chorded path + an
+    unreachable component (the probe reports the START's component)."""
+    import random
+    from collections import deque
+
+    from pyspark.sql import Row
+
+    from logging_spark.operators.cluster import diameter_2sweep
+
+    rnd = random.Random(11)
+    edges = {(i, i + 1) for i in range(20)}
+    for _ in range(5):
+        a, b = rnd.randint(0, 20), rnd.randint(0, 20)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges |= {(100, 101), (101, 102)}
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in edges])
+    r = diameter_2sweep(pairs, hops=25).collect()[0]
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def bfs(s):
+        d = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in d:
+                    d[y] = d[x] + 1
+                    q.append(y)
+        return d
+
+    start = min(min(a, b) for a, b in edges)
+    d1 = bfs(start)
+    m = max(d1.values())
+    far = min(k for k, v in d1.items() if v == m)
+    d2 = bfs(far)
+    assert (r["start_node"], r["ecc_start"], r["far_node"],
+            r["diameter_lb"], r["n_reached"], r["truncated"]) == \
+        (start, m, far, max(d2.values()), len(d2), 0)
+
+
+def test_diameter_2sweep_truncation_flag(spark):
+    from pyspark.sql import Row
+
+    from logging_spark.operators.cluster import diameter_2sweep
+
+    path = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(10)])
+    r = diameter_2sweep(path, hops=3).collect()[0]
+    assert r["truncated"] == 1 and r["diameter_lb"] == 3
