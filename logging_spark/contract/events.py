@@ -1445,3 +1445,17 @@ def register(q):
             F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"))
         return quantile_normalize(ev, "event_type", "cents", levels=200)
     q["events_quantile_normalize"] = events_quantile_normalize
+
+    # -- additive Holt-Winters (timeseries.holt_winters_fold): daily
+    # per-type counts, weekly seasonality (m=7). Integer x1000 fold;
+    # the oracle replays the identical recurrence as a per-key
+    # recursive CTE carrying the rotating seasonal LIST.
+    def events_holt_winters(spark, sf):
+        from logging_spark.operators.timeseries import holt_winters_fold
+        daily = (_read(spark, sf, "events")
+                 .groupBy("event_type",
+                          F.expr("CAST(ts AS DATE)").alias("d"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("n")))
+        return holt_winters_fold(daily, "event_type", "d", "n",
+                                 period=7)
+    q["events_holt_winters"] = events_holt_winters

@@ -364,3 +364,52 @@ SELECT rk.grp AS event_type, rk.v AS cents, n_group, r,
        CAST((r * 200 + n_group - 1) // n_group AS BIGINT) AS q,
        gv AS norm_value
 FROM rk JOIN lv ON (r * 200 + n_group - 1) // n_group = lv.p"""
+
+    # Holt-Winters: DuckDB lists are 1-based (s[1] = the Spark fold's
+    # acc.s[0] head); l_t's expression is repeated textually inside
+    # b_t and s_t exactly like the Spark fold string
+    _hw_l = ("(300 * (x.v * 1000 - r.s[1]) + 700 * (r.l + r.b)) "
+             "// 1000")
+    o["events_holt_winters"] = f"""
+WITH RECURSIVE ser AS MATERIALIZED (
+  SELECT event_type AS k, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+st AS MATERIALIZED (
+  SELECT k, CAST(row_number() OVER (PARTITION BY k ORDER BY d)
+                 AS BIGINT) AS t, v
+  FROM ser),
+nn AS MATERIALIZED (SELECT k, CAST(max(t) AS BIGINT) AS n
+                    FROM st GROUP BY 1),
+i1 AS (SELECT k,
+         CAST(sum(CASE WHEN t <= 7 THEN v END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN t > 7 AND t <= 14 THEN v END) AS BIGINT)
+           AS s2
+       FROM st GROUP BY 1),
+i2 AS MATERIALIZED (
+  SELECT k, (s1 * 1000) // 7 AS l0, ((s2 - s1) * 1000) // 49 AS b0
+  FROM i1),
+i3 AS (SELECT st.k, list(st.v * 1000 - i2.l0 ORDER BY st.t) AS s0
+       FROM st JOIN i2 ON st.k = i2.k WHERE st.t <= 7 GROUP BY 1),
+init AS MATERIALIZED (
+  SELECT i2.k, l0 AS l, b0 AS b, s0 AS s
+  FROM i2 JOIN i3 ON i2.k = i3.k),
+rec(k, t, l, b, s) AS (
+  SELECT k, CAST(7 AS BIGINT), l, b, s FROM init
+  UNION ALL
+  SELECT r.k, r.t + 1,
+         {_hw_l},
+         (100 * (({_hw_l}) - r.l) + 900 * r.b) // 1000,
+         r.s[2:] || [(200 * (x.v * 1000 - ({_hw_l})) + 800 * r.s[1])
+                     // 1000]
+  FROM rec r JOIN st x ON x.k = r.k AND x.t = r.t + 1),
+fin AS (
+  SELECT rec.k, nn.n, rec.l, rec.b, rec.s
+  FROM rec JOIN nn ON rec.k = nn.k AND rec.t = nn.n
+  WHERE nn.n >= 14)
+SELECT k AS event_type, n AS n_points,
+       CAST(l AS BIGINT) AS level_x1000,
+       CAST(b AS BIGINT) AS trend_x1000,
+       CAST(s[1] AS BIGINT) AS season_next_x1000,
+       CAST(l + b + s[1] AS BIGINT) AS forecast_x1000
+FROM fin"""

@@ -575,3 +575,69 @@ def cross_correlation(df: DataFrame, key: str, ts_col: str,
                     ((F.col("num") == F.col("_m.num")) &
                      (F.col("lag") == -F.col("_m._nl")))
                     .cast("int").alias("is_best")))
+
+
+def holt_winters_fold(df: DataFrame, key: str, order_col: str,
+                      value_col: str, period: int,
+                      alpha_x1000: int = 300, beta_x1000: int = 100,
+                      gamma_x1000: int = 200) -> DataFrame:
+    """Per-key integer additive Holt-Winters (triple-exponential:
+    level + trend + seasonality) as a HOF fold — the seasonal rung
+    above holt_fold, still zero UDFs and oracle-portable because every
+    step is BIGINT add/mul/DIV (trunc division, engine-identical).
+
+    Classic init over the first two seasons (m = period):
+        l0   = sum(x_1..m) * 1000 DIV m
+        b0   = (sum(x_{m+1..2m}) - sum(x_1..m)) * 1000 DIV m^2
+        s_j  = x_j * 1000 - l0                (j = 1..m)
+    then for t = m+1 .. n (seasonal state is a rotating m-list whose
+    HEAD is always s_{t-m}):
+        l_t = (a*(x_t*1000 - s_head) + (1000-a)*(l + b)) DIV 1000
+        b_t = (beta*(l_t - l_{t-1}) + (1000-beta)*b)     DIV 1000
+        s_t = (g*(x_t*1000 - l_t) + (1000-g)*s_head)     DIV 1000
+    Output: key, n_points, level_x1000, trend_x1000,
+    season_next_x1000 (the head after the fold = the seasonal the
+    next period reuses), forecast_x1000 = l + b + season_next.
+    Keys with fewer than 2m points are dropped (no seasonal init).
+
+    Same scale shape as ewma/holt: one shuffle on the key, a key's
+    PERIOD-AGGREGATED series must fit a row. The init lambdas bind
+    `_xs` (a column) — the interpreted-HOF rule; the O(m^2) init
+    re-evaluation is over m ~ tens, not the series.
+    """
+    m = int(period)
+    a, bb, g = int(alpha_x1000), int(beta_x1000), int(gamma_x1000)
+    pts = (df.groupBy(key)
+           .agg(F.expr(
+               f"transform(array_sort(collect_list("
+               f"struct({order_col} AS o, {value_col} AS v))), p -> p.v)")
+               .alias("_xs")))
+    sum1 = f"aggregate(slice(_xs, 1, {m}), 0L, (s, x) -> s + x)"
+    sum2 = f"aggregate(slice(_xs, {m + 1}, {m}), 0L, (s, x) -> s + x)"
+    l0 = f"(({sum1}) * 1000 DIV {m})"
+    b0 = f"((({sum2}) - ({sum1})) * 1000 DIV {m * m})"
+    s0 = f"transform(slice(_xs, 1, {m}), x -> x * 1000 - {l0})"
+    # acc.s[0] is the 0-BASED head = s_{t-m} (Spark [] indexes from 0;
+    # slice() below is 1-based — the mixed-base trap, keep them apart)
+    lnew = (f"(({a} * (x * 1000 - acc.s[0]) "
+            f"+ {1000 - a} * (acc.l + acc.b)) DIV 1000)")
+    snew = (f"(({g} * (x * 1000 - {lnew}) "
+            f"+ {1000 - g} * acc.s[0]) DIV 1000)")
+    fold = (
+        f"aggregate(slice(_xs, {m + 1}, size(_xs) - {m}), "
+        f"named_struct('l', {l0}, 'b', {b0}, 's', {s0}), "
+        f"(acc, x) -> named_struct("
+        f"'l', {lnew}, "
+        f"'b', ({bb} * ({lnew} - acc.l) + {1000 - bb} * acc.b) DIV 1000, "
+        f"'s', concat(slice(acc.s, 2, {m - 1}), array({snew}))))")
+    return (pts.where(F.size("_xs") >= 2 * m)
+            .select(key,
+                    F.size("_xs").cast("long").alias("n_points"),
+                    F.expr(f"CAST({fold}.l AS BIGINT)")
+                    .alias("level_x1000"),
+                    F.expr(f"CAST({fold}.b AS BIGINT)")
+                    .alias("trend_x1000"),
+                    F.expr(f"CAST({fold}.s[0] AS BIGINT)")
+                    .alias("season_next_x1000"),
+                    F.expr(f"CAST({fold}.l + {fold}.b + {fold}.s[0] "
+                           f"AS BIGINT)").alias("forecast_x1000")))
