@@ -96,6 +96,36 @@ def register(q):
                      .alias("n_removable")))
     q["dedup_provenance"] = dedup_provenance
 
+    # -- human-review sampling: a deterministic per-similarity-band
+    # sample of near-dup pairs (2 per Jaccard decile, picked by md5
+    # of the pair key — reviewable, reproducible, and partitioning-
+    # independent). The query every dedup-threshold tuning loop needs:
+    # "show me borderline pairs from each band".
+    def dedup_review_sample(spark, sf):
+        from pyspark.sql import Window
+        pairs = jaccard_threshold_pairs(
+            corpus_df(spark, sf), t_pct=30, w=3,
+            sh_df=shingles_w3(spark, sf))
+        banded = pairs.select(
+            "doc_a", "doc_b", "inter", "uni",
+            F.expr("(inter * 10) DIV uni").cast("long").alias("band"),
+            F.expr("(inter * 10000) DIV uni").cast("long")
+            .alias("jaccard_bps"),
+            F.expr("md5(concat(CAST(doc_a AS STRING), ':', "
+                   "CAST(doc_b AS STRING)))").alias("_h"))
+        w = Window.partitionBy("band").orderBy("_h")
+        return (banded
+                .withColumn("_rn", F.row_number().over(w))
+                .withColumn("band_pairs",
+                            F.count(F.lit(1)).over(
+                                Window.partitionBy("band"))
+                            .cast("long"))
+                .where("_rn <= 2")
+                .select("band", "band_pairs", "doc_a", "doc_b",
+                        "jaccard_bps",
+                        F.col("_rn").cast("long").alias("pick")))
+    q["dedup_review_sample"] = dedup_review_sample
+
 
 def register_oracles(o):
 
@@ -270,3 +300,38 @@ SELECT CASE WHEN n_sources = 1 THEN 'intra_source'
        CAST(sum(n_docs) AS BIGINT) AS n_docs,
        CAST(sum(n_docs - 1) AS BIGINT) AS n_removable
 FROM fam GROUP BY 1"""
+
+    # same naive plan as dedup_jaccard_threshold at the lower
+    # threshold, then the identical banding + md5 pick
+    o["dedup_review_sample"] = f"""
+WITH {CORPUS_CTE},
+sh AS (SELECT doc_id, {SHINGLES} AS sh
+       FROM (SELECT doc_id, {TOKS} AS toks FROM corpus)),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b, inter,
+         sa.n_sh + sb.n_sh - inter AS uni
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter * 100 >= 30 * (sa.n_sh + sb.n_sh - inter)),
+banded AS (
+  SELECT doc_a, doc_b,
+         CAST((inter * 10) // uni AS BIGINT) AS band,
+         CAST((inter * 10000) // uni AS BIGINT) AS jaccard_bps,
+         md5(CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR))
+           AS h
+  FROM pairs)
+SELECT band,
+       CAST(count(*) OVER (PARTITION BY band) AS BIGINT) AS band_pairs,
+       doc_a, doc_b, jaccard_bps,
+       CAST(row_number() OVER (PARTITION BY band ORDER BY h)
+            AS BIGINT) AS pick
+FROM banded
+QUALIFY row_number() OVER (PARTITION BY band ORDER BY h) <= 2"""

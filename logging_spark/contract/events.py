@@ -1459,3 +1459,33 @@ def register(q):
         return holt_winters_fold(daily, "event_type", "d", "n",
                                  period=7)
     q["events_holt_winters"] = events_holt_winters
+
+    # -- JSON schema-drift census: when did each props key FIRST
+    # appear? The governance query that catches a producer shipping a
+    # new field mid-stream. Key extraction is json_object_keys /
+    # json_keys (both engines JVM/native-side); drift is synthesized
+    # in-query (the fixture's props are uniform, same stance as
+    # dq_json_validity's corruption).
+    def events_props_key_drift(spark, sf):
+        ev = _read(spark, sf, "events")
+        day = F.expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')")
+        props2 = F.expr(
+            "CASE WHEN datediff(CAST(ts AS DATE), DATE '2024-01-01') "
+            ">= 14 AND event_id % 3 = 0 "
+            "THEN '{\"k\": 1, \"new_feat\": 2}' "
+            "WHEN datediff(CAST(ts AS DATE), DATE '2024-01-01') >= 21 "
+            "AND event_id % 5 = 0 THEN '{\"k\": 1, \"exp_id\": \"x\"}' "
+            "WHEN event_id % 7 = 0 THEN '{\"k\": 1, \"legacy\": true}' "
+            "ELSE props END")
+        keys = ev.select(
+            day.cast("long").alias("day"),
+            F.explode(F.json_object_keys(props2)).alias("key"))
+        return (keys.groupBy("key")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                     F.min("day").cast("long").alias("first_day"),
+                     F.max("day").cast("long").alias("last_day"),
+                     F.countDistinct("day").cast("long")
+                     .alias("n_days"))
+                .withColumn("appeared_midstream",
+                            (F.col("first_day") >= 7).cast("int")))
+    q["events_props_key_drift"] = events_props_key_drift

@@ -413,3 +413,24 @@ SELECT k AS event_type, n AS n_points,
        CAST(s[1] AS BIGINT) AS season_next_x1000,
        CAST(l + b + s[1] AS BIGINT) AS forecast_x1000
 FROM fin"""
+
+    o["events_props_key_drift"] = """
+WITH p AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CASE WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   >= 14 AND event_id % 3 = 0
+              THEN '{"k": 1, "new_feat": 2}'
+              WHEN datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   >= 21 AND event_id % 5 = 0
+              THEN '{"k": 1, "exp_id": "x"}'
+              WHEN event_id % 7 = 0 THEN '{"k": 1, "legacy": true}'
+              ELSE props END AS pr
+  FROM events),
+ks AS (SELECT CAST(day AS BIGINT) AS day, unnest(json_keys(pr)) AS key
+       FROM p)
+SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(day) AS BIGINT) AS first_day,
+       CAST(max(day) AS BIGINT) AS last_day,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(min(day) >= 7 AS INT) AS appeared_midstream
+FROM ks GROUP BY 1"""

@@ -10,8 +10,8 @@ from pathlib import Path
 PKG = Path(__file__).resolve().parent.parent / "logging_spark" / "contract"
 
 # bump together when the contract grows
-N_QUERIES = 312
-N_ORACLES = 298
+N_QUERIES = 314
+N_ORACLES = 300
 
 
 def test_package_replaces_module():
