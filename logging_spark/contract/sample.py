@@ -88,6 +88,20 @@ def register(q):
             n=2, buckets=4096, seed="dsir", sample_seed="dsir-rs")
     q["sample_importance_weighted"] = sample_importance_weighted
 
+    # -- Kish effective sample size of the DSIR weights per source
+    # (importance.ess_audit): ESS << n flags a selection dominated by
+    # a few heavy documents. DECIMAL(38,0) square sums; quotients are
+    # exact BIGINTs.
+    def sample_ess(spark, sf):
+        from logging_spark.operators.importance import ess_audit
+        d = _read(spark, sf, "documents")
+        target = d.where(F.col("source") == "src0")                   .select("doc_id", "text")
+        scores = importance_scores(d.select("doc_id", "text"), target,
+                                   n=2, buckets=4096, seed="dsir")
+        lab = scores.join(d.select("doc_id", "source"), "doc_id")
+        return ess_audit(lab, "score", by=["source"])
+    q["sample_ess"] = sample_ess
+
     # reproducible global permutation: one range-partitioned sort; the
     # value check verifies the permutation KEY per doc (order itself is
     # compared order-insensitively by the driver, so the key is the
@@ -359,3 +373,43 @@ w2 AS (
   FROM w1, m2, t2 WHERE w1.c = m2.c)
 SELECT r AS lang, c AS source, n, CAST(w AS BIGINT) AS w_x1e6
 FROM w2"""
+
+    _register_ess_oracle(o)
+
+
+def _register_ess_oracle(o):
+    from logging_spark.contract._fixtures import TOKS
+
+    # DuckDB sums are HUGEINT — exact for the squared products; the
+    # final quotients cast back to BIGINT
+    o["sample_ess"] = f"""
+WITH t AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, source, unnest(CASE WHEN len(toks) >= 2
+          THEN list_transform(range(1, len(toks)),
+                              i -> array_to_string(toks[i:i+1], ' '))
+          ELSE [] END) AS gram
+      FROM t),
+b AS (SELECT doc_id, source,
+             CAST('0x' || substr(md5('dsir:' || gram), 1, 15)
+                  AS BIGINT) % 4096 AS bk
+      FROM g),
+tgt AS (SELECT bk, count(*) AS tc FROM b WHERE source = 'src0'
+        GROUP BY bk),
+bg AS (SELECT bk, count(*) AS bc FROM b GROUP BY bk),
+w AS (SELECT bk, (COALESCE(tc, 0) + 1) * 1000000 // (bc + 1) AS wt
+      FROM bg LEFT JOIN tgt USING (bk)),
+s AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
+      FROM b JOIN w USING (bk) GROUP BY doc_id),
+lab AS (SELECT s.doc_id, d.source, s.score
+        FROM s JOIN documents d ON s.doc_id = d.doc_id),
+agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               sum(score) AS s1,
+               sum(score * score) AS s2
+        FROM lab GROUP BY 1)
+SELECT source, n, CAST(s1 AS BIGINT) AS sum_w,
+       CASE WHEN s2 > 0 THEN CAST((s1 * s1 * 100) // s2 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS ess_x100,
+       CASE WHEN s2 > 0 THEN CAST((s1 * s1 * 1000000) // (s2 * n)
+                                  AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS ess_ratio_ppm
+FROM agg"""

@@ -130,3 +130,33 @@ def importance_weighted_sample(
             .where(u * F.col("_W")
                    < F.col("score") * F.lit(rate_ppm) * F.col("_n"))
             .select(id_col, "score"))
+
+
+def ess_audit(df: DataFrame, weight_col: str,
+              by: list[str] | None = None) -> DataFrame:
+    """Kish effective sample size of a weight column: ESS =
+    (sum w)^2 / sum w^2 — THE diagnostic for importance weighting
+    (DSIR scores, raking weights, temperature mixing): ESS << n means
+    a few heavy documents dominate the weighted objective and the
+    selection is effectively tiny however large n looks.
+
+    Exact integers end to end: both sums ride DECIMAL(38,0) (ppm-scale
+    weights over 1e8 rows put (sum w)^2 far past BIGINT; decimal DIV's
+    BIGINT quotient is exact because ESS <= n), output ess_x100 and
+    ess_ratio_ppm = ESS/n. Zero-weight groups report ess 0.
+    One map-side-combined aggregate per group.
+    """
+    by = list(by or [])
+    g = df.groupBy(*by) if by else df.groupBy()
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("_s1"),
+        F.sum((F.col(weight_col).cast("decimal(38,0)")
+               * F.col(weight_col))).alias("_s2"))
+    return agg.selectExpr(
+        *by, "n",
+        "CAST(_s1 AS BIGINT) AS sum_w",
+        "CASE WHEN _s2 > 0 THEN (_s1 * _s1 * 100) DIV _s2 "
+        "ELSE CAST(0 AS BIGINT) END AS ess_x100",
+        "CASE WHEN _s2 > 0 THEN (_s1 * _s1 * 1000000) DIV (_s2 * n) "
+        "ELSE CAST(0 AS BIGINT) END AS ess_ratio_ppm")

@@ -67,3 +67,23 @@ def test_conformal_global_small_n_yields_null_row(spark):
     r = conformal_threshold(tiny, "s", alpha_ppm=100_000).collect()
     assert len(r) == 1
     assert r[0]["n_cal"] == 2 and r[0]["k"] == 3 and r[0]["q_hat"] is None
+
+
+def test_ess_audit_brute_force(spark):
+    """Kish ESS exact vs Python (uniform weights -> ESS == n; one
+    dominant weight -> ESS near 1)."""
+    from pyspark.sql import Row
+
+    from logging_spark.operators.importance import ess_audit
+
+    uni = spark.createDataFrame([Row(g="u", w=5) for _ in range(40)])
+    r = {x["g"]: x for x in ess_audit(uni, "w", ["g"]).collect()}
+    assert r["u"]["ess_x100"] == 4000 and r["u"]["ess_ratio_ppm"] == 1_000_000
+
+    skew = spark.createDataFrame(
+        [Row(g="s", w=1_000_000)] + [Row(g="s", w=1) for _ in range(99)])
+    x = ess_audit(skew, "w", ["g"]).collect()[0]
+    s1 = 1_000_000 + 99
+    s2 = 1_000_000**2 + 99
+    assert x["ess_x100"] == (s1 * s1 * 100) // s2
+    assert x["ess_x100"] < 200  # effectively one document
