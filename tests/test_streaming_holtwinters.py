@@ -72,3 +72,48 @@ def test_streaming_hw_flags_out_of_order(spark, tmp_path):
     _drain(spark, f"{src}/p*", out, chk)
     snap = _latest(spark, out, "svc")
     assert snap["n_points"] == 21 and snap["in_order"] is False
+
+
+@pytest.mark.slow
+def test_streaming_hw_crash_restart_recovery(spark, tmp_path):
+    """Injected sink failure mid-stream, restart from the same
+    checkpoint: warmup-buffer + fold state must roll back to the
+    committed batch and the recovered snapshot must equal the batch
+    fold (no double-folding of the replayed rows)."""
+    src = str(tmp_path / "src")
+    b1 = _series("svc", 0, 12)   # crash lands while still in warmup
+    b2 = _series("svc", 12, 40)
+    spark.createDataFrame(b1).coalesce(1).write.parquet(f"{src}/p1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(f"{src}/p2")
+
+    def run(out, chk, crash_at=None):
+        stream = spark.readStream.schema(
+            "key string, o long, v long") \
+            .option("maxFilesPerTrigger", 1).parquet(f"{src}/p*")
+
+        def sink(df, bid):
+            if crash_at is not None and bid >= crash_at:
+                raise RuntimeError("injected crash")
+            df.write.mode("append").parquet(out)
+
+        q = (streaming_holt_winters(stream, "key", "o", "v", period=7)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", chk)
+             .outputMode("update").trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            assert crash_at is not None
+        finally:
+            q.stop()
+
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    run(out, chk, crash_at=1)
+    run(out, chk)
+    snap = _latest(spark, out, "svc")
+    batch = holt_winters_fold(spark.createDataFrame(b1 + b2),
+                              "key", "o", "v", period=7).first()
+    assert snap["in_order"] and snap["n_points"] == 40
+    for c in ("level_x1000", "trend_x1000", "season_next_x1000",
+              "forecast_x1000"):
+        assert snap[c] == batch[c], c
