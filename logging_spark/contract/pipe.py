@@ -71,6 +71,25 @@ def register(q):
 
     # -- A2 per-sink aggregates --------------------------------------------
     q["pipe_sink_counts"] = lambda spark, sf: per_sink_counts(routed_df(spark, sf))
+
+    # -- rule hit-rate census: per sink, routed rows as a ppm share of
+    # the INPUT turns plus fan-out factor — the router-tuning report
+    # ("which rules fire, how much amplification"). Scalar total rides
+    # a broadcast single-row aggregate, never a window.
+    def pipe_rule_hit_rate(spark, sf):
+        routed = routed_df(spark, sf)
+        total = turns_df(spark, sf).agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"))
+        per = (routed.groupBy("sink_name")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.countDistinct("conv_id").cast("long")
+                    .alias("n_convs")))
+        return (per.crossJoin(F.broadcast(total))
+                .selectExpr("sink_name", "n_rows", "n_convs",
+                            "n_turns",
+                            "(n_rows * 1000000) DIV n_turns "
+                            "AS hit_ppm"))
+    q["pipe_rule_hit_rate"] = pipe_rule_hit_rate
     q["pipe_role_rollup"] = lambda spark, sf: per_sink_role_rollup(routed_df(spark, sf))
 
     # -- T5 unrouted accounting --------------------------------------------
@@ -757,3 +776,19 @@ SELECT concat(string_split(ip, '.')[1], '.',
               string_split(ip, '.')[2]) AS subnet16,
        count(*) AS n_ips
 FROM ip GROUP BY 1"""
+
+    _register_hit_rate_oracle(o)
+
+
+def _register_hit_rate_oracle(o):
+    from logging_spark.contract._fixtures import ROUTED_CTE, TURNS_CTE
+
+    o["pipe_rule_hit_rate"] = "WITH " + ROUTED_CTE + """
+, per AS (
+  SELECT sink_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM routed GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_turns FROM turns)
+SELECT sink_name, n_rows, n_convs, n_turns,
+       (n_rows * 1000000) // n_turns AS hit_ppm
+FROM per CROSS JOIN tot"""
