@@ -481,6 +481,38 @@ def register(q):
                      F.max("mean_ppm").cast("long").alias("max_mean")))
     q["text_backoff_lm"] = text_backoff_lm
 
+    # -- Zipf-slope audit: OLS slope of log2(freq) against log2(rank)
+    # over the corpus vocabulary — natural text reads near -1; a
+    # templated or deduplicate-starved corpus drifts off. Both logs
+    # are integer bit-lengths (length(bin()) — engine-exact where
+    # float log diverges); slope is the repo's exact integer
+    # numerator/denominator split with one x1e6 quotient.
+    def text_zipf_slope(spark, sf):
+        from pyspark.sql import Window
+        d = _read(spark, sf, "documents")
+        toks = d.select(F.explode(T.tokens("text")).alias("tok"))
+        vocab = toks.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"))
+        w = Window.orderBy(F.col("cnt").desc(), "tok")
+        xy = vocab.select(
+            F.length(F.bin(F.row_number().over(w))).cast("long")
+            .alias("x"),
+            F.length(F.bin(F.col("cnt"))).cast("long").alias("y"))
+        agg = xy.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
+        return agg.selectExpr(
+            "n",
+            "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num",
+            "CAST(n * sxx - sx * sx AS BIGINT) AS slope_den",
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE "
+            "((n * sxy - sx * sy) * 1000000) DIV (n * sxx - sx * sx) "
+            "END AS BIGINT) AS slope_x1e6")
+    q["text_zipf_slope"] = text_zipf_slope
+
 
 def register_oracles(o):
 
@@ -1062,6 +1094,7 @@ SELECT n_tokens, s_obs, f1, f2,
 FROM s"""
 
     _register_backoff_oracle(o)
+    _register_zipf_oracle(o)
 
 
 def _register_backoff_oracle(o):
@@ -1130,3 +1163,31 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(ss // n) AS BIGINT) AS min_mean,
        CAST(max(ss // n) AS BIGINT) AS max_mean
 FROM per GROUP BY 1"""
+
+
+
+def _register_zipf_oracle(o):
+    from logging_spark.contract._fixtures import TOKS
+
+    o["text_zipf_slope"] = f"""
+WITH t AS (SELECT {TOKS} AS toks FROM documents),
+v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+xy AS (SELECT
+         CAST(length(bin(row_number() OVER (ORDER BY cnt DESC, tok)))
+              AS BIGINT) AS x,
+         CAST(length(bin(cnt)) AS BIGINT) AS y
+       FROM v),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM xy)
+SELECT n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+            ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+            END AS BIGINT) AS slope_x1e6
+FROM agg"""

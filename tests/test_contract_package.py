@@ -10,8 +10,8 @@ from pathlib import Path
 PKG = Path(__file__).resolve().parent.parent / "logging_spark" / "contract"
 
 # bump together when the contract grows
-N_QUERIES = 316
-N_ORACLES = 302
+N_QUERIES = 317
+N_ORACLES = 303
 
 
 def test_package_replaces_module():
